@@ -1,0 +1,101 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference runs on a managed Databricks cluster and declares no Spark
+configuration of its own (SURVEY.md §4) — it leans on Catalyst/AQE defaults.
+We make those choices explicit so the same code runs correctly on
+``local[N]`` for tests and on a 1000-executor cluster:
+
+- AQE on (coalesce small shuffle partitions, runtime broadcast decisions,
+  skew-join splitting) — replaces hand-tuning shuffle partition counts.
+- ``spark.sql.shuffle.partitions`` seeded from core count locally; AQE
+  coalesces down, and on a real cluster the operator would raise it to
+  ~2-3× total cores.
+- Session timezone pinned to UTC so timestamp semantics are deterministic
+  and match the DuckDB correctness oracle.
+- Arrow enabled for any pandas-interop path (extension operators use
+  ``applyInPandas``/``mapInPandas``; Arrow batching is the fast path).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "ironman-medallion-lakehouse-spark"
+
+
+def _default_master() -> str:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    return os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+
+
+def _default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus and cpus.isdigit():
+        return int(cpus)
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    warehouse_dir: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    Safe to call repeatedly — Spark returns the existing session; configs
+    only bind on first creation.
+    """
+    shuffle = shuffle_partitions or _default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or _default_master())
+        # --- optimizer / runtime ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.default.parallelism", str(_default_parallelism()))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- determinism ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- python interop ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- local-mode hygiene ---
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config("spark.sql.parquet.compression.codec", "snappy")
+    )
+    if warehouse_dir:
+        builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str):
+    """Load driver testdata parquet tables and register them as temp views.
+
+    Returns a dict name → DataFrame. Registering views lets suite queries
+    mix the DataFrame API with ``spark.sql`` exactly as the reference does
+    (notebook ``%sql`` cells vs PySpark cells).
+    """
+    out = {}
+    for name in names:
+        if name == "events":
+            # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+            # reader rejects; read nanos as long and truncate to micros —
+            # identical to DuckDB's ns→µs truncation, so oracle-safe.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
