@@ -42,9 +42,12 @@ def parse_time_to_seconds(c: Column | str) -> Column:
     """
     c = F.col(c) if isinstance(c, str) else c
     parts = F.split(c, ":")
-    h = F.coalesce(parts.getItem(0).cast("int"), F.lit(0))
-    m = F.coalesce(parts.getItem(1).cast("int"), F.lit(0))
-    s = F.coalesce(parts.getItem(2).cast("int"), F.lit(0))
+    # F.get (not getItem): out-of-bounds yields NULL → coalesce(0), the
+    # Spark-3 semantics the reference relies on; Spark 4's ANSI mode makes
+    # getItem throw on "5:30"-style short inputs.
+    h = F.coalesce(F.get(parts, 0).cast("int"), F.lit(0))
+    m = F.coalesce(F.get(parts, 1).cast("int"), F.lit(0))
+    s = F.coalesce(F.get(parts, 2).cast("int"), F.lit(0))
     total = h * 3600 + m * 60 + s
     return F.when(c.isNull() | (total == 0), F.lit(None).cast("int")).otherwise(total)
 
@@ -125,13 +128,14 @@ def status_flags(designation: Column | str) -> dict[str, Column]:
     """Designation → boolean status flags.
 
     Reference 03_silver.ipynb:257-260: is_finisher / is_dnf / is_dns /
-    is_dq from the (trimmed, uppercased) designation enum. 'DSQ' admits
-    the scraper's alternate spelling (ironman_scraper.py:237).
+    is_dq from the (trimmed, uppercased) designation enum. Note the
+    reference checks only 'DQ' — the scraper's alternate 'DSQ' spelling
+    (ironman_scraper.py:237) falls through all flags; reproduced as-is.
     """
     d = F.upper(F.trim(F.col(designation) if isinstance(designation, str) else designation))
     return {
         "is_finisher": (d == "FINISHER"),
         "is_dnf": (d == "DNF"),
         "is_dns": (d == "DNS"),
-        "is_dq": d.isin("DQ", "DSQ"),
+        "is_dq": (d == "DQ"),
     }

@@ -1,0 +1,144 @@
+"""End-to-end medallion pipeline runner.
+
+Replaces the reference's Airflow → Databricks multi-task job
+(SURVEY §3 entry-point 1) with a plain Python orchestration over the
+same DAG: config → bronze → silver → {dim_athletes, dim_countries,
+dim_divisions} → fact → views.
+
+Write semantics per run_mode (Readme.md:149-172):
+- full: overwrite every table (reference S6);
+- incremental: bronze/silver/fact insert-only merge on row_key
+  (S7) — re-running the same year is a no-op (idempotent); dims SCD-1
+  upsert on their natural keys (S8) so attributes refresh in place.
+
+Bronze/silver/fact are partitioned by ``year``: the reference prunes
+input files by hand in driver code (01_config.ipynb:292-296); here the
+same year-scoping becomes real Catalyst partition pruning on every
+downstream ``filter(year = Y)``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ironman_medallion_lakehouse_spark import config as C
+from ironman_medallion_lakehouse_spark.plans import bronze as bronze_plan
+from ironman_medallion_lakehouse_spark.plans import gold_dims, gold_fact, views
+from ironman_medallion_lakehouse_spark.plans import silver as silver_plan
+from ironman_medallion_lakehouse_spark.sources.tablestore import TableStore
+
+ALL_TABLES = [
+    C.BRONZE_TABLE,
+    C.SILVER_TABLE,
+    C.DIM_ATHLETES,
+    C.DIM_COUNTRIES,
+    C.DIM_DIVISIONS,
+    C.FACT_RESULTS,
+]
+
+
+@dataclass
+class RunResult:
+    bronze_rows: int = 0
+    silver_rows: int = 0
+    fact_rows: int = 0
+    duplicate_row_keys: int = 0
+    unmatched_fks: dict[str, int] = field(default_factory=dict)
+    views_created: list[str] = field(default_factory=list)
+
+
+def run(spark: SparkSession, cfg: C.PipelineConfig) -> RunResult:
+    cfg.validate_sources()
+    store = TableStore(spark, cfg.warehouse_dir)
+    incremental = cfg.run_mode == "incremental"
+    result = RunResult()
+
+    # ---- bronze (02_bronze): ingest selected files, merge or overwrite
+    bronze_df = bronze_plan.build_bronze(spark, cfg.source_dir, cfg.files_to_process)
+    result.duplicate_row_keys = bronze_plan.duplicate_key_count(bronze_df)
+    if incremental and store.table_exists(C.BRONZE_TABLE):
+        store.merge_insert_only(bronze_df, C.BRONZE_TABLE, cfg.bronze_merge_keys)
+    else:
+        store.save_overwrite(bronze_df, C.BRONZE_TABLE, partition_by=["year"])
+    store.optimize(C.BRONZE_TABLE)  # S10 (02_bronze.ipynb:354)
+
+    # ---- silver (03_silver): full layer recompute over the scoped slice
+    bronze_all = store.read(C.BRONZE_TABLE)
+    bronze_scope = (
+        bronze_all.filter(F.col("year") == cfg.process_year) if incremental else bronze_all
+    )  # P4 year filter → partition pruning
+    silver_df = silver_plan.build_silver(bronze_scope)
+    if incremental and store.table_exists(C.SILVER_TABLE):
+        store.merge_insert_only(silver_df, C.SILVER_TABLE, cfg.silver_merge_keys)
+    else:
+        store.save_overwrite(
+            silver_plan.build_silver(bronze_all), C.SILVER_TABLE, partition_by=["year"]
+        )
+    store.optimize(C.SILVER_TABLE)
+
+    # ---- gold dims (04a/04b/04c): always computed over the FULL silver
+    # history (the reference reads the whole silver table for dims), SCD-1
+    # merged so created_at survives and updated_at refreshes.
+    silver_all = store.read(C.SILVER_TABLE)
+    dim_athletes = gold_dims.build_dim_athletes(silver_all)
+    dim_countries = gold_dims.build_dim_countries(spark, silver_all)
+    dim_divisions = gold_dims.build_dim_divisions(silver_all)
+    if incremental and store.table_exists(C.DIM_ATHLETES):
+        store.merge_scd1(
+            dim_athletes,
+            C.DIM_ATHLETES,
+            keys=["athlete_natural_key"],
+            update_cols=["athlete_name", "first_name", "last_name", "country", "updated_at"],
+        )
+        store.merge_scd1(
+            dim_countries,
+            C.DIM_COUNTRIES,
+            keys=["country"],
+            update_cols=["country_name", "continent", "athlete_count", "updated_at"],
+        )
+        store.merge_scd1(
+            dim_divisions,
+            C.DIM_DIVISIONS,
+            keys=["division"],
+            update_cols=[
+                "division_description",
+                "gender",
+                "is_professional",
+                "age_group_start",
+                "age_group_end",
+                "updated_at",
+            ],
+        )
+    else:
+        store.save_overwrite(dim_athletes, C.DIM_ATHLETES)
+        store.save_overwrite(dim_countries, C.DIM_COUNTRIES)
+        store.save_overwrite(dim_divisions, C.DIM_DIVISIONS)
+
+    # ---- fact (04d): scoped silver joined to the *merged* dims
+    silver_scope = (
+        silver_all.filter(F.col("year") == cfg.process_year) if incremental else silver_all
+    )
+    fact = gold_fact.build_fact(
+        silver_scope,
+        store.read(C.DIM_ATHLETES),
+        store.read(C.DIM_DIVISIONS),
+        store.read(C.DIM_COUNTRIES),
+    )
+    if incremental and store.table_exists(C.FACT_RESULTS):
+        store.merge_insert_only(fact, C.FACT_RESULTS, cfg.fact_merge_keys)
+    else:
+        store.save_overwrite(fact, C.FACT_RESULTS, partition_by=["year"])
+    store.optimize(C.FACT_RESULTS)
+
+    # ---- serving layer (05): register tables + the 13 views
+    store.register_views(*ALL_TABLES)
+    result.views_created = views.create_views(spark)
+
+    result.bronze_rows = store.read(C.BRONZE_TABLE).count()
+    result.silver_rows = store.read(C.SILVER_TABLE).count()
+    result.fact_rows = store.read(C.FACT_RESULTS).count()
+    result.unmatched_fks = gold_fact.fk_audit(store.read(C.FACT_RESULTS))
+    return result

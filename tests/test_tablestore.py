@@ -1,0 +1,104 @@
+"""TableStore semantics: overwrite, insert-only merge, SCD-1 merge,
+optimize, vacuum, time travel — the Delta behaviors of SURVEY §2.1."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ironman_medallion_lakehouse_spark.sources.tablestore import TableStore
+
+
+def _store(spark, tmp_path) -> TableStore:
+    return TableStore(spark, str(tmp_path / "wh"))
+
+
+def test_overwrite_and_read(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    df = spark.createDataFrame([Row(k="a", v=1), Row(k="b", v=2)])
+    assert not st.table_exists("db.t")
+    st.save_overwrite(df, "db.t")
+    assert st.table_exists("db.t")
+    assert {(r.k, r.v) for r in st.read("db.t").collect()} == {("a", 1), ("b", 2)}
+
+
+def test_insert_only_merge_is_idempotent(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    base = spark.createDataFrame([Row(k="a", y=1, v=10), Row(k="b", y=1, v=20)])
+    st.save_overwrite(base, "db.t", partition_by=["y"])
+    incoming = spark.createDataFrame(
+        [Row(k="b", y=1, v=999), Row(k="c", y=2, v=30)]
+    )
+    st.merge_insert_only(incoming, "db.t", keys=["k"])
+    rows = {r.k: r.v for r in st.read("db.t").collect()}
+    # matched key untouched (insert-only), new key appended
+    assert rows == {"a": 10, "b": 20, "c": 30}
+    # re-running the same merge changes nothing (Readme.md:7 idempotency)
+    st.merge_insert_only(incoming, "db.t", keys=["k"])
+    assert st.read("db.t").count() == 3
+
+
+def test_insert_only_merge_appends_files_not_rewrites(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    st.save_overwrite(
+        spark.createDataFrame([Row(k="a", y=1, v=1)]), "db.t", partition_by=["y"]
+    )
+    m1 = st._latest_manifest("db.t")
+    st.merge_insert_only(
+        spark.createDataFrame([Row(k="b", y=1, v=2)]), "db.t", keys=["k"]
+    )
+    m2 = st._latest_manifest("db.t")
+    # every original file survives into the new manifest: O(new), not O(table)
+    assert set(m1.files) <= set(m2.files)
+
+
+def test_scd1_merge(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    st.save_overwrite(
+        spark.createDataFrame(
+            [Row(k="a", attr="old", created="c1"), Row(k="b", attr="keep", created="c2")]
+        ),
+        "db.dim",
+    )
+    src = spark.createDataFrame(
+        [Row(k="a", attr="new", created="cX"), Row(k="c", attr="ins", created="c3")]
+    )
+    st.merge_scd1(src, "db.dim", keys=["k"], update_cols=["attr"])
+    rows = {r.k: (r.attr, r.created) for r in st.read("db.dim").collect()}
+    assert rows["a"] == ("new", "c1")  # updated attr, created_at preserved
+    assert rows["b"] == ("keep", "c2")  # untouched
+    assert rows["c"] == ("ins", "c3")  # inserted whole
+
+
+def test_optimize_compacts_and_time_travel(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    st.save_overwrite(df.repartition(8), "db.t")
+    v1 = st._latest_manifest("db.t")
+    assert len(v1.files) > 1
+    st.optimize("db.t")
+    v2 = st._latest_manifest("db.t")
+    assert len(v2.files) == 1
+    assert st.read("db.t").count() == 100
+    # old version still readable until vacuum
+    assert st.read("db.t", version=v1.version).count() == 100
+    removed = st.vacuum("db.t")
+    assert removed == len(v1.files)
+
+
+def test_register_views(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    st.save_overwrite(spark.createDataFrame([Row(k="a")]), "gold.dim_x")
+    st.register_views("gold.dim_x")
+    assert spark.sql("SELECT COUNT(*) c FROM gold_dim_x").collect()[0].c == 1
+
+
+def test_empty_table_read(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    df = spark.createDataFrame([Row(k="a", v=1)])
+    st.save_overwrite(df.filter(F.lit(False)), "db.empty")
+    out = st.read("db.empty")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["k", "v"]
