@@ -1,0 +1,202 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond-reference extension (BASELINE.json north star). Everything here
+is designed for the 100 TB regime:
+
+- **exact_dedup**: content-hash groupBy — one shuffle on a 32-hex key,
+  uniformly distributed by construction (no skew).
+- **minhash_signatures + lsh_candidate_pairs**: the scalable near-dup
+  path. All-pairs Jaccard is O(n²); MinHash+LSH banding reduces it to
+  one explode + k min-aggregations + b equi-joins on band keys. Only
+  documents sharing a band bucket are ever paired.
+- **jaccard_pairs**: exact verification on a *blocked* pair set — used
+  to verify LSH candidates, never run all-pairs.
+- **simhash64**: vectorized Arrow/pandas UDF (the per-bit majority
+  vote has no efficient Column-expression form); Hamming-adjacent
+  buckets give another near-dup family.
+
+All hash primitives are md5 (identical across engines → DuckDB-oracle
+checkable); hex-string min is a valid uniform min-hash order.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def words(text: Column | str, lowercase: bool = True) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        t = F.lower(t)
+    return F.split(t, r"\s+")
+
+
+def word_set(text: Column | str) -> Column:
+    return F.array_distinct(words(text))
+
+
+def shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as a pure Column expression (stays
+    inside codegen; no UDF). Built with F.expr because the transform
+    lambda needs index arithmetic (element_at(words, i + j))."""
+    t = f"split(lower({text_col}), '\\\\s+')"
+    gram = ", ".join(f"element_at({t}, i + {j + 1})" for j in range(n))
+    return F.expr(
+        f"array_distinct(transform(sequence(0, greatest(size({t}) - {n}, -1)),"
+        f" i -> concat_ws(' ', {gram})))"
+    )
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: md5 content hash → group stats. Keeper = min id
+    (deterministic survivor policy)."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("keeper"),
+        )
+    )
+
+
+def exact_dedup_survivors(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Rows that survive exact dedup (first id per content hash)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col).asc())
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """k-permutation MinHash over distinct word tokens.
+
+    Permutation j is the order of md5(word || '#' || j); the signature
+    element is the minimum hash — computed as k min-aggregations over a
+    single explode. One shuffle on id_col; map-side partial mins make
+    the reduce tiny regardless of document size.
+    """
+    tokens = docs.select(
+        F.col(id_col), F.explode(word_set(text_col)).alias("tok")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("tok"), F.lit(f"#{j}")))).alias(f"sig_{j}")
+        for j in range(k)
+    ]
+    return tokens.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", k: int = 8, bands: int = 4
+) -> DataFrame:
+    """LSH banding: hash each band of r = k/bands signature elements to
+    a bucket; documents sharing any band bucket become candidate pairs.
+
+    Implemented as one explode to (band_id, bucket) + a self equi-join
+    on (band_id, bucket) — the join keys are uniform md5 buckets, so
+    the shuffle is skew-free. Output: distinct (id_a < id_b) pairs.
+    """
+    r = k // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat_ws("|", *[F.col(f"sig_{b * r + j}") for j in range(r)])).alias(
+                "bucket"
+            ),
+        )
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_id", "band.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    block_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-set Jaccard over *blocked* pairs (id_a < id_b within
+    the same block). Blocking keeps the join linear-ish; never call
+    with empty block_cols at scale."""
+    with_sets = docs.select(
+        F.col(id_col), *[F.col(c) for c in block_cols], word_set(text_col).alias("ws")
+    )
+    a, b = with_sets.alias("a"), with_sets.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
+    union = F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+_SIMHASH_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("simhash", LongType())]
+)
+
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash via an Arrow-batched mapInPandas (per-bit majority
+    vote over token hashes has no reasonable Column form). Pure-python
+    md5 per token; vectorized over the batch."""
+    import hashlib
+
+    from ironman_medallion_lakehouse_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(docs.sparkSession)
+
+    def _batch(it):
+        for pdf in it:
+            ids, hashes = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                acc = [0] * 64
+                for tok in set(str(text).lower().split()):
+                    h = int.from_bytes(
+                        hashlib.md5(tok.encode()).digest()[:8], "big"
+                    )
+                    for bit in range(64):
+                        acc[bit] += 1 if (h >> bit) & 1 else -1
+                sh = 0
+                for bit in range(64):
+                    if acc[bit] > 0:
+                        sh |= 1 << bit
+                ids.append(doc_id)
+                # store as signed 64-bit
+                hashes.append(sh - (1 << 64) if sh >= (1 << 63) else sh)
+            yield pd.DataFrame({"doc_id": ids, "simhash": hashes})
+
+    return docs.select(id_col, text_col).mapInPandas(_batch, _SIMHASH_SCHEMA)

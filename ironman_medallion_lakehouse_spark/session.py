@@ -19,6 +19,7 @@ We make those choices explicit so the same code runs correctly on
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -69,12 +70,56 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # Local-mode scan parallelism: test-scale parquet files are a few
+        # MB, so the 128 MB default split yields 1-3 partitions on 32
+        # cores. 16 MB keeps all cores busy locally; a real cluster run
+        # overrides back to 128m+ via env (files that small aren't the
+        # 100 TB regime anyway).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
+        )
+        .config("spark.sql.files.openCostInBytes", str(1 * 1024 * 1024))
     )
     if warehouse_dir:
         builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def ensure_package_on_executors(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    Required before any Python-UDF path (mapInPandas / pandas_udf):
+    cloudpickle serializes closures with by-reference module globals, and
+    executor workers do not inherit the driver's runtime sys.path — on a
+    real cluster this zip is exactly how the code reaches 1000 executors.
+    Idempotent per SparkContext.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_imls_pkg_shipped", False):
+        return
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"imls_pkg_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    rel = os.path.join(
+                        "ironman_medallion_lakehouse_spark",
+                        os.path.relpath(full, pkg_dir),
+                    )
+                    zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    sc._imls_pkg_shipped = True
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):
@@ -95,7 +140,9 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
         if name == "events" and dict(df.dtypes).get("ts") == "bigint":
             from pyspark.sql import functions as F
 
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            # integer division — `/` would go through double and lose
+            # precision at epoch-nanos magnitude (>2^53)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

@@ -1,0 +1,108 @@
+"""Event-time operators over the events table — batch + streaming.
+
+The reference has no streaming surface (SURVEY §2.9); these are
+beyond-reference extensions. The batch forms (tumbling windows via
+F.window, gap sessionization via lag/sum windows) are the
+oracle-checkable semantics; `streaming_tumbling_counts` runs the same
+tumbling aggregation as a Structured Streaming query with a watermark,
+demonstrating the readStream → window → writeStream path on the same
+schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(events: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """Tumbling event-time window counts (F.window). Window start is
+    alignment-identical to date_trunc for hour/day durations."""
+    return (
+        events.groupBy(F.window("ts", duration).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time
+    since the user's previous event exceeds gap_seconds.
+
+    Classic two-window composition (lag → boundary flag → running sum).
+    Both windows share the same (user_id, ts) partitioning, so Spark
+    plans ONE shuffle and reuses the sort."""
+    by_user = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    ts_sec = F.col("ts").cast("long")
+    prev = F.lag(ts_sec).over(by_user)
+    new_session = F.when(
+        prev.isNull() | ((ts_sec - prev) > gap_seconds), 1
+    ).otherwise(0)
+    with_sessions = events.withColumn(
+        "session_seq", F.sum(new_session).over(by_user)
+    )
+    return with_sessions.groupBy("user_id").agg(
+        F.max("session_seq").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+def session_stats(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Per-session aggregates (session grain rather than user grain)."""
+    by_user = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    ts_sec = F.col("ts").cast("long")
+    prev = F.lag(ts_sec).over(by_user)
+    new_session = F.when(prev.isNull() | ((ts_sec - prev) > gap_seconds), 1).otherwise(0)
+    with_sessions = events.withColumn("session_seq", F.sum(new_session).over(by_user))
+    return with_sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.max(ts_sec) - F.min(ts_sec)).alias("duration_seconds"),
+    )
+
+
+def streaming_tumbling_counts(
+    spark,
+    source_path: str,
+    schema,
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+    sink_name: str = "tumbling_counts_sink",
+):
+    """Structured Streaming variant of ``tumbling_counts``: file-source
+    readStream over parquet event data → watermark for late-data
+    bounding → tumbling window agg → memory sink.
+
+    Returns (query, sink_name); caller runs query.processAllAvailable()
+    then reads ``spark.table(sink_name)``. At scale the source would be
+    Kafka and the sink a table; the plan in between is identical.
+    """
+    stream = spark.readStream.schema(schema).format("parquet").load(source_path)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .start()
+    )
+    return query, sink_name

@@ -713,8 +713,18 @@ def q17_parse_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_all()
     return {name: q.fn for name, q in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
+    _load_all()
     return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
+
+
+def _load_all() -> None:
+    """Import the sibling suite modules so their @register calls run.
+    Deferred (not top-of-module) to avoid a circular import: those
+    modules import ``register`` from here."""
+    import ironman_medallion_lakehouse_spark.suite_extensions  # noqa: F401
+    import ironman_medallion_lakehouse_spark.suite_views  # noqa: F401

@@ -1,0 +1,439 @@
+"""Suite entries for the training-data-pipeline extensions
+(BASELINE.json north star): dedup, similarity search, text analysis,
+event-time windows, multimodal plumbing.
+
+Oracle notes:
+- All dedup hashing is md5 (identical across engines), so even MinHash
+  signatures and LSH candidate pairs are hash-checked against DuckDB.
+- Embedding math is double-precision ordered folds on both sides
+  (Spark F.aggregate ≡ DuckDB list_dot_product over DOUBLE[] casts).
+- simhash (bit-majority pandas UDF) and percentile sketches are
+  engine-specific → rows-only checks, by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ironman_medallion_lakehouse_spark.functions import text as T
+from ironman_medallion_lakehouse_spark.operators import dedup as D
+from ironman_medallion_lakehouse_spark.operators import multimodal as M
+from ironman_medallion_lakehouse_spark.operators import similarity as S
+from ironman_medallion_lakehouse_spark.session import load_tables
+from ironman_medallion_lakehouse_spark.streaming import event_windows as EW
+from ironman_medallion_lakehouse_spark.suite import davg, register
+
+_WORDS = "list_distinct(string_split_regex(lower(text), '\\s+'))"
+
+
+# ---------------------------------------------------------------- dedup
+
+@register(
+    "q40_dedup_exact_groups",
+    oracle="""
+    SELECT md5(text) AS content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q40_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: content-hash groupBy (operators/dedup.py).
+    One skew-free shuffle on a uniform 32-hex key."""
+    t = load_tables(spark, sf_dir, "documents")
+    return D.exact_dedup_groups(t["documents"])
+
+
+@register(
+    "q41_dedup_exact_survivors",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def q41_dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic survivor policy (min doc_id per content hash)."""
+    t = load_tables(spark, sf_dir, "documents")
+    return D.exact_dedup_survivors(t["documents"]).select("doc_id", "lang", "source")
+
+
+@register(
+    "q42_jaccard_pairs",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, source, {_WORDS} AS w FROM documents
+    )
+    SELECT
+      a.doc_id AS id_a,
+      b.doc_id AS id_b,
+      CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+        / CAST(len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)) AS DOUBLE) AS jaccard
+    FROM ws a JOIN ws b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+        / CAST(len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)) AS DOUBLE) >= 0.5
+    """,
+)
+def q42_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard near-dup pairs, blocked by source
+    (operators/dedup.jaccard_pairs). Blocking bounds the pair join;
+    the unblocked O(n²) form is never materialized."""
+    t = load_tables(spark, sf_dir, "documents")
+    return D.jaccard_pairs(t["documents"], block_cols=["source"], threshold=0.5)
+
+
+@register(
+    "q43_minhash_lsh_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_WORDS}) AS tok FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id,
+        MIN(md5(tok || '#0')) AS sig_0, MIN(md5(tok || '#1')) AS sig_1,
+        MIN(md5(tok || '#2')) AS sig_2, MIN(md5(tok || '#3')) AS sig_3,
+        MIN(md5(tok || '#4')) AS sig_4, MIN(md5(tok || '#5')) AS sig_5,
+        MIN(md5(tok || '#6')) AS sig_6, MIN(md5(tok || '#7')) AS sig_7
+      FROM toks GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, md5(sig_0 || '|' || sig_1) AS bucket FROM sigs
+      UNION ALL SELECT doc_id, 1, md5(sig_2 || '|' || sig_3) FROM sigs
+      UNION ALL SELECT doc_id, 2, md5(sig_4 || '|' || sig_5) FROM sigs
+      UNION ALL SELECT doc_id, 3, md5(sig_6 || '|' || sig_7) FROM sigs
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+)
+def q43_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (k=8) + LSH banding (4 bands × r=2) candidate pairs —
+    the near-dup scale path (operators/dedup.py): explode + k min-aggs
+    + band equi-join; no all-pairs computation anywhere."""
+    t = load_tables(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(t["documents"], k=8)
+    return D.lsh_candidate_pairs(sigs, k=8, bands=4)
+
+
+@register("q44_simhash", oracle=None)
+def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 via Arrow-batched mapInPandas (bit-majority vote has
+    no Column form). Engine-specific bit packing → rows-only check;
+    pairwise Hamming behavior is unit-tested in tests/test_dedup.py."""
+    t = load_tables(spark, sf_dir, "documents")
+    return D.simhash64(t["documents"])
+
+
+# ----------------------------------------------------------- similarity
+
+_DOT = "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+
+@register(
+    "q45_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+             {_DOT.format(a='e.embedding', b='q.qv')}
+               / (sqrt({_DOT.format(a='e.embedding', b='e.embedding')})
+                  * sqrt({_DOT.format(a='q.qv', b='q.qv')})) AS cos
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id != 0
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rnk,
+           vec_id
+    FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+    """,
+)
+def q45_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 to vec_id 0 (operators/similarity.py):
+    broadcast query vector, single corpus pass, TakeOrderedAndProject.
+    Compared by (rank, id) — double-precision ordered folds keep the
+    ordering identical to DuckDB."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    topk = S.cosine_topk(t["embeddings"], query_id=0, k=10)
+    w = Window.orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+    return topk.select(
+        F.row_number().over(w).cast("bigint").alias("rnk"), "vec_id"
+    )
+
+
+@register(
+    "q46_ivf_cells",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id AS centroid_id, embedding AS cv
+      FROM embeddings ORDER BY vec_id ASC LIMIT 8
+    ),
+    scored AS (
+      SELECT e.vec_id, c.centroid_id,
+             {_DOT.format(a='e.embedding', b='c.cv')}
+               / (sqrt({_DOT.format(a='e.embedding', b='e.embedding')})
+                  * sqrt({_DOT.format(a='c.cv', b='c.cv')})) AS cos
+      FROM embeddings e CROSS JOIN c
+    ),
+    best AS (
+      SELECT vec_id, centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id ASC) AS rn
+      FROM scored
+    )
+    SELECT centroid_id, COUNT(*) AS n_members
+    FROM best WHERE rn = 1 GROUP BY centroid_id
+    """,
+)
+def q46_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization cell sizes (operators/similarity.py):
+    broadcast 8 deterministic centroids, one narrow argmin pass. The
+    ANN scale path — probes scan ~nprobe/n_cells of the corpus."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    return S.ivf_cell_sizes(t["embeddings"], n_cells=8)
+
+
+# -------------------------------------------------------- text analysis
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in T.STOPWORDS[lang])
+    return f"len(list_intersect({_WORDS}, [{words}]))"
+
+
+@register(
+    "q47_language_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS actual_lang,
+        {_lang_score_sql('en')} AS score_en,
+        {_lang_score_sql('de')} AS score_de,
+        {_lang_score_sql('fr')} AS score_fr,
+        {_lang_score_sql('es')} AS score_es,
+        {_lang_score_sql('zh')} AS score_zh
+      FROM documents
+    )
+    SELECT doc_id, actual_lang, score_en, score_de, score_fr, score_es, score_zh,
+      CASE
+        WHEN greatest(score_en, score_de, score_fr, score_es, score_zh) = 0 THEN 'und'
+        WHEN score_en = greatest(score_en, score_de, score_fr, score_es, score_zh) THEN 'en'
+        WHEN score_de = greatest(score_en, score_de, score_fr, score_es, score_zh) THEN 'de'
+        WHEN score_fr = greatest(score_en, score_de, score_fr, score_es, score_zh) THEN 'fr'
+        WHEN score_es = greatest(score_en, score_de, score_fr, score_es, score_zh) THEN 'es'
+        ELSE 'zh'
+      END AS predicted_lang
+    FROM scored
+    """,
+)
+def q47_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID (functions/text.py): pure Column
+    set-intersection scoring, argmax with deterministic priority.
+    All inside codegen — no Python in the hot path."""
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"]
+    cols = [
+        F.col("doc_id"),
+        F.col("lang").alias("actual_lang"),
+    ]
+    for lang in T.LANG_PRIORITY:
+        cols.append(T.stopword_score("text", lang).alias(f"score_{lang}"))
+    cols.append(T.predicted_lang("text").alias("predicted_lang"))
+    return d.select(*cols)
+
+
+@register(
+    "q48_text_quality",
+    oracle=f"""
+    SELECT
+      doc_id,
+      LENGTH(text) AS n_chars_actual,
+      CAST(len(string_split_regex(lower(text), '\\s+')) AS INTEGER) AS n_words,
+      CAST(len({_WORDS}) AS INTEGER) AS n_distinct_words,
+      CAST(LENGTH(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+        / CAST(len(string_split_regex(lower(text), '\\s+')) AS DOUBLE) AS avg_word_len,
+      CAST(len({_WORDS}) AS DOUBLE)
+        / CAST(greatest(len(string_split_regex(lower(text), '\\s+')), 1) AS DOUBLE) AS type_token_ratio,
+      CAST({_lang_score_sql('en')} AS DOUBLE)
+        / CAST(greatest(len({_WORDS}), 1) AS DOUBLE) AS stopword_ratio_en
+    FROM documents
+    """,
+)
+def q48_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring battery (functions/text.py): length, token
+    counts, mean token length, lexical diversity, stopword ratio —
+    integer-derived doubles, bit-deterministic."""
+    t = load_tables(spark, sf_dir, "documents")
+    return t["documents"].select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        T.n_words("text").alias("n_words"),
+        T.n_distinct_words("text").alias("n_distinct_words"),
+        T.avg_word_len("text").alias("avg_word_len"),
+        T.type_token_ratio("text").alias("type_token_ratio"),
+        T.stopword_ratio("text", "en").alias("stopword_ratio_en"),
+    )
+
+
+@register(
+    "q49_token_counts",
+    oracle="""
+    SELECT
+      doc_id,
+      CAST(len(string_split_regex(lower(text), '\\s+')) AS INTEGER) AS ws_tokens,
+      CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS regex_tokens
+    FROM documents
+    """,
+)
+def q49_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (functions/text.py): whitespace tokens + a
+    BPE-ish pre-tokenizer regex count (letter runs / digit runs /
+    single symbols)."""
+    t = load_tables(spark, sf_dir, "documents")
+    return t["documents"].select(
+        "doc_id",
+        T.whitespace_token_count("text").alias("ws_tokens"),
+        T.regex_token_count("text").alias("regex_tokens"),
+    )
+
+
+@register(
+    "q50_fingerprints",
+    oracle=f"""
+    SELECT
+      doc_id,
+      md5(array_to_string(list_sort({_WORDS}), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def q50_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words fingerprint (functions/text.py): md5 over the
+    sorted distinct word set — an order/repetition-insensitive near-dup
+    key computed in one narrow pass."""
+    t = load_tables(spark, sf_dir, "documents")
+    return t["documents"].select(
+        "doc_id", T.bag_fingerprint("text").alias("fingerprint")
+    )
+
+
+# ------------------------------------------------------- event analytics
+
+@register(
+    "q51_tumbling_windows",
+    oracle="""
+    SELECT
+      date_trunc('hour', ts) AS window_start,
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q51_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows via F.window
+    (streaming/event_windows.py) — window start aligns with
+    date_trunc('hour'). The same plan runs under Structured Streaming
+    with a watermark (tests/test_streaming.py)."""
+    t = load_tables(spark, sf_dir, "events")
+    return EW.tumbling_counts(t["events"], "1 hour")
+
+
+@register(
+    "q52_sessionization",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts,
+        CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+        lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+          PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        ) AS prev_sec
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, ts,
+        CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec > 1800 THEN 1 ELSE 0 END AS new_session
+      FROM seq
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+        SUM(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+      MAX(session_seq) AS n_sessions,
+      COUNT(*) AS n_events,
+      MIN(ts) AS first_ts,
+      MAX(ts) AS last_ts
+    FROM numbered GROUP BY user_id
+    """,
+)
+def q52_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (streaming/event_windows.py): lag →
+    boundary flag → running sum; both windows share one (user_id, ts)
+    sort so Spark plans a single shuffle."""
+    t = load_tables(spark, sf_dir, "events")
+    return EW.sessionize(t["events"], gap_seconds=1800)
+
+
+@register(
+    "q53_event_pivot_json",
+    oracle="""
+    SELECT
+      user_id % 10 AS user_bucket,
+      SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+      SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+      SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+      SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+      SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q53_event_pivot_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-sum pivot over event types (the reference's A2 idiom)
+    + JSON property extraction from the props column
+    (get_json_object ≡ json_extract_string)."""
+    t = load_tables(spark, sf_dir, "events")
+
+    def n(ev):
+        return F.sum(F.when(F.col("event_type") == ev, 1).otherwise(0)).alias(f"n_{ev}")
+
+    return (
+        t["events"]
+        .groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .agg(
+            n("click"), n("view"), n("purchase"), n("signup"), n("error"),
+            F.sum(
+                F.get_json_object("props", "$.k").cast("bigint")
+            ).alias("sum_k"),
+            davg("value", "avg_value"),
+        )
+    )
+
+
+# ----------------------------------------------------------- multimodal
+
+@register("q54_multimodal_features", oracle=None)
+def q54_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (operators/multimodal.py): binary payload
+    column → Arrow-batched mapInPandas decode (deterministic stub) →
+    typed feature schema → aggregate. Rows-only: the decode stub is
+    engine-specific by nature; schema/partitioning/batching are the
+    contract under test (also unit-tested)."""
+    t = load_tables(spark, sf_dir, "documents")
+    media = M.attach_binary_payload(t["documents"])
+    feats = M.extract_features(media)
+    return feats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        (F.sum("width").cast("double") / F.count(F.lit(1))).alias("avg_width"),
+        (F.sum("height").cast("double") / F.count(F.lit(1))).alias("avg_height"),
+    )

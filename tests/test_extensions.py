@@ -1,0 +1,148 @@
+"""Unit tests for the training-data-pipeline extension operators:
+dedup (exact / minhash-LSH / simhash / jaccard), similarity (brute +
+IVF), text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ironman_medallion_lakehouse_spark.functions import text as T
+from ironman_medallion_lakehouse_spark.operators import dedup as D
+from ironman_medallion_lakehouse_spark.operators import multimodal as M
+from ironman_medallion_lakehouse_spark.operators import similarity as S
+
+
+def _docs(spark):
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog", src="a"),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy dog", src="a"),  # exact dup
+        Row(doc_id=3, text="the quick brown fox leaps over the lazy dog", src="a"),  # near dup
+        Row(doc_id=4, text="completely different content about spark engines", src="a"),
+        Row(doc_id=5, text="dog lazy the over jumps fox brown quick the", src="b"),  # permuted
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup(spark):
+    docs = _docs(spark)
+    groups = {r.keeper: r.n_copies for r in D.exact_dedup_groups(docs).collect()}
+    assert groups[1] == 2  # docs 1+2 identical
+    survivors = {r.doc_id for r in D.exact_dedup_survivors(docs).collect()}
+    assert survivors == {1, 3, 4, 5}
+
+
+def test_shingles_expression(spark):
+    df = spark.createDataFrame([Row(text="a b c d")])
+    out = df.select(D.shingles("text", 3).alias("s")).collect()[0].s
+    assert out == ["a b c", "b c d"]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    docs = _docs(spark)
+    sigs = D.minhash_signatures(docs, k=8)
+    assert len(sigs.columns) == 9  # doc_id + 8 signature elements
+    pairs = {(r.id_a, r.id_b) for r in D.lsh_candidate_pairs(sigs, k=8, bands=4).collect()}
+    # identical docs always collide in every band
+    assert (1, 2) in pairs
+    # permuted doc has the same word set → same signature
+    assert (1, 5) in pairs
+    # unrelated doc shouldn't pair with everything
+    assert (1, 4) not in pairs
+
+
+def test_jaccard_pairs(spark):
+    docs = _docs(spark)
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.jaccard_pairs(docs, block_cols=["src"], threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0.7 < pairs[(1, 3)] < 1.0  # one word substituted
+    assert (1, 5) not in pairs  # different block (src)
+    assert (1, 4) not in pairs  # below threshold
+
+
+def test_simhash_near_dups_close(spark):
+    docs = _docs(spark)
+    sh = {r.doc_id: r.simhash for r in D.simhash64(docs).collect()}
+    assert sh[1] == sh[2] == sh[5]  # same word set → identical simhash
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(sh[1], sh[3]) < hamming(sh[1], sh[4])
+
+
+def _embeddings(spark, n=50, dim=8):
+    import math
+
+    rows = []
+    for i in range(n):
+        # deterministic unit-ish vectors on a ring + one exact duplicate of 0
+        vec = [math.cos(i * 0.13 + d) for d in range(dim)]
+        rows.append(Row(vec_id=i, embedding=vec))
+    rows.append(Row(vec_id=n, embedding=[math.cos(d) for d in range(dim)]))  # ≡ vec 0
+    return spark.createDataFrame(rows)
+
+
+def test_cosine_topk_exact(spark):
+    emb = _embeddings(spark)
+    top = S.cosine_topk(emb, query_id=0, k=3).collect()
+    assert top[0].vec_id == 50  # the exact duplicate of vector 0
+    assert abs(top[0].cosine_sim - 1.0) < 1e-12
+
+
+def test_ivf_recall_vs_brute(spark):
+    emb = _embeddings(spark)
+    brute = [r.vec_id for r in S.cosine_topk(emb, query_id=0, k=5).collect()]
+    approx = [r.vec_id for r in S.ivf_topk(emb, query_id=0, k=5, n_cells=4, nprobe=2).collect()]
+    # nprobe=2 of 4 cells must still find the exact duplicate
+    assert approx[0] == 50
+    assert len(set(brute) & set(approx)) >= 3  # decent recall on smooth data
+
+
+def test_ivf_assign_covers_all(spark):
+    emb = _embeddings(spark)
+    assigned = S.ivf_assign(emb, n_cells=4)
+    assert assigned.count() == emb.count()
+    assert assigned.select("centroid_id").distinct().count() <= 4
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [Row(text="the cat and the dog sat of a mat to it")]
+    )
+    row = df.select(
+        T.n_words("text").alias("nw"),
+        T.n_distinct_words("text").alias("nd"),
+        T.predicted_lang("text").alias("lang"),
+        T.whitespace_token_count("text").alias("ws"),
+        T.regex_token_count("text").alias("rx"),
+        T.bag_fingerprint("text").alias("fp"),
+    ).collect()[0]
+    assert row.nw == 11 and row.nd == 10  # "the" repeats
+    assert row.lang == "en"
+    assert row.ws == 11 and row.rx == 11
+    permuted = spark.createDataFrame([Row(text="mat a of sat dog the and cat the to it")])
+    fp2 = permuted.select(T.bag_fingerprint("text").alias("fp")).collect()[0].fp
+    assert fp2 == row.fp  # order-insensitive
+
+
+def test_multimodal_pipeline(spark):
+    docs = _docs(spark).withColumnRenamed("src", "source")
+    media = M.attach_binary_payload(docs)
+    assert [f.name for f in media.schema.fields] == [
+        "media_id", "payload", "media_type", "n_bytes",
+    ]
+    feats = M.extract_features(media)
+    rows = {r.media_id: r for r in feats.collect()}
+    assert len(rows) == 5
+    r1 = rows[1]
+    assert 64 <= r1.width < 256 and 64 <= r1.height < 256
+    assert len(r1.feature) == 8
+    # identical payloads → identical pseudo-features (deterministic stub)
+    assert rows[1].feature == rows[2].feature
+    frames = M.frame_sample(media, every_n_bytes=10, max_frames=3)
+    per_media = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] <= 3 for r in per_media)
