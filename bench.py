@@ -25,7 +25,9 @@ from ironman_medallion_lakehouse_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: one per heavyweight operator family (scan+agg, broadcast
-# join, star join, self-join, window-over-agg, window argmax, top-k).
+# join, star join, self-join, window-over-agg, window argmax, top-k) plus
+# the extension operators that define the engine's training-data surface
+# (minhash-LSH dedup, cosine top-k, language ID, sessionization).
 HEADLINE = [
     "q01_pricing_summary",
     "q03_dim_lookup_join",
@@ -35,6 +37,10 @@ HEADLINE = [
     "q11_dedup_rank",
     "q12_argmax_latest",
     "q13_topk",
+    "q55_minhash_signatures",
+    "q45_cosine_topk",
+    "q47_language_id",
+    "q52_sessionization",
 ]
 
 

@@ -708,6 +708,74 @@ def q17_parse_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# §2.4 A4 — DISTINCT projection (dimension domain extraction)
+# ===========================================================================
+
+@register(
+    "q18_distinct_projection",
+    oracle="""
+    SELECT DISTINCT c_mktsegment
+    FROM customer
+    WHERE c_mktsegment IS NOT NULL
+    """,
+)
+def q18_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.4 A4: select(col).filter(isNotNull).distinct() — the
+    dimension-domain extraction idiom (04b_gold_dim_countries.ipynb:
+    130-140, 04c:130-140). Plans as a partial+final hash aggregate."""
+    t = load_tables(spark, sf_dir, "customer")
+    return (
+        t["customer"]
+        .select("c_mktsegment")
+        .filter(F.col("c_mktsegment").isNotNull())
+        .distinct()
+    )
+
+
+# ===========================================================================
+# §2.1 S5 / §2.3 J4 — local-list source + static-mapping enrichment
+# ===========================================================================
+
+@register(
+    "q19_static_mapping_join",
+    oracle="""
+    SELECT
+      COALESCE(m.zone_code, 'Unknown') AS zone_code,
+      COUNT(*) AS n_suppliers,
+      CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(s.s_acctbal) AS avg_acctbal
+    FROM supplier s
+    LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    LEFT JOIN (VALUES (0, 'ZA'), (1, 'ZB'), (2, 'ZC'), (3, 'ZD')) AS m(regionkey, zone_code)
+      ON n.n_regionkey = m.regionkey
+    GROUP BY COALESCE(m.zone_code, 'Unknown')
+    """,
+)
+def q19_static_mapping_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.1 S5 (spark.createDataFrame local-list source) + §2.3
+    J4 (static-mapping broadcast enrichment) + the coalesce-to-sentinel
+    fallback — the dim_countries country-map idiom
+    (04b_gold_dim_countries.ipynb:144-266, :310-322), exercised on the
+    supplier table. The 4-row mapping deliberately misses one region
+    so the 'Unknown' branch is populated."""
+    t = load_tables(spark, sf_dir, "supplier", "nation")
+    s, n = t["supplier"], t["nation"]
+    mapping = spark.createDataFrame(
+        [(0, "ZA"), (1, "ZB"), (2, "ZC"), (3, "ZD")], ["regionkey", "zone_code"]
+    ).coalesce(1)
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(mapping), n.n_regionkey == mapping.regionkey, "left")
+        .groupBy(
+            F.coalesce(F.col("zone_code"), F.lit("Unknown")).alias("zone_code")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            davg("s_acctbal", "avg_acctbal"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

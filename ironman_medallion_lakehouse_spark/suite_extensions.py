@@ -120,6 +120,30 @@ def q43_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_candidate_pairs(sigs, k=8, bands=4)
 
 
+@register(
+    "q55_minhash_signatures",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_WORDS}) AS tok FROM documents
+    )
+    SELECT doc_id,
+      MIN(md5(tok || '#0')) AS sig_0, MIN(md5(tok || '#1')) AS sig_1,
+      MIN(md5(tok || '#2')) AS sig_2, MIN(md5(tok || '#3')) AS sig_3,
+      MIN(md5(tok || '#4')) AS sig_4, MIN(md5(tok || '#5')) AS sig_5,
+      MIN(md5(tok || '#6')) AS sig_6, MIN(md5(tok || '#7')) AS sig_7
+    FROM toks GROUP BY doc_id
+    """,
+)
+def q55_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature computation alone (the linear, scalable stage
+    of q43): one explode + k min-aggregations, map-side partial mins.
+    Benchmarked separately from pair generation because the synthetic
+    corpus's tiny vocabulary makes true near-dup pairs quadratically
+    dense — candidate explosion there is data, not plan."""
+    t = load_tables(spark, sf_dir, "documents")
+    return D.minhash_signatures(t["documents"], k=8)
+
+
 @register("q44_simhash", oracle=None)
 def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 via Arrow-batched mapInPandas (bit-majority vote has
