@@ -795,4 +795,5 @@ def _load_all() -> None:
     Deferred (not top-of-module) to avoid a circular import: those
     modules import ``register`` from here."""
     import ironman_medallion_lakehouse_spark.suite_extensions  # noqa: F401
+    import ironman_medallion_lakehouse_spark.suite_more  # noqa: F401
     import ironman_medallion_lakehouse_spark.suite_views  # noqa: F401

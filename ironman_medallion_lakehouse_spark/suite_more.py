@@ -1,0 +1,318 @@
+"""Suite entries beyond the core/view/extension sets: CSV ingest
+roundtrip, table-store merge semantics vs pure SQL, as-of join,
+rollup/cube, salted aggregation, embedding near-dup pairs."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ironman_medallion_lakehouse_spark.operators.asof import as_of_join
+from ironman_medallion_lakehouse_spark.operators.similarity import cosine
+from ironman_medallion_lakehouse_spark.session import load_tables
+from ironman_medallion_lakehouse_spark.sources.tablestore import TableStore
+from ironman_medallion_lakehouse_spark.suite import dsum, register, year_of
+
+
+# ===========================================================================
+# §2.1 S1-S3 — CSV landing-zone ingest roundtrip
+# ===========================================================================
+
+@register(
+    "q56_csv_ingest",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers, COUNT(DISTINCT c_nationkey) AS n_nations
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q56_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.1 S1-S3: the bronze CSV ingest path
+    (plans/bronze.read_csv_with_metadata — header'd all-string read,
+    dash→null, lineage metadata) driven end-to-end: customer is staged
+    as a landing CSV, re-ingested, re-typed, aggregated. The oracle
+    reads the original parquet — the roundtrip must be lossless."""
+    from ironman_medallion_lakehouse_spark.plans.bronze import read_csv_with_metadata
+
+    t = load_tables(spark, sf_dir, "customer")
+    stage = os.path.join(
+        tempfile.gettempdir(), f"csv_ingest_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    t["customer"].select(
+        F.col("c_custkey").cast("string"),
+        F.col("c_nationkey").cast("string"),
+        F.col("c_mktsegment"),
+    ).write.mode("overwrite").option("header", "true").csv(stage)
+
+    ingested = read_csv_with_metadata(spark, stage, year=2024, gender="M")
+    assert "load_timestamp" in ingested.columns  # S3 metadata attached
+    return (
+        ingested.withColumn("c_nationkey", F.col("c_nationkey").cast("int"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+        )
+    )
+
+
+# ===========================================================================
+# §2.1 S7 — insert-only MERGE semantics vs pure SQL
+# ===========================================================================
+
+@register(
+    "q57_merge_insert_only",
+    oracle="""
+    WITH target AS (
+      SELECT *, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year
+      FROM orders WHERE o_orderkey % 3 != 0
+    ),
+    source AS (
+      SELECT *, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year
+      FROM orders WHERE EXTRACT(year FROM o_orderdate) IN (1997, 1998)
+    ),
+    merged AS (
+      SELECT * FROM target
+      UNION ALL
+      SELECT * FROM source s
+      WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.o_orderkey = s.o_orderkey)
+    )
+    SELECT order_year, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM merged GROUP BY order_year
+    """,
+)
+def q57_merge_insert_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.1 S7: whenNotMatchedInsertAll() merge
+    (02_bronze.ipynb:311-318) executed through the real TableStore
+    (year-partitioned, file-appending, partition-pruned anti-join) and
+    checked against the pure-SQL definition of insert-only merge."""
+    t = load_tables(spark, sf_dir, "orders")
+    orders = t["orders"].withColumn("order_year", year_of("o_orderdate"))
+    store = TableStore(spark, tempfile.mkdtemp(prefix="merge_io_"))
+    store.save_overwrite(
+        orders.filter(F.col("o_orderkey") % 3 != 0), "db.orders", partition_by=["order_year"]
+    )
+    store.merge_insert_only(
+        orders.filter(F.col("order_year").isin(1997, 1998)),
+        "db.orders",
+        keys=["o_orderkey"],
+    )
+    return (
+        store.read("db.orders")
+        .groupBy("order_year")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "revenue"))
+    )
+
+
+# ===========================================================================
+# §2.1 S8 — SCD-1 MERGE semantics vs pure SQL
+# ===========================================================================
+
+@register(
+    "q58_merge_scd1",
+    oracle="""
+    WITH source AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 2 = 0
+      UNION ALL
+      SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 2 = 1
+    ),
+    merged AS (
+      SELECT t.c_custkey,
+             CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+             t.c_mktsegment
+      FROM customer t LEFT JOIN source s ON t.c_custkey = s.c_custkey
+      UNION ALL
+      SELECT s.c_custkey, s.c_acctbal, s.c_mktsegment FROM source s
+      WHERE NOT EXISTS (SELECT 1 FROM customer t WHERE t.c_custkey = s.c_custkey)
+    )
+    SELECT c_custkey, c_acctbal, c_mktsegment FROM merged
+    """,
+)
+def q58_merge_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.1 S8: whenMatchedUpdate + whenNotMatchedInsertAll
+    (04a_gold_dim_athletes.ipynb:311-328) through the real TableStore,
+    checked against the SQL reconstruction: matched rows take source
+    attrs, unmatched keep theirs, new keys insert."""
+    t = load_tables(spark, sf_dir, "customer")
+    c = t["customer"]
+    store = TableStore(spark, tempfile.mkdtemp(prefix="merge_scd1_"))
+    store.save_overwrite(c, "db.dim")
+    updates = c.filter(F.col("c_custkey") % 2 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100
+    )
+    inserts = c.filter(F.col("c_custkey") % 2 == 1).withColumn(
+        "c_custkey", F.col("c_custkey") + 10000000
+    )
+    store.merge_scd1(
+        updates.unionByName(inserts), "db.dim", keys=["c_custkey"], update_cols=["c_acctbal"]
+    )
+    return store.read("db.dim").select("c_custkey", "c_acctbal", "c_mktsegment")
+
+
+# ===========================================================================
+# as-of (point-in-time) join — custom operator, DuckDB ASOF as oracle
+# ===========================================================================
+
+@register(
+    "q60_asof_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    ),
+    purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id, p.ts, c.click_id AS click_id_asof, c.ts AS ts_asof
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q60_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase attaches the
+    latest preceding click of the same user. Union-tag-window plan —
+    one shuffle, no range explosion; DuckDB's native ASOF JOIN is the
+    oracle."""
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"]
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    return as_of_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_payload=["click_id"],
+    )
+
+
+# ===========================================================================
+# ROLLUP / CUBE — multi-level aggregation (beyond-reference)
+# ===========================================================================
+
+@register(
+    "q61_rollup",
+    oracle="""
+    SELECT
+      CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+      o_orderpriority,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (CAST(EXTRACT(year FROM o_orderdate) AS BIGINT), o_orderpriority)
+    """,
+)
+def q61_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (year → priority → grand total) — absent
+    from the reference (SURVEY §2.4 'grouping sets absent') but a
+    natural serving-layer op; Spark plans it as a single Expand +
+    aggregate, one shuffle."""
+    t = load_tables(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .rollup(year_of("o_orderdate").alias("order_year"), F.col("o_orderpriority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "revenue"))
+    )
+
+
+@register(
+    "q62_cube",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      COUNT(*) AS n_lines,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q62_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping sets in one
+    Expand + aggregate."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    return (
+        t["lineitem"]
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_lines"), dsum("l_quantity", "sum_qty"))
+    )
+
+
+# ===========================================================================
+# salted two-phase aggregation — skew technique, oracle = plain GROUP BY
+# ===========================================================================
+
+@register(
+    "q63_salted_aggregate",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q63_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation: l_returnflag has only 3 values,
+    so a direct shuffle lands all 600M-rows-per-flag (at 100 TB) on 3
+    reducers. Salting groups by (key, hash%16) first — partial results
+    spread over 48 reducers — then combines. Decimal accumulation makes
+    the two-phase result exactly equal the direct GROUP BY oracle."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    salted = t["lineitem"].withColumn(
+        "_salt", F.pmod(F.hash("l_orderkey"), F.lit(16))
+    )
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("_sum"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("_n").alias("n_lines"),
+        F.sum("_sum").cast("double").alias("sum_price"),
+    )
+
+
+# ===========================================================================
+# embedding-cosine near-dup pairs (dedup family, vector variant)
+# ===========================================================================
+
+_DOT = "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+
+@register(
+    "q59_embedding_neardup",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding, sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE {_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) >= 0.99
+    """,
+)
+def q59_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at threshold 0.99. The
+    exact all-pairs form is the verification baseline (here, bounded
+    corpus); at 100 TB the IVF cells (q46) or LSH buckets provide the
+    blocking and this same scoring runs only within candidate blocks."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= 0.99)
+        .select("id_a", "id_b")
+    )
