@@ -346,6 +346,39 @@ class TableStore:
                     removed += 1
         return removed
 
+    def table_changes(self, name: str, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Rows ADDED between two versions (change-data-feed analogue).
+
+        Because data files are immutable and manifests list them
+        explicitly, the delta between versions is a file-set diff —
+        the changed rows are read by scanning ONLY the added files,
+        never the table. This is what makes incremental downstream
+        consumption O(changes) at 100 TB: a consumer processes
+        table_changes(t, last_seen_version) instead of diffing a full
+        snapshot. (SCD-1/OPTIMIZE versions rewrite files, so their
+        "added files" are the rewritten result — consumers of
+        update-heavy tables should diff on keys downstream.)
+        """
+        m_from = self._manifest_at(name, from_version)
+        m_to = (
+            self._manifest_at(name, to_version)
+            if to_version is not None
+            else self._latest_manifest(name)
+        )
+        if m_from is None or m_to is None:
+            raise FileNotFoundError(f"version not found for {name}")
+        added = [f for f in m_to.files if f not in set(m_from.files)]
+        schema = StructType.fromJson(json.loads(m_to.schema_json))
+        if not added:
+            return self.spark.createDataFrame([], schema)
+        data_dir = self._data_dir(name)
+        reader = self.spark.read
+        if m_to.partition_by:
+            reader = reader.option("basePath", data_dir)
+        return reader.parquet(*[os.path.join(data_dir, f) for f in added]).select(
+            *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+        )
+
     def register_views(self, *names: str) -> None:
         """Expose tables as temp views named ``<db>_<table>`` so SQL
         (the 13 dashboard views) can reference them."""

@@ -60,6 +60,76 @@ def q56_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# JSON-lines ingest roundtrip (semi-structured source family)
+# ===========================================================================
+
+@register(
+    "q64_json_ingest",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q64_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured source: documents staged as JSON-lines, re-read
+    with spark.read.json under an explicit schema (schema-on-read —
+    never inferSchema over 100 TB), aggregated; must round-trip
+    losslessly against the parquet oracle."""
+    t = load_tables(spark, sf_dir, "documents")
+    stage = os.path.join(
+        tempfile.gettempdir(), f"json_ingest_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    t["documents"].select("doc_id", "lang", "n_chars").write.mode("overwrite").json(stage)
+    ingested = spark.read.schema("doc_id bigint, lang string, n_chars bigint").json(stage)
+    return ingested.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# ===========================================================================
+# per-group normalization: window form (oracle) ≡ applyInPandas form (pytest)
+# ===========================================================================
+
+@register(
+    "q65_group_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT c_nationkey,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(c_acctbal) AS mu,
+        COUNT(*) AS n
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT c.c_custkey,
+           c.c_nationkey,
+           ROUND((c.c_acctbal - s.mu) / 1000.0, 6) AS centered_k
+    FROM customer c JOIN stats s ON c.c_nationkey = s.c_nationkey
+    """,
+)
+def q65_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group normalization (centering), Spark-first: a window
+    aggregate over the group — no Python, one shuffle. The
+    applyInPandas variant of the same semantics lives in
+    tests/test_extensions_more.py and is asserted equal; built-ins win
+    whenever they can express the op (SURVEY §2.10 philosophy).
+    Division by a constant (not stddev) keeps the oracle
+    bit-deterministic."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    mu = F.sum(F.col("c_acctbal").cast("decimal(18,4)")).over(w).cast("double") / F.count(
+        F.lit(1)
+    ).over(w)
+    return t["customer"].select(
+        "c_custkey",
+        "c_nationkey",
+        F.round((F.col("c_acctbal") - mu) / 1000.0, 6).alias("centered_k"),
+    )
+
+
+# ===========================================================================
 # §2.1 S7 — insert-only MERGE semantics vs pure SQL
 # ===========================================================================
 

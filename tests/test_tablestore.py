@@ -88,6 +88,27 @@ def test_optimize_compacts_and_time_travel(spark, tmp_path):
     assert removed == len(v1.files)
 
 
+def test_table_changes_reads_only_added_files(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    st.save_overwrite(
+        spark.createDataFrame([Row(k="a", y=1, v=1), Row(k="b", y=2, v=2)]),
+        "db.t",
+        partition_by=["y"],
+    )
+    v1 = st._latest_manifest("db.t").version
+    st.merge_insert_only(
+        spark.createDataFrame([Row(k="c", y=2, v=3), Row(k="a", y=1, v=99)]),
+        "db.t",
+        keys=["k"],
+    )
+    changes = st.table_changes("db.t", from_version=v1)
+    rows = [(r.k, r.v) for r in changes.collect()]
+    assert rows == [("c", 3)]  # only the inserted row, matched key excluded
+    # no-change diff is empty
+    v2 = st._latest_manifest("db.t").version
+    assert st.table_changes("db.t", v2, v2).count() == 0
+
+
 def test_register_views(spark, tmp_path):
     st = _store(spark, tmp_path)
     st.save_overwrite(spark.createDataFrame([Row(k="a")]), "gold.dim_x")
