@@ -79,13 +79,19 @@ def run(spark: SparkSession, cfg: C.PipelineConfig) -> RunResult:
         )
     store.optimize(C.SILVER_TABLE)
 
-    # ---- gold dims (04a/04b/04c): always computed over the FULL silver
-    # history (the reference reads the whole silver table for dims), SCD-1
-    # merged so created_at survives and updated_at refreshes.
+    # ---- gold dims (04a/04b/04c): the reference builds dims from the
+    # YEAR-SCOPED silver slice (filter(year == process_year) in every
+    # gold notebook — SURVEY §2.2 P4) and SCD-1-merges into the dim, so
+    # an incremental run costs O(year), not O(history). Reproduced
+    # exactly — including the quirk that dim_countries.athlete_count
+    # reflects the latest processed year's counts after a merge.
     silver_all = store.read(C.SILVER_TABLE)
-    dim_athletes = gold_dims.build_dim_athletes(silver_all)
-    dim_countries = gold_dims.build_dim_countries(spark, silver_all)
-    dim_divisions = gold_dims.build_dim_divisions(silver_all)
+    silver_scope = (
+        silver_all.filter(F.col("year") == cfg.process_year) if incremental else silver_all
+    )
+    dim_athletes = gold_dims.build_dim_athletes(silver_scope)
+    dim_countries = gold_dims.build_dim_countries(spark, silver_scope)
+    dim_divisions = gold_dims.build_dim_divisions(silver_scope)
     if incremental and store.table_exists(C.DIM_ATHLETES):
         store.merge_scd1(
             dim_athletes,
@@ -118,9 +124,6 @@ def run(spark: SparkSession, cfg: C.PipelineConfig) -> RunResult:
         store.save_overwrite(dim_divisions, C.DIM_DIVISIONS)
 
     # ---- fact (04d): scoped silver joined to the *merged* dims
-    silver_scope = (
-        silver_all.filter(F.col("year") == cfg.process_year) if incremental else silver_all
-    )
     fact = gold_fact.build_fact(
         silver_scope,
         store.read(C.DIM_ATHLETES),

@@ -103,7 +103,14 @@ def build_fact(
 
 
 def fk_audit(fact: DataFrame) -> dict[str, int]:
-    """Referential-integrity audit (04d:189-222): unmatched FK counts."""
+    """Referential-integrity audit (04d:189-222): unmatched FK counts.
+
+    The reference additionally conditions division/country on the
+    natural attribute being present (:203-205, :219-221), but runs the
+    audit BEFORE the 34-column projection drops those attributes; on
+    the stored fact the null-FK count is the observable signal (a
+    null-attribute row shows up here as an expected unmatched FK).
+    """
     agg = fact.agg(
         F.sum(F.when(F.col("athlete_key").isNull(), 1).otherwise(0)).alias("athletes"),
         F.sum(

@@ -354,6 +354,146 @@ def q63_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# classic heavy shapes: shipping-priority top-k, 6-way volume join,
+# moving-average window frame
+# ===========================================================================
+
+@register(
+    "q66_shipping_priority",
+    oracle="""
+    SELECT
+      l.l_orderkey,
+      CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      o.o_orderdate,
+      o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderdate ASC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q66_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters on three tables feeding a
+    grouped top-k. All three filters push to their scans; customer
+    broadcasts; lineitem⋈orders is the only real shuffle."""
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    c, o, li = t["customer"], t["orders"], t["lineitem"]
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue, "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(
+            F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc()
+        )
+        .limit(10)
+    )
+
+
+@register(
+    "q67_regional_volume",
+    oracle="""
+    SELECT
+      n.n_name AS nation_name,
+      CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_lines
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q67_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with a same-nation constraint between
+    customer and supplier. customer/supplier/nation/region broadcast;
+    the fact-side shuffle is lineitem⋈orders only."""
+    t = load_tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    c, o, li = t["customer"], t["orders"], t["lineitem"]
+    s, n, r = t["supplier"], t["nation"], t["region"]
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@register(
+    "q68_moving_average",
+    oracle="""
+    WITH daily AS (
+      SELECT
+        date_trunc('day', o_orderdate) AS order_date,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT
+      order_date, n_orders, revenue,
+      CAST(SUM(CAST(revenue AS DECIMAL(18,4))) OVER (
+        ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+      ) AS DOUBLE) AS revenue_7d,
+      SUM(n_orders) OVER (
+        ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+      ) AS orders_7d
+    FROM daily
+    """,
+)
+def q68_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit window frame (rowsBetween) — absent from the reference
+    (SURVEY §2.5 'frames all default') but core serving-layer machinery:
+    7-row trailing totals over the daily aggregate. Frame sums go
+    through decimal so the sliding accumulation is order-exact."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, "orders")
+    daily = (
+        t["orders"]
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("order_date"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "revenue"))
+    )
+    w = Window.orderBy("order_date").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "order_date",
+        "n_orders",
+        "revenue",
+        F.sum(F.col("revenue").cast("decimal(18,4)")).over(w).cast("double").alias("revenue_7d"),
+        F.sum("n_orders").over(w).alias("orders_7d"),
+    )
+
+
+# ===========================================================================
 # embedding-cosine near-dup pairs (dedup family, vector variant)
 # ===========================================================================
 
