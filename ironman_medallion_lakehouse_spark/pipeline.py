@@ -19,6 +19,7 @@ downstream ``filter(year = Y)``.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
@@ -145,3 +146,62 @@ def run(spark: SparkSession, cfg: C.PipelineConfig) -> RunResult:
     result.fact_rows = store.read(C.FACT_RESULTS).count()
     result.unmatched_fks = gold_fact.fk_audit(store.read(C.FACT_RESULTS))
     return result
+
+
+def _discover_files(source_dir: str) -> list[C.FileSpec]:
+    """Build FileSpecs from a year=<y>/ landing layout; gender inferred
+    from 'women'/'men' in the filename (the reference's naming)."""
+    import glob
+    import re
+
+    specs = []
+    for path in sorted(glob.glob(os.path.join(source_dir, "year=*", "*.csv"))):
+        year = int(re.search(r"year=(\d+)", path).group(1))
+        name = os.path.basename(path)
+        gender = "F" if "women" in name.lower() else "M"
+        specs.append(C.FileSpec(year=year, gender=gender, filename=name))
+    return specs
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI: python -m ironman_medallion_lakehouse_spark.pipeline
+    --source-dir landing/ --warehouse wh/ [--run-mode incremental
+    --process-year 2025]"""
+    import argparse
+    import json
+
+    from ironman_medallion_lakehouse_spark.session import get_spark
+
+    p = argparse.ArgumentParser(description="Run the medallion pipeline")
+    p.add_argument("--source-dir", required=True)
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--run-mode", choices=["full", "incremental"], default="full")
+    p.add_argument("--process-year", type=int, default=None)
+    args = p.parse_args(argv)
+
+    spark = get_spark(app_name="medallion-pipeline")
+    cfg = C.PipelineConfig(
+        source_dir=args.source_dir,
+        warehouse_dir=args.warehouse,
+        run_mode=args.run_mode,
+        process_year=args.process_year,
+        files=_discover_files(args.source_dir),
+    )
+    result = run(spark, cfg)
+    print(
+        json.dumps(
+            {
+                "bronze_rows": result.bronze_rows,
+                "silver_rows": result.silver_rows,
+                "fact_rows": result.fact_rows,
+                "duplicate_row_keys": result.duplicate_row_keys,
+                "unmatched_fks": result.unmatched_fks,
+                "views": result.views_created,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
