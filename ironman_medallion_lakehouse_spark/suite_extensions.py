@@ -443,6 +443,80 @@ def q53_event_pivot_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q69_stateful_streaming",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q69_stateful_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming op (streaming/stateful.py,
+    applyInPandasWithState) run to completion over the events table as
+    a file-source stream: the final per-user state must equal the
+    batch GROUP BY oracle. Counts only — per-key float accumulation
+    order inside state is batch-dependent, counts are not."""
+    import os as _os
+    import tempfile as _tmp
+
+    from ironman_medallion_lakehouse_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    t = load_tables(spark, sf_dir, "events")
+    stage = _os.path.join(
+        _tmp.gettempdir(), f"stateful_src_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    events = t["events"].select("event_id", "user_id", "value")
+    events.write.mode("overwrite").parquet(stage)
+    schema = spark.read.parquet(stage).schema
+    sink = f"stateful_sink_{abs(hash(sf_dir)) % 10000}"
+    query, sink = running_user_totals(spark, stage, schema, sink_name=sink)
+    try:
+        query.processAllAvailable()
+        # update-mode sink appends per-batch emissions; one batch here,
+        # but take the max per user to be robust to multi-batch replays
+        result = (
+            spark.table(sink)
+            .groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"))
+        )
+        result = result.localCheckpoint()  # materialize before stopping the query
+    finally:
+        query.stop()
+    return result
+
+
+@register(
+    "q70_nested_aggregation",
+    oracle="""
+    SELECT
+      n.n_regionkey AS region_key,
+      array_to_string(list_sort(list(DISTINCT n.n_name)), ',') AS nations,
+      COUNT(DISTINCT n.n_name) AS n_nations
+    FROM customer c
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_regionkey
+    """,
+)
+def q70_nested_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type aggregation: collect_set → sorted array, emitted as
+    a joined string. Collection order is nondeterministic in both
+    engines, so both sides sort; string form keeps the compared cell a
+    scalar (array cells hash differently across pandas versions)."""
+    t = load_tables(spark, sf_dir, "customer", "nation")
+    c, n = t["customer"], t["nation"]
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .groupBy(F.col("n_regionkey").alias("region_key"))
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("n_name"))).alias("nations"),
+            F.countDistinct("n_name").alias("n_nations"),
+        )
+    )
+
+
 # ----------------------------------------------------------- multimodal
 
 @register("q54_multimodal_features", oracle=None)

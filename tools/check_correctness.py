@@ -37,6 +37,11 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("float64")
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("Int64")
+    for c in df.columns:
+        if df[c].dtype == object and df[c].map(
+            lambda v: isinstance(v, (list, tuple)) or hasattr(v, "tolist")
+        ).any():
+            df[c] = df[c].map(lambda v: str(list(v)) if v is not None else None)
     if len(df):
         df = df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
     return df
