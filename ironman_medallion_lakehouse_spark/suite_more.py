@@ -494,6 +494,157 @@ def q68_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# pivot / unpivot / set ops / semi-anti joins / range join
+# ===========================================================================
+
+@register(
+    "q71_pivot",
+    oracle="""
+    SELECT
+      user_id % 10 AS user_bucket,
+      SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+      SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q71_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.groupBy().pivot(values=[...]) with an explicit value list —
+    the explicit list matters at scale: without it Spark runs an extra
+    distinct-collect job over the full column."""
+    t = load_tables(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.count(F.lit(1)))
+        .fillna(0, subset=["click", "view", "purchase"])
+    )
+
+
+@register(
+    "q72_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+)
+def q72_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.unpivot (melt): wide measures → long (measure, value) — one
+    narrow Expand, no shuffle."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    return t["lineitem"].filter(F.col("l_orderkey") % 100 == 0).unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+@register(
+    "q73_intersect_except",
+    oracle="""
+    SELECT 'both' AS side, c_nationkey FROM (
+      SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    )
+    UNION ALL
+    SELECT 'only_building', c_nationkey FROM (
+      SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    )
+    """,
+)
+def q73_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operators (absent from the reference —
+    SURVEY §2.7 — present for engine completeness)."""
+    t = load_tables(spark, sf_dir, "customer")
+    c = t["customer"]
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey").distinct()
+    machinery = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey").distinct()
+    both = building.intersect(machinery).select(F.lit("both").alias("side"), "c_nationkey")
+    only_b = building.exceptAll(machinery).select(
+        F.lit("only_building").alias("side"), "c_nationkey"
+    )
+    return both.unionByName(only_b)
+
+
+@register(
+    "q74_semi_anti_join",
+    oracle="""
+    SELECT 'has_urgent' AS side, COUNT(*) AS n FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    UNION ALL
+    SELECT 'no_orders', COUNT(*) FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q74_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi / left_anti joins ≡ EXISTS / NOT EXISTS — the join
+    types the merge layer uses internally (SURVEY §2.3 note), exposed
+    as first-class operators."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    c, o = t["customer"], t["orders"]
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    semi = c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("has_urgent").alias("side"), "n")
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("no_orders").alias("side"), "n")
+    return semi.unionByName(anti)
+
+
+@register(
+    "q75_range_join",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id AS purchase_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS pt
+      FROM events WHERE event_type = 'purchase'
+    ),
+    errors AS (
+      SELECT event_id AS error_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS et
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT p.purchase_id, e.error_id
+    FROM purchases p JOIN errors e
+      ON p.user_id = e.user_id AND ABS(p.pt - e.et) <= 3600
+    """,
+)
+def q75_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join (operators/rangejoin.py): purchases paired
+    with same-user errors within ±1 h. The bin-replicate-refine rewrite
+    turns the θ-join into an equi-join — O(n+m+pairs), not O(n·m);
+    the oracle states the naive θ-join semantics directly."""
+    from ironman_medallion_lakehouse_spark.operators.rangejoin import range_join_within
+
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("ets")
+    )
+    return range_join_within(
+        purchases, errors, on=["user_id"], left_ts="pts", right_ts="ets",
+        window_seconds=3600,
+    ).select("purchase_id", "error_id")
+
+
+# ===========================================================================
 # embedding-cosine near-dup pairs (dedup family, vector variant)
 # ===========================================================================
 
