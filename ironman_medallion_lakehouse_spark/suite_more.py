@@ -645,6 +645,54 @@ def q75_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# date/time function battery
+# ===========================================================================
+
+@register(
+    "q76_datetime_battery",
+    oracle="""
+    SELECT
+      o_orderkey,
+      CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+      CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+      CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS q,
+      CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS d,
+      CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_sec,
+      CAST(floor(epoch(o_orderdate)) / 86400 AS BIGINT) AS epoch_day,
+      o_orderdate + INTERVAL 30 DAY AS plus_30d,
+      date_trunc('month', o_orderdate) AS month_start
+    FROM orders
+    WHERE o_orderkey % 50 = 0
+    """,
+)
+def q76_datetime_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function surface beyond the reference's
+    current_timestamp/current_date: extracts, epoch arithmetic,
+    interval addition, month truncation. Timestamp-typed outputs
+    throughout (date-typed cells hash differently between engines'
+    pandas conversions)."""
+    t = load_tables(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate")
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            F.year(ts).cast("bigint").alias("y"),
+            F.month(ts).cast("bigint").alias("m"),
+            F.quarter(ts).cast("bigint").alias("q"),
+            F.dayofmonth(ts).cast("bigint").alias("d"),
+            # NTZ→long needs an LTZ hop; session tz is pinned UTC so the
+            # epoch matches DuckDB's naive-UTC interpretation
+            ts.cast("timestamp").cast("long").alias("epoch_sec"),
+            F.floor(ts.cast("timestamp").cast("long") / 86400).cast("bigint").alias("epoch_day"),
+            (ts + F.expr("INTERVAL 30 DAYS")).alias("plus_30d"),
+            F.date_trunc("month", ts).alias("month_start"),
+        )
+    )
+
+
+# ===========================================================================
 # embedding-cosine near-dup pairs (dedup family, vector variant)
 # ===========================================================================
 
