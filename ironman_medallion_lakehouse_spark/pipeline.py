@@ -49,6 +49,7 @@ class RunResult:
     duplicate_row_keys: int = 0
     unmatched_fks: dict[str, int] = field(default_factory=dict)
     views_created: list[str] = field(default_factory=list)
+    silver_quality: dict[str, int] = field(default_factory=dict)
 
 
 def run(spark: SparkSession, cfg: C.PipelineConfig) -> RunResult:
@@ -145,7 +146,30 @@ def run(spark: SparkSession, cfg: C.PipelineConfig) -> RunResult:
     result.silver_rows = store.read(C.SILVER_TABLE).count()
     result.fact_rows = store.read(C.FACT_RESULTS).count()
     result.unmatched_fks = gold_fact.fk_audit(store.read(C.FACT_RESULTS))
+    result.silver_quality = _silver_quality(store.read(C.SILVER_TABLE))
     return result
+
+
+def _silver_quality(silver_df) -> dict[str, int]:
+    """The reference's silver audits (SURVEY §5.1 null audits, flag
+    counts, 03_silver.ipynb:367-486) as ONE fused quality pass instead
+    of one count() action per check."""
+    from ironman_medallion_lakehouse_spark.operators.quality import Expectation, check
+
+    finisher = F.col("is_finisher") == True  # noqa: E712
+    report = check(
+        silver_df,
+        [
+            Expectation.satisfies("finisher_has_rank", ~finisher | F.col("rank").isNotNull()),
+            Expectation.satisfies(
+                "finisher_has_finish_time", ~finisher | F.col("finish_time_seconds").isNotNull()
+            ),
+            Expectation.satisfies("flagged_rows", ~F.col("has_data_issue")),
+            Expectation.in_set("source_gender", ["M", "F"]),
+            Expectation.non_null("row_key"),
+        ],
+    )
+    return dict(report.violations)
 
 
 def _discover_files(source_dir: str) -> list[C.FileSpec]:
@@ -196,6 +220,7 @@ def main(argv: list[str] | None = None) -> int:
                 "fact_rows": result.fact_rows,
                 "duplicate_row_keys": result.duplicate_row_keys,
                 "unmatched_fks": result.unmatched_fks,
+                "silver_quality": result.silver_quality,
                 "views": result.views_created,
             }
         )
