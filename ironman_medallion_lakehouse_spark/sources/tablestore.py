@@ -56,6 +56,9 @@ class Manifest:
     schema_json: str
     partition_by: list[str]
     files: list[str] = field(default_factory=list)  # paths relative to data/
+    # per-file column stats for data skipping: path → {col: [min, max]}
+    # (numeric/string primitives only; absent = no stats = never skipped)
+    stats: dict[str, dict[str, list]] = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -64,6 +67,7 @@ class Manifest:
                 "schema": self.schema_json,
                 "partition_by": self.partition_by,
                 "files": self.files,
+                "stats": self.stats,
             },
             indent=None,
         )
@@ -76,6 +80,7 @@ class Manifest:
             schema_json=d["schema"],
             partition_by=d["partition_by"],
             files=d["files"],
+            stats=d.get("stats", {}),
         )
 
 
@@ -155,6 +160,45 @@ class TableStore:
         shutil.rmtree(staging, ignore_errors=True)
         return rel_paths
 
+    @staticmethod
+    def _collect_file_stats(data_dir: str, rel_paths: list[str]) -> dict[str, dict[str, list]]:
+        """Read parquet footer statistics per written file (min/max per
+        primitive column) — the same metadata Delta/Iceberg record at
+        commit time to enable file skipping. Footer reads are O(KB) per
+        file, driver-side, no data scan."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict[str, list]] = {}
+        for rel in rel_paths:
+            try:
+                md = pq.ParquetFile(os.path.join(data_dir, rel)).metadata
+            except Exception:  # noqa: BLE001 — stats are an optimization only
+                continue
+            col_stats: dict[str, list] = {}
+            for rg in range(md.num_row_groups):
+                rgm = md.row_group(rg)
+                for ci in range(rgm.num_columns):
+                    col = rgm.column(ci)
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    lo, hi = st.min, st.max
+                    if isinstance(lo, bytes):
+                        try:
+                            lo, hi = lo.decode(), hi.decode()
+                        except UnicodeDecodeError:
+                            continue
+                    if not isinstance(lo, (int, float, str)):
+                        continue
+                    name = col.path_in_schema
+                    if name in col_stats:
+                        col_stats[name] = [min(col_stats[name][0], lo), max(col_stats[name][1], hi)]
+                    else:
+                        col_stats[name] = [lo, hi]
+            if col_stats:
+                out[rel] = col_stats
+        return out
+
     # ----------------------------------------------------------------- API
     def table_exists(self, name: str) -> bool:
         """Reference: spark.catalog.tableExists gate (02_bronze.ipynb:279)."""
@@ -179,6 +223,71 @@ class TableStore:
             *[F.col(f.name).cast(f.dataType) for f in schema.fields]
         )
 
+    def read_where(
+        self, name: str, column: str, lo=None, hi=None
+    ) -> DataFrame:
+        """Data-skipping read: scan only files whose footer [min, max]
+        for ``column`` intersects [lo, hi] (either bound may be None),
+        then apply the exact predicate.
+
+        This is manifest-level file pruning — the mechanism behind
+        Delta/Iceberg data skipping: at 100 TB a selective predicate on
+        a write-clustered column (e.g. an event-time ingest) reduces
+        the scan to the handful of files that can contain matches,
+        before Spark ever plans the query. Files without recorded
+        stats are conservatively kept.
+        """
+        manifest = self._latest_manifest(name)
+        if manifest is None:
+            raise FileNotFoundError(f"table {name} does not exist in {self.root}")
+        schema = StructType.fromJson(json.loads(manifest.schema_json))
+
+        def overlaps(rel: str) -> bool:
+            st = manifest.stats.get(rel, {}).get(column)
+            if st is None:
+                return True
+            fmin, fmax = st
+            if lo is not None and fmax < lo:
+                return False
+            if hi is not None and fmin > hi:
+                return False
+            return True
+
+        kept = [f for f in manifest.files if overlaps(f)]
+        predicate = None
+        if lo is not None:
+            predicate = F.col(column) >= F.lit(lo)
+        if hi is not None:
+            p2 = F.col(column) <= F.lit(hi)
+            predicate = p2 if predicate is None else (predicate & p2)
+        if not kept:
+            empty = self.spark.createDataFrame([], schema)
+            return empty if predicate is None else empty.filter(predicate)
+        data_dir = self._data_dir(name)
+        reader = self.spark.read
+        if manifest.partition_by:
+            reader = reader.option("basePath", data_dir)
+        df = reader.parquet(*[os.path.join(data_dir, f) for f in kept]).select(
+            *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+        )
+        return df if predicate is None else df.filter(predicate)
+
+    def skipped_file_count(self, name: str, column: str, lo=None, hi=None) -> tuple[int, int]:
+        """(files_kept, files_total) for a prospective read_where —
+        observability hook for tests and planning."""
+        manifest = self._latest_manifest(name)
+        kept = 0
+        for f in manifest.files:
+            st = manifest.stats.get(f, {}).get(column)
+            if st is None:
+                kept += 1
+                continue
+            fmin, fmax = st
+            if (lo is not None and fmax < lo) or (hi is not None and fmin > hi):
+                continue
+            kept += 1
+        return kept, len(manifest.files)
+
     def _manifest_at(self, name: str, version: int) -> Manifest | None:
         path = os.path.join(self._log_dir(name), f"{version:08d}.json")
         if not os.path.exists(path):
@@ -202,6 +311,7 @@ class TableStore:
                 schema_json=df.schema.json(),
                 partition_by=partition_by,
                 files=files,
+                stats=self._collect_file_stats(self._data_dir(name), files),
             ),
         )
 
@@ -239,6 +349,8 @@ class TableStore:
             target.select(*keys), on=keys, how="left_anti"
         )
         files = self._write_files(new_rows, name, manifest.partition_by)
+        stats = dict(manifest.stats)
+        stats.update(self._collect_file_stats(self._data_dir(name), files))
         self._commit(
             name,
             Manifest(
@@ -246,6 +358,7 @@ class TableStore:
                 schema_json=manifest.schema_json,
                 partition_by=manifest.partition_by,
                 files=manifest.files + files,
+                stats=stats,
             ),
         )
 
@@ -301,6 +414,7 @@ class TableStore:
                 schema_json=manifest.schema_json,
                 partition_by=manifest.partition_by,
                 files=files,
+                stats=self._collect_file_stats(self._data_dir(name), files),
             ),
         )
 
@@ -327,6 +441,7 @@ class TableStore:
                 schema_json=manifest.schema_json,
                 partition_by=manifest.partition_by,
                 files=files,
+                stats=self._collect_file_stats(self._data_dir(name), files),
             ),
         )
 

@@ -109,6 +109,51 @@ def test_table_changes_reads_only_added_files(spark, tmp_path):
     assert st.table_changes("db.t", v2, v2).count() == 0
 
 
+def test_data_skipping_read_where(spark, tmp_path):
+    """Footer min/max stats prune files whose range can't match."""
+    st = _store(spark, tmp_path)
+    # 4 files with disjoint id ranges (repartitionByRange → clustered)
+    df = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+    st.save_overwrite(df.repartitionByRange(4, "id"), "db.t")
+    m = st._latest_manifest("db.t")
+    assert len(m.files) == 4
+    assert all("id" in m.stats[f] for f in m.files)  # stats recorded
+
+    kept, total = st.skipped_file_count("db.t", "id", lo=100, hi=150)
+    assert total == 4 and kept == 1  # range-clustered → one file survives
+
+    out = st.read_where("db.t", "id", lo=100, hi=150)
+    assert out.count() == 51
+    assert len(out.inputFiles()) == 1  # only the surviving file is scanned
+
+    # unclustered column: stats overlap everywhere → nothing skipped,
+    # results still exact
+    kept_v, _ = st.skipped_file_count("db.t", "v", lo=0, hi=10)
+    out_v = st.read_where("db.t", "v", lo=0, hi=10)
+    assert out_v.count() == 6
+    assert kept_v >= 1
+
+    # fully out-of-range predicate skips every file
+    kept_none, _ = st.skipped_file_count("db.t", "id", lo=5000)
+    assert kept_none == 0
+    assert st.read_where("db.t", "id", lo=5000).count() == 0
+
+
+def test_stats_survive_merge(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    st.save_overwrite(
+        spark.createDataFrame([Row(k="a", y=1, v=5)]), "db.t", partition_by=["y"]
+    )
+    st.merge_insert_only(
+        spark.createDataFrame([Row(k="b", y=2, v=50)]), "db.t", keys=["k"]
+    )
+    m = st._latest_manifest("db.t")
+    # carried-over + newly-written files all have stats
+    assert set(m.stats.keys()) == set(m.files)
+    kept, total = st.skipped_file_count("db.t", "v", lo=40)
+    assert (kept, total) == (1, 2)
+
+
 def test_register_views(spark, tmp_path):
     st = _store(spark, tmp_path)
     st.save_overwrite(spark.createDataFrame([Row(k="a")]), "gold.dim_x")
