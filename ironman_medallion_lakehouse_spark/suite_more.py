@@ -645,6 +645,75 @@ def q75_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# SQL entry point: scalar subquery + grouping sets (spark.sql path)
+# ===========================================================================
+
+@register(
+    "q77_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           ROUND(o_totalprice / (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                                        / COUNT(o_totalprice) FROM orders), 4) AS price_ratio
+    FROM orders
+    WHERE o_totalprice > 1.8 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                                     / COUNT(o_totalprice) FROM orders)
+    """,
+)
+def q77_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL entry point (SURVEY §3 entry-3): scalar subqueries in both
+    projection and predicate, submitted as SQL text over the registered
+    temp views — exercising the parser → analyzer → optimizer path the
+    reference's %sql cells use. Catalyst plans the subquery once and
+    broadcasts the scalar."""
+    load_tables(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               ROUND(o_totalprice / (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                                            / COUNT(o_totalprice) FROM orders), 4) AS price_ratio
+        FROM orders
+        WHERE o_totalprice > 1.8 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                                         / COUNT(o_totalprice) FROM orders)
+        """
+    )
+
+
+@register(
+    "q78_grouping_sets",
+    oracle="""
+    SELECT
+      CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+      o_orderstatus,
+      COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS (
+      (CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)),
+      (o_orderstatus),
+      ()
+    )
+    """,
+)
+def q78_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via SQL text (year-only, status-only, and
+    grand-total rollups in one Expand + aggregate)."""
+    load_tables(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT
+          CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+          o_orderstatus,
+          COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS (
+          (CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)),
+          (o_orderstatus),
+          ()
+        )
+        """
+    )
+
+
+# ===========================================================================
 # date/time function battery
 # ===========================================================================
 
