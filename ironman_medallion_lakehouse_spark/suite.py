@@ -308,7 +308,7 @@ def q06_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
       COUNT(*) AS n_orders,
-      SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+      CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
       ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 2) AS finished_rate,
       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE)
         / COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS avg_finished_price
@@ -384,7 +384,7 @@ def q08_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
       COUNT(DISTINCT o_custkey) AS distinct_customers,
       CAST(MIN(EXTRACT(year FROM o_orderdate)) AS BIGINT) AS first_year,
       CAST(MAX(EXTRACT(year FROM o_orderdate)) AS BIGINT) AS last_year,
-      SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+      CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
       MIN(o_totalprice) AS min_price,
       MAX(o_totalprice) AS max_price

@@ -263,7 +263,8 @@ def q47_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("actual_lang"),
     ]
     for lang in T.LANG_PRIORITY:
-        cols.append(T.stopword_score("text", lang).alias(f"score_{lang}"))
+        # bigint to match DuckDB len() (the driver hash is dtype-sensitive)
+        cols.append(T.stopword_score("text", lang).cast("bigint").alias(f"score_{lang}"))
     cols.append(T.predicted_lang("text").alias("predicted_lang"))
     return d.select(*cols)
 
@@ -390,7 +391,7 @@ def q51_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM flagged
     )
     SELECT user_id,
-      MAX(session_seq) AS n_sessions,
+      CAST(MAX(session_seq) AS BIGINT) AS n_sessions,
       COUNT(*) AS n_events,
       MIN(ts) AS first_ts,
       MAX(ts) AS last_ts
@@ -410,12 +411,12 @@ def q52_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       user_id % 10 AS user_bucket,
-      SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-      SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-      SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-      SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-      SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value) AS avg_value
     FROM events
     GROUP BY 1

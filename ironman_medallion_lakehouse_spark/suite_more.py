@@ -66,7 +66,7 @@ def q56_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q64_json_ingest",
     oracle="""
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY lang
     """,
@@ -464,9 +464,9 @@ def q67_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(SUM(CAST(revenue AS DECIMAL(18,4))) OVER (
         ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
       ) AS DOUBLE) AS revenue_7d,
-      SUM(n_orders) OVER (
+      CAST(SUM(n_orders) OVER (
         ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
-      ) AS orders_7d
+      ) AS BIGINT) AS orders_7d
     FROM daily
     """,
 )
@@ -502,9 +502,9 @@ def q68_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       user_id % 10 AS user_bucket,
-      SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-      SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase
+      CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase
     FROM events
     GROUP BY 1
     """,

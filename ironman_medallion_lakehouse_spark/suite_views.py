@@ -26,9 +26,9 @@ from ironman_medallion_lakehouse_spark.suite import davg, dsum, register, year_o
       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
       o_orderpriority,
       COUNT(*) AS total_orders,
-      SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-      SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-      SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+      CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
       ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 1) AS f_rate_pct,
       ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 1) AS p_rate_pct
     FROM orders
@@ -65,7 +65,7 @@ def q20_status_by_year_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       n.n_name AS nation_name,
       r.r_name AS region_name,
       COUNT(*) AS total_customers,
-      SUM(CASE WHEN c.c_acctbal > 0 THEN 1 ELSE 0 END) AS positive_bal,
+      CAST(SUM(CASE WHEN c.c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT) AS positive_bal,
       ROUND(SUM(CASE WHEN c.c_acctbal > 0 THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 1) AS positive_rate_pct,
       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(c.c_acctbal) AS avg_acctbal,
       COUNT(DISTINCT c.c_mktsegment) AS segments
@@ -106,7 +106,7 @@ def q21_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
       n.n_name AS nation_name,
       COUNT(*) AS total_orders,
-      SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS finished
+      CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished
     FROM orders o
     LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     LEFT JOIN nation n   ON c.c_nationkey = n.n_nationkey
@@ -215,7 +215,7 @@ def q24_measure_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
       CONCAT(CAST(CAST(FLOOR(p.p_size / 10) * 10 AS BIGINT) AS VARCHAR), '-',
              CAST(CAST(FLOOR(p.p_size / 10) * 10 + 9 AS BIGINT) AS VARCHAR)) AS size_group,
       COUNT(*) AS n_lines,
-      SUM(CASE WHEN l.l_quantity > 25 THEN 1 ELSE 0 END) AS big_lines,
+      CAST(SUM(CASE WHEN l.l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS big_lines,
       ROUND(SUM(CASE WHEN l.l_quantity > 25 THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 1) AS big_rate_pct,
       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l.l_extendedprice) AS avg_price
     FROM lineitem l
@@ -306,7 +306,7 @@ def q26_formatted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       CASE WHEN p.p_type = 'ECONOMY' THEN 'Economy' ELSE 'Other' END AS category,
       COUNT(*) AS n_lines,
-      SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned,
+      CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned,
       ROUND(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 1) AS return_rate_pct,
       MIN(l.l_extendedprice) AS min_price,
       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l.l_extendedprice) AS avg_price

@@ -2,9 +2,12 @@
 
 Runs every suite query on Spark at sf0.01 and its oracle on DuckDB over
 the same parquet files, then compares row count, sorted column names,
-and exact values (rows sorted by all columns). Stricter-or-equal to the
-driver's order-insensitive value hash — if this passes, the driver's
-hash should too.
+**dtype of every column with NO numeric coercion**, and exact values
+(rows sorted by all columns). The driver's value hash is
+type-representation-sensitive (a DuckDB HUGEINT from SUM(CASE…) hashes
+differently from Spark's int64 even when values match — VERDICT r1),
+so dtype divergence is a hard FAIL here, making this checker
+stricter-or-equal to the driver's hash.
 
 Usage: python tools/check_correctness.py [query_name ...]
 """
@@ -28,15 +31,23 @@ SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def _dtype_label(s: pd.Series) -> str:
+    """Comparable dtype label. object columns are labeled by the set of
+    element types actually present (this is where HUGEINT → Python int
+    leaks show up as 'object[int]' vs a proper 'int64')."""
+    if s.dtype == object:
+        kinds = sorted({type(v).__name__ for v in s if v is not None and v == v})
+        return f"object[{','.join(kinds)}]"
+    return str(s.dtype)
+
+
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort-normalize ONLY (columns by name, rows by value). No dtype
+    coercion — dtypes are compared separately, uncoerced."""
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].dt.tz_localize(None) if getattr(df[c].dt, "tz", None) else df[c]
-        if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64")
-        elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("Int64")
     for c in df.columns:
         if df[c].dtype == object and df[c].map(
             lambda v: isinstance(v, (list, tuple)) or hasattr(v, "tolist")
@@ -72,6 +83,14 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         return problems
     if len(s) != len(d):
         problems.append(f"row count differs: spark={len(s)} duck={len(d)}")
+        return problems
+    for c in s.columns:
+        sl, dl = _dtype_label(s[c]), _dtype_label(d[c])
+        # ns-vs-us datetime resolution is a pandas conversion artifact,
+        # not a value-representation difference the driver hash sees
+        if sl != dl and not (sl.startswith("datetime64") and dl.startswith("datetime64")):
+            problems.append(f"column {c}: dtype differs: spark={sl} duck={dl}")
+    if problems:
         return problems
     for c in s.columns:
         sv, dv = s[c].tolist(), d[c].tolist()
