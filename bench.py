@@ -30,16 +30,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # (minhash-LSH dedup, cosine top-k, language ID, sessionization).
 HEADLINE = [
     "q01_pricing_summary",
-    "q03_dim_lookup_join",
     "q04_star_join",
     "q05_yoy_self_join",
     "q10_window_share",
     "q11_dedup_rank",
     "q12_argmax_latest",
-    "q13_topk",
+    "q26_formatted_topk",
+    "q66_shipping_priority",
     "q55_minhash_signatures",
     "q45_cosine_topk",
-    "q47_language_id",
+    "q47_text_battery",
     "q52_sessionization",
 ]
 

@@ -74,6 +74,24 @@ def exact_dedup_survivors(docs: DataFrame, text_col: str = "text", id_col: str =
     )
 
 
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Survivor rows annotated with their duplicate-group stats
+    (content_hash, n_copies) — groups + survivor policy in ONE window
+    pass over a single shuffle on the md5 content hash (rank and count
+    share the same window partitioning, so Spark plans one Exchange)."""
+    from pyspark.sql import Window
+
+    part = Window.partitionBy(F.md5(F.col(text_col)))
+    w = part.orderBy(F.col(id_col).asc())
+    return (
+        docs.withColumn("content_hash", F.md5(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(part))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
 ) -> DataFrame:
@@ -95,7 +113,7 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str = "doc_id", k: int = 8, bands: int = 4
+    signatures: DataFrame, id_col: str = "doc_id", k: int = 128, bands: int = 32
 ) -> DataFrame:
     """LSH banding: hash each band of r = k/bands signature elements to
     a bucket; documents sharing any band bucket become candidate pairs.
@@ -103,6 +121,14 @@ def lsh_candidate_pairs(
     Implemented as one explode to (band_id, bucket) + a self equi-join
     on (band_id, bucket) — the join keys are uniform md5 buckets, so
     the shuffle is skew-free. Output: distinct (id_a < id_b) pairs.
+
+    Banding density governs scale: the match-probability curve is
+    1-(1-j^r)^b, so r (rows per band) sets the similarity floor below
+    which pairs are overwhelmingly rejected. The k=128/b=32/r=4 default
+    puts the curve's threshold near (1/b)^(1/r) ≈ 0.42 — r=2-style
+    banding floods the pair join with low-similarity candidates
+    (superlinear output growth at corpus scale). ALWAYS follow with
+    ``jaccard_refine`` — banding is a recall filter, not a verdict.
     """
     r = k // bands
     band_cols = [
@@ -164,6 +190,32 @@ def jaccard_pairs(
     )
 
 
+def jaccard_refine(
+    candidates: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-set Jaccard over an LSH candidate-pair set — the
+    verify stage after ``lsh_candidate_pairs``. Two broadcast-or-shuffle
+    hash joins attach each side's word set to the (id_a, id_b) pairs;
+    cost is O(candidates), never all-pairs. Emits only pairs at or
+    above ``threshold`` with their exact score."""
+    ws = docs.select(F.col(id_col), word_set(text_col).alias("ws"))
+    a = ws.select(F.col(id_col).alias("id_a"), F.col("ws").alias("ws_a"))
+    b = ws.select(F.col(id_col).alias("id_b"), F.col("ws").alias("ws_b"))
+    inter = F.size(F.array_intersect(F.col("ws_a"), F.col("ws_b")))
+    union = F.size(F.col("ws_a")) + F.size(F.col("ws_b")) - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 _SIMHASH_SCHEMA = StructType(
     [StructField("doc_id", LongType()), StructField("simhash", LongType())]
 )
@@ -171,32 +223,46 @@ _SIMHASH_SCHEMA = StructType(
 
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash via an Arrow-batched mapInPandas (per-bit majority
-    vote over token hashes has no reasonable Column form). Pure-python
-    md5 per token; vectorized over the batch."""
+    vote over token hashes has no reasonable Column form).
+
+    The bit-majority is numpy-vectorized: per document, token hashes
+    unpack to an (n_tokens × 64) bit matrix in one shift-and-mask, and
+    the majority vote is a column sum — no per-token/per-bit Python
+    loop (that interpreted O(tokens×64) inner loop was the r1 scale
+    finding). md5 is computed once per *distinct* token per batch
+    (documents share vocabulary, so the cache hit rate is high)."""
     import hashlib
+
+    import numpy as np
 
     from ironman_medallion_lakehouse_spark.session import ensure_package_on_executors
 
     ensure_package_on_executors(docs.sparkSession)
+    bit_idx = np.arange(64, dtype=np.uint64)
 
     def _batch(it):
         for pdf in it:
-            ids, hashes = [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                acc = [0] * 64
-                for tok in set(str(text).lower().split()):
-                    h = int.from_bytes(
-                        hashlib.md5(tok.encode()).digest()[:8], "big"
-                    )
-                    for bit in range(64):
-                        acc[bit] += 1 if (h >> bit) & 1 else -1
-                sh = 0
-                for bit in range(64):
-                    if acc[bit] > 0:
-                        sh |= 1 << bit
-                ids.append(doc_id)
+            token_sets = [set(str(t).lower().split()) for t in pdf[text_col]]
+            vocab: dict[str, int] = {}
+            for toks in token_sets:
+                for tok in toks:
+                    if tok not in vocab:
+                        vocab[tok] = int.from_bytes(
+                            hashlib.md5(tok.encode()).digest()[:8], "big"
+                        )
+            hashes = []
+            for toks in token_sets:
+                if not toks:
+                    hashes.append(0)
+                    continue
+                hs = np.fromiter(
+                    (vocab[t] for t in toks), dtype=np.uint64, count=len(toks)
+                )
+                ones = ((hs[:, None] >> bit_idx) & np.uint64(1)).sum(axis=0)
+                majority = (2 * ones) > len(toks)  # ones - zeros > 0
+                sh = int((majority.astype(np.uint64) << bit_idx).sum(dtype=np.uint64))
                 # store as signed 64-bit
                 hashes.append(sh - (1 << 64) if sh >= (1 << 63) else sh)
-            yield pd.DataFrame({"doc_id": ids, "simhash": hashes})
+            yield pd.DataFrame({"doc_id": list(pdf[id_col]), "simhash": hashes})
 
     return docs.select(id_col, text_col).mapInPandas(_batch, _SIMHASH_SCHEMA)

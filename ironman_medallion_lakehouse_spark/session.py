@@ -122,6 +122,23 @@ def ensure_package_on_executors(spark: SparkSession) -> None:
     sc._imls_pkg_shipped = True
 
 
+def staging_dir(spark: SparkSession, label: str) -> str:
+    """A scratch directory under the session's warehouse root.
+
+    Driver-local ``tempfile.gettempdir()`` paths are invisible to
+    executors on a real cluster (r1 finding); the warehouse dir is by
+    definition shared storage, so staging under it is cluster-safe
+    while behaving identically on local[N]."""
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if wh.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        wh = unquote(urlparse(wh).path)
+    path = os.path.join(wh, "_staging", label)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     """Load driver testdata parquet tables and register them as temp views.
 

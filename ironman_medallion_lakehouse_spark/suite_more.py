@@ -22,70 +22,72 @@ from ironman_medallion_lakehouse_spark.suite import dsum, register, year_of
 # ===========================================================================
 
 @register(
-    "q56_csv_ingest",
+    "q56_file_ingest",
     oracle="""
-    SELECT c_mktsegment, COUNT(*) AS n_customers, COUNT(DISTINCT c_nationkey) AS n_nations
+    SELECT 'csv' AS src_format, c_mktsegment AS group_key,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS metric
     FROM customer
     GROUP BY c_mktsegment
-    """,
-)
-def q56_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2.1 S1-S3: the bronze CSV ingest path
-    (plans/bronze.read_csv_with_metadata — header'd all-string read,
-    dash→null, lineage metadata) driven end-to-end: customer is staged
-    as a landing CSV, re-ingested, re-typed, aggregated. The oracle
-    reads the original parquet — the roundtrip must be lossless."""
-    from ironman_medallion_lakehouse_spark.plans.bronze import read_csv_with_metadata
-
-    t = load_tables(spark, sf_dir, "customer")
-    stage = os.path.join(
-        tempfile.gettempdir(), f"csv_ingest_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    t["customer"].select(
-        F.col("c_custkey").cast("string"),
-        F.col("c_nationkey").cast("string"),
-        F.col("c_mktsegment"),
-    ).write.mode("overwrite").option("header", "true").csv(stage)
-
-    ingested = read_csv_with_metadata(spark, stage, year=2024, gender="M")
-    assert "load_timestamp" in ingested.columns  # S3 metadata attached
-    return (
-        ingested.withColumn("c_nationkey", F.col("c_nationkey").cast("int"))
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            F.countDistinct("c_nationkey").alias("n_nations"),
-        )
-    )
-
-
-# ===========================================================================
-# JSON-lines ingest roundtrip (semi-structured source family)
-# ===========================================================================
-
-@register(
-    "q64_json_ingest",
-    oracle="""
-    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    UNION ALL
+    SELECT 'json', lang, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
     FROM documents
     GROUP BY lang
     """,
 )
-def q64_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured source: documents staged as JSON-lines, re-read
-    with spark.read.json under an explicit schema (schema-on-read —
-    never inferSchema over 100 TB), aggregated; must round-trip
-    losslessly against the parquet oracle."""
-    t = load_tables(spark, sf_dir, "documents")
-    stage = os.path.join(
-        tempfile.gettempdir(), f"json_ingest_{os.path.basename(sf_dir.rstrip('/'))}"
+def q56_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.1 S1-S3 + the semi-structured source family
+    (previously q56 + q64), both staged through a warehouse-rooted
+    directory (driver-local /tmp is invisible to executors on a real
+    cluster — r1 finding):
+
+    - CSV: the bronze ingest path (plans/bronze.read_csv_with_metadata
+      — header'd all-string read, dash→null, lineage metadata),
+      customer staged as a landing CSV, re-ingested, re-typed.
+    - JSON-lines: documents staged and re-read with spark.read.json
+      under an explicit schema (schema-on-read — never inferSchema
+      over 100 TB).
+
+    The oracle reads the original parquet — both roundtrips must be
+    lossless."""
+    from ironman_medallion_lakehouse_spark.plans.bronze import read_csv_with_metadata
+    from ironman_medallion_lakehouse_spark.session import staging_dir
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    t = load_tables(spark, sf_dir, "customer", "documents")
+
+    csv_stage = staging_dir(spark, f"csv_ingest_{sf_tag}")
+    t["customer"].select(
+        F.col("c_custkey").cast("string"),
+        F.col("c_nationkey").cast("string"),
+        F.col("c_mktsegment"),
+    ).write.mode("overwrite").option("header", "true").csv(csv_stage)
+    ingested_csv = read_csv_with_metadata(spark, csv_stage, year=2024, gender="M")
+    assert "load_timestamp" in ingested_csv.columns  # S3 metadata attached
+    csv_agg = (
+        ingested_csv.withColumn("c_nationkey", F.col("c_nationkey").cast("int"))
+        .groupBy(F.col("c_mktsegment").alias("group_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("c_nationkey").cast("bigint").alias("metric"),
+        )
+        .select(F.lit("csv").alias("src_format"), "group_key", "n_rows", "metric")
     )
-    t["documents"].select("doc_id", "lang", "n_chars").write.mode("overwrite").json(stage)
-    ingested = spark.read.schema("doc_id bigint, lang string, n_chars bigint").json(stage)
-    return ingested.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
+
+    json_stage = staging_dir(spark, f"json_ingest_{sf_tag}")
+    t["documents"].select("doc_id", "lang", "n_chars").write.mode("overwrite").json(json_stage)
+    ingested_json = spark.read.schema("doc_id bigint, lang string, n_chars bigint").json(
+        json_stage
     )
+    json_agg = (
+        ingested_json.groupBy(F.col("lang").alias("group_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").alias("metric"),
+        )
+        .select(F.lit("json").alias("src_format"), "group_key", "n_rows", "metric")
+    )
+    return csv_agg.unionByName(json_agg)
 
 
 # ===========================================================================
@@ -130,99 +132,123 @@ def q65_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
-# §2.1 S7 — insert-only MERGE semantics vs pure SQL
+# §2.1 S6-S10 — the full table lifecycle through the TableStore:
+# overwrite → insert-only MERGE → SCD-1 MERGE → OPTIMIZE → time travel
+# → change-data-feed, every stage's observable state checked in SQL
 # ===========================================================================
 
 @register(
-    "q57_merge_insert_only",
+    "q57_table_lifecycle",
     oracle="""
-    WITH target AS (
+    WITH base AS (
       SELECT *, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year
-      FROM orders WHERE o_orderkey % 3 != 0
+      FROM orders
     ),
-    source AS (
-      SELECT *, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year
-      FROM orders WHERE EXTRACT(year FROM o_orderdate) IN (1997, 1998)
+    target0 AS (
+      SELECT * FROM base WHERE o_orderkey % 3 != 0
     ),
-    merged AS (
-      SELECT * FROM target
+    inserted AS (
+      SELECT * FROM base s
+      WHERE order_year IN (1997, 1998)
+        AND NOT EXISTS (SELECT 1 FROM target0 t WHERE t.o_orderkey = s.o_orderkey)
+    ),
+    v2 AS (
+      SELECT * FROM target0 UNION ALL SELECT * FROM inserted
+    ),
+    final AS (
+      SELECT o_orderkey, order_year,
+             CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 100
+                  ELSE o_totalprice END AS o_totalprice
+      FROM v2
       UNION ALL
-      SELECT * FROM source s
-      WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.o_orderkey = s.o_orderkey)
+      SELECT o_orderkey, order_year, o_totalprice + 100
+      FROM base s
+      WHERE o_orderkey % 2 = 0
+        AND NOT EXISTS (SELECT 1 FROM v2 t WHERE t.o_orderkey = s.o_orderkey)
     )
-    SELECT order_year, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-    FROM merged GROUP BY order_year
+    SELECT
+      f.order_year,
+      f.n_final,
+      f.revenue_final,
+      v.n_v2,
+      COALESCE(c.n_inserted, 0) AS n_cdc_inserted
+    FROM (
+      SELECT order_year, COUNT(*) AS n_final,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue_final
+      FROM final GROUP BY order_year
+    ) f
+    LEFT JOIN (
+      SELECT order_year, COUNT(*) AS n_v2 FROM v2 GROUP BY order_year
+    ) v USING (order_year)
+    LEFT JOIN (
+      SELECT order_year, COUNT(*) AS n_inserted FROM inserted GROUP BY order_year
+    ) c USING (order_year)
     """,
 )
-def q57_merge_insert_only(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2.1 S7: whenNotMatchedInsertAll() merge
-    (02_bronze.ipynb:311-318) executed through the real TableStore
-    (year-partitioned, file-appending, partition-pruned anti-join) and
-    checked against the pure-SQL definition of insert-only merge."""
+def q57_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.1 S6-S10 through the real TableStore
+    (sources/tablestore.py), driver-attested end-to-end:
+
+    1. save_overwrite, year-partitioned (S6; 02_bronze.ipynb:301-310)
+    2. merge_insert_only of the 1997/1998 slice (S7; 02:311-318) —
+       file-appending, partition-pruned anti-join
+    3. merge_scd1 price restatement on even order keys (S8;
+       04a_gold_dim_athletes.ipynb:311-328)
+    4. optimize() compaction (S10; 02:354) — must not change data
+    5. read(version=2): time travel to the pre-SCD1 state → n_v2
+    6. table_changes(1, 2): CDC of the insert-only merge → the added
+       files hold exactly the inserted rows → n_cdc_inserted
+
+    The oracle reconstructs every stage's state in pure SQL; the final
+    projection joins per-year aggregates of the post-OPTIMIZE state,
+    the time-traveled state, and the change feed."""
+    from ironman_medallion_lakehouse_spark.session import staging_dir
+
     t = load_tables(spark, sf_dir, "orders")
     orders = t["orders"].withColumn("order_year", year_of("o_orderdate"))
-    store = TableStore(spark, tempfile.mkdtemp(prefix="merge_io_"))
+    root = tempfile.mkdtemp(prefix="lifecycle_", dir=staging_dir(spark, "tablestore"))
+    store = TableStore(spark, root)
+
     store.save_overwrite(
         orders.filter(F.col("o_orderkey") % 3 != 0), "db.orders", partition_by=["order_year"]
-    )
+    )  # v1
     store.merge_insert_only(
         orders.filter(F.col("order_year").isin(1997, 1998)),
         "db.orders",
         keys=["o_orderkey"],
+    )  # v2
+    updates = orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 100
     )
-    return (
+    store.merge_scd1(updates, "db.orders", keys=["o_orderkey"], update_cols=["o_totalprice"])  # v3
+    store.optimize("db.orders")  # v4 — compaction only, same rows
+
+    final_agg = (
         store.read("db.orders")
         .groupBy("order_year")
-        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "revenue"))
+        .agg(F.count(F.lit(1)).alias("n_final"), dsum("o_totalprice", "revenue_final"))
     )
-
-
-# ===========================================================================
-# §2.1 S8 — SCD-1 MERGE semantics vs pure SQL
-# ===========================================================================
-
-@register(
-    "q58_merge_scd1",
-    oracle="""
-    WITH source AS (
-      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal, c_mktsegment
-      FROM customer WHERE c_custkey % 2 = 0
-      UNION ALL
-      SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal, c_mktsegment
-      FROM customer WHERE c_custkey % 2 = 1
-    ),
-    merged AS (
-      SELECT t.c_custkey,
-             CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
-             t.c_mktsegment
-      FROM customer t LEFT JOIN source s ON t.c_custkey = s.c_custkey
-      UNION ALL
-      SELECT s.c_custkey, s.c_acctbal, s.c_mktsegment FROM source s
-      WHERE NOT EXISTS (SELECT 1 FROM customer t WHERE t.c_custkey = s.c_custkey)
+    tt_agg = (
+        store.read("db.orders", version=2)
+        .groupBy("order_year")
+        .agg(F.count(F.lit(1)).alias("n_v2"))
     )
-    SELECT c_custkey, c_acctbal, c_mktsegment FROM merged
-    """,
-)
-def q58_merge_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2.1 S8: whenMatchedUpdate + whenNotMatchedInsertAll
-    (04a_gold_dim_athletes.ipynb:311-328) through the real TableStore,
-    checked against the SQL reconstruction: matched rows take source
-    attrs, unmatched keep theirs, new keys insert."""
-    t = load_tables(spark, sf_dir, "customer")
-    c = t["customer"]
-    store = TableStore(spark, tempfile.mkdtemp(prefix="merge_scd1_"))
-    store.save_overwrite(c, "db.dim")
-    updates = c.filter(F.col("c_custkey") % 2 == 0).withColumn(
-        "c_acctbal", F.col("c_acctbal") + 100
+    cdc_agg = (
+        store.table_changes("db.orders", 1, 2)
+        .groupBy("order_year")
+        .agg(F.count(F.lit(1)).alias("n_inserted"))
     )
-    inserts = c.filter(F.col("c_custkey") % 2 == 1).withColumn(
-        "c_custkey", F.col("c_custkey") + 10000000
+    return (
+        final_agg.join(tt_agg, "order_year", "left")
+        .join(cdc_agg, "order_year", "left")
+        .select(
+            "order_year",
+            "n_final",
+            "revenue_final",
+            "n_v2",
+            F.coalesce(F.col("n_inserted"), F.lit(0)).cast("bigint").alias("n_cdc_inserted"),
+        )
     )
-    store.merge_scd1(
-        updates.unionByName(inserts), "db.dim", keys=["c_custkey"], update_cols=["c_acctbal"]
-    )
-    return store.read("db.dim").select("c_custkey", "c_acctbal", "c_mktsegment")
 
 
 # ===========================================================================
@@ -268,89 +294,84 @@ def q60_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
-# ROLLUP / CUBE — multi-level aggregation (beyond-reference)
+# ROLLUP / CUBE / GROUPING SETS — multi-level aggregation battery
+# (beyond-reference; previously q61 + q62 + q78)
 # ===========================================================================
 
 @register(
-    "q61_rollup",
+    "q61_grouping_battery",
     oracle="""
-    SELECT
+    SELECT 'rollup' AS mode,
       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
-      o_orderpriority,
+      o_orderstatus,
       COUNT(*) AS n_orders,
       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM orders
-    GROUP BY ROLLUP (CAST(EXTRACT(year FROM o_orderdate) AS BIGINT), o_orderpriority)
+    GROUP BY ROLLUP (CAST(EXTRACT(year FROM o_orderdate) AS BIGINT), o_orderstatus)
+    UNION ALL
+    SELECT 'cube',
+      CAST(EXTRACT(year FROM o_orderdate) AS BIGINT),
+      o_orderstatus,
+      COUNT(*),
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+    FROM orders
+    GROUP BY CUBE (CAST(EXTRACT(year FROM o_orderdate) AS BIGINT), o_orderstatus)
+    UNION ALL
+    SELECT 'gsets',
+      CAST(EXTRACT(year FROM o_orderdate) AS BIGINT),
+      o_orderstatus,
+      COUNT(*),
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+    FROM orders
+    GROUP BY GROUPING SETS (
+      (CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)),
+      (o_orderstatus),
+      ()
+    )
     """,
 )
-def q61_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy totals (year → priority → grand total) — absent
-    from the reference (SURVEY §2.4 'grouping sets absent') but a
-    natural serving-layer op; Spark plans it as a single Expand +
-    aggregate, one shuffle."""
+def q61_grouping_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three multi-level aggregation surfaces over the same
+    (year, status) keys — absent from the reference (SURVEY §2.4
+    'grouping sets absent') but core serving-layer machinery:
+
+    - df.rollup  → {(y,s), (y), ()}           (hierarchy totals)
+    - df.cube    → {(y,s), (y), (s), ()}      (all 2^k sets)
+    - SQL GROUPING SETS ((y),(s),()) via spark.sql — the parser path
+
+    Each variant plans as a single Expand + one-shuffle aggregate;
+    the Expand factor (number of sets) is the scale knob, not row
+    count."""
     t = load_tables(spark, sf_dir, "orders")
-    return (
+    aggs = [F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "revenue")]
+    rollup = (
         t["orders"]
-        .rollup(year_of("o_orderdate").alias("order_year"), F.col("o_orderpriority"))
-        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "revenue"))
+        .rollup(year_of("o_orderdate").alias("order_year"), F.col("o_orderstatus"))
+        .agg(*aggs)
+        .select(F.lit("rollup").alias("mode"), "*")
     )
-
-
-@register(
-    "q62_cube",
-    oracle="""
-    SELECT
-      l_returnflag,
-      l_linestatus,
-      COUNT(*) AS n_lines,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
-    FROM lineitem
-    GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-)
-def q62_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over (returnflag, linestatus): all 2^2 grouping sets in one
-    Expand + aggregate."""
-    t = load_tables(spark, sf_dir, "lineitem")
-    return (
-        t["lineitem"]
-        .cube("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n_lines"), dsum("l_quantity", "sum_qty"))
+    cube = (
+        t["orders"]
+        .cube(year_of("o_orderdate").alias("order_year"), F.col("o_orderstatus"))
+        .agg(*aggs)
+        .select(F.lit("cube").alias("mode"), "*")
     )
-
-
-# ===========================================================================
-# salted two-phase aggregation — skew technique, oracle = plain GROUP BY
-# ===========================================================================
-
-@register(
-    "q63_salted_aggregate",
-    oracle="""
-    SELECT l_returnflag,
-           COUNT(*) AS n_lines,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-)
-def q63_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-safe two-phase aggregation: l_returnflag has only 3 values,
-    so a direct shuffle lands all 600M-rows-per-flag (at 100 TB) on 3
-    reducers. Salting groups by (key, hash%16) first — partial results
-    spread over 48 reducers — then combines. Decimal accumulation makes
-    the two-phase result exactly equal the direct GROUP BY oracle."""
-    t = load_tables(spark, sf_dir, "lineitem")
-    salted = t["lineitem"].withColumn(
-        "_salt", F.pmod(F.hash("l_orderkey"), F.lit(16))
+    gsets = spark.sql(
+        """
+        SELECT 'gsets' AS mode,
+          CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+          o_orderstatus,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS (
+          (CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)),
+          (o_orderstatus),
+          ()
+        )
+        """
     )
-    partial = salted.groupBy("l_returnflag", "_salt").agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("_sum"),
-    )
-    return partial.groupBy("l_returnflag").agg(
-        F.sum("_n").alias("n_lines"),
-        F.sum("_sum").cast("double").alias("sum_price"),
-    )
+    return rollup.unionByName(cube).unionByName(gsets)
 
 
 # ===========================================================================
@@ -423,14 +444,22 @@ def q66_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q67_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join with a same-nation constraint between
     customer and supplier. customer/supplier/nation/region broadcast;
-    the fact-side shuffle is lineitem⋈orders only."""
+    the fact-side shuffle is lineitem⋈orders only.
+
+    The final aggregate runs as a **salted two-phase aggregation**
+    (previously the standalone q63): the group key has only ~5 values
+    per region, so at 100 TB a direct shuffle lands hundreds of GB on
+    5 reducers. Salting by hash(l_orderkey)%16 spreads the partial
+    aggregation over 80 reducers; the combine over (key, salt) partials
+    is tiny. Decimal accumulation keeps the two-phase sum exactly equal
+    to the direct GROUP BY oracle."""
     t = load_tables(
         spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
     )
     c, o, li = t["customer"], t["orders"], t["lineitem"]
     s, n, r = t["supplier"], t["nation"], t["region"]
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
+    joined = (
         c.join(o, c.c_custkey == o.o_custkey)
         .filter(
             (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -444,8 +473,18 @@ def q67_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .filter(F.col("r_name") == "ASIA")
-        .groupBy(F.col("n_name").alias("nation_name"))
-        .agg(dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+    partial = (
+        joined.withColumn("_salt", F.pmod(F.hash("l_orderkey"), F.lit(16)))
+        .groupBy(F.col("n_name").alias("nation_name"), "_salt")
+        .agg(
+            F.sum(revenue.cast("decimal(18,4)")).alias("_rev"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    return partial.groupBy("nation_name").agg(
+        F.sum("_rev").cast("double").alias("revenue"),
+        F.sum("_n").alias("n_lines"),
     )
 
 
@@ -498,90 +537,61 @@ def q68_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 @register(
-    "q71_pivot",
+    "q71_pivot_unpivot",
     oracle="""
-    SELECT
-      user_id % 10 AS user_bucket,
-      CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
-      CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
-      CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase
-    FROM events
-    GROUP BY 1
+    SELECT user_id % 10 AS user_bucket, 'click' AS event_type,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT user_id % 10, 'view',
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT user_id % 10, 'purchase',
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events GROUP BY 1
     """,
 )
-def q71_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """df.groupBy().pivot(values=[...]) with an explicit value list —
-    the explicit list matters at scale: without it Spark runs an extra
-    distinct-collect job over the full column."""
+def q71_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot → unpivot roundtrip (previously q71 + q72):
+    df.groupBy().pivot(values=[...]) with an explicit value list (the
+    explicit list matters at scale — without it Spark runs an extra
+    distinct-collect job over the full column), then df.unpivot melts
+    the wide result back to long (one narrow Expand, no shuffle). The
+    oracle states the long form directly, so the roundtrip must be
+    lossless."""
     t = load_tables(spark, sf_dir, "events")
-    return (
+    wide = (
         t["events"]
         .groupBy((F.col("user_id") % 10).alias("user_bucket"))
         .pivot("event_type", ["click", "view", "purchase"])
         .agg(F.count(F.lit(1)))
         .fillna(0, subset=["click", "view", "purchase"])
     )
-
-
-@register(
-    "q72_unpivot",
-    oracle="""
-    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
-    FROM lineitem WHERE l_orderkey % 100 = 0
-    UNION ALL
-    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
-    FROM lineitem WHERE l_orderkey % 100 = 0
-    UNION ALL
-    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
-    FROM lineitem WHERE l_orderkey % 100 = 0
-    """,
-)
-def q72_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """df.unpivot (melt): wide measures → long (measure, value) — one
-    narrow Expand, no shuffle."""
-    t = load_tables(spark, sf_dir, "lineitem")
-    return t["lineitem"].filter(F.col("l_orderkey") % 100 == 0).unpivot(
-        ids=["l_orderkey", "l_linenumber"],
-        values=["l_quantity", "l_extendedprice", "l_discount"],
-        variableColumnName="measure",
-        valueColumnName="value",
+    return wide.unpivot(
+        ids=["user_bucket"],
+        values=["click", "view", "purchase"],
+        variableColumnName="event_type",
+        valueColumnName="n",
     )
 
 
 @register(
-    "q73_intersect_except",
+    "q73_set_ops",
     oracle="""
-    SELECT 'both' AS side, c_nationkey FROM (
+    SELECT 'both' AS side, CAST(c_nationkey AS BIGINT) AS val FROM (
       SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
       INTERSECT
       SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
     )
     UNION ALL
-    SELECT 'only_building', c_nationkey FROM (
+    SELECT 'only_building', CAST(c_nationkey AS BIGINT) FROM (
       SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
       EXCEPT
       SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
     )
-    """,
-)
-def q73_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT / EXCEPT set operators (absent from the reference —
-    SURVEY §2.7 — present for engine completeness)."""
-    t = load_tables(spark, sf_dir, "customer")
-    c = t["customer"]
-    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey").distinct()
-    machinery = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey").distinct()
-    both = building.intersect(machinery).select(F.lit("both").alias("side"), "c_nationkey")
-    only_b = building.exceptAll(machinery).select(
-        F.lit("only_building").alias("side"), "c_nationkey"
-    )
-    return both.unionByName(only_b)
-
-
-@register(
-    "q74_semi_anti_join",
-    oracle="""
-    SELECT 'has_urgent' AS side, COUNT(*) AS n FROM customer c
+    UNION ALL
+    SELECT 'has_urgent', COUNT(*) FROM customer c
     WHERE EXISTS (
       SELECT 1 FROM orders o
       WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
@@ -591,20 +601,49 @@ def q73_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
 )
-def q74_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """left_semi / left_anti joins ≡ EXISTS / NOT EXISTS — the join
-    types the merge layer uses internally (SURVEY §2.3 note), exposed
-    as first-class operators."""
+def q73_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The set-operator battery (previously q73 + q74), all absent from
+    the reference (SURVEY §2.7/§2.3) but first-class engine surface:
+
+    - select().filter(isNotNull-ish).distinct() domain extraction
+      (SURVEY §2.4 A4) feeding INTERSECT / EXCEPT;
+    - left_semi / left_anti joins ≡ EXISTS / NOT EXISTS — the join
+      types the merge layer uses internally.
+
+    Uniform (side, val) schema: set members for the set ops, counts
+    for the semi/anti sides."""
     t = load_tables(spark, sf_dir, "customer", "orders")
     c, o = t["customer"], t["orders"]
+    building = (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_nationkey")
+        .filter(F.col("c_nationkey").isNotNull())
+        .distinct()
+    )
+    machinery = (
+        c.filter(F.col("c_mktsegment") == "MACHINERY")
+        .select("c_nationkey")
+        .filter(F.col("c_nationkey").isNotNull())
+        .distinct()
+    )
+    both = building.intersect(machinery).select(
+        F.lit("both").alias("side"), F.col("c_nationkey").cast("bigint").alias("val")
+    )
+    only_b = building.exceptAll(machinery).select(
+        F.lit("only_building").alias("side"), F.col("c_nationkey").cast("bigint").alias("val")
+    )
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
-    semi = c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi").agg(
-        F.count(F.lit(1)).alias("n")
-    ).select(F.lit("has_urgent").alias("side"), "n")
-    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(
-        F.count(F.lit(1)).alias("n")
-    ).select(F.lit("no_orders").alias("side"), "n")
-    return semi.unionByName(anti)
+    semi = (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("val"))
+        .select(F.lit("has_urgent").alias("side"), "val")
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("val"))
+        .select(F.lit("no_orders").alias("side"), "val")
+    )
+    return both.unionByName(only_b).unionByName(semi).unionByName(anti)
 
 
 @register(
@@ -678,43 +717,8 @@ def q77_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q78_grouping_sets",
-    oracle="""
-    SELECT
-      CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
-      o_orderstatus,
-      COUNT(*) AS n_orders
-    FROM orders
-    GROUP BY GROUPING SETS (
-      (CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)),
-      (o_orderstatus),
-      ()
-    )
-    """,
-)
-def q78_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS via SQL text (year-only, status-only, and
-    grand-total rollups in one Expand + aggregate)."""
-    load_tables(spark, sf_dir, "orders")
-    return spark.sql(
-        """
-        SELECT
-          CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
-          o_orderstatus,
-          COUNT(*) AS n_orders
-        FROM orders
-        GROUP BY GROUPING SETS (
-          (CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)),
-          (o_orderstatus),
-          ()
-        )
-        """
-    )
-
-
 # ===========================================================================
-# date/time function battery
+# date/time function battery (+ parse_time_to_seconds, previously q17)
 # ===========================================================================
 
 @register(
@@ -729,7 +733,14 @@ def q78_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_sec,
       CAST(floor(epoch(o_orderdate)) / 86400 AS BIGINT) AS epoch_day,
       o_orderdate + INTERVAL 30 DAY AS plus_30d,
-      date_trunc('month', o_orderdate) AS month_start
+      date_trunc('month', o_orderdate) AS month_start,
+      CASE WHEN o_orderkey % 7 = 3 THEN NULL
+           WHEN (o_custkey % 10) * 3600 + (o_custkey % 60) * 60 + (o_orderkey % 60) = 0
+             THEN NULL
+           ELSE (o_custkey % 10) * 3600
+                + (o_custkey % 60) * 60
+                + (o_orderkey % 60)
+      END AS parsed_seconds
     FROM orders
     WHERE o_orderkey % 50 = 0
     """,
@@ -739,9 +750,31 @@ def q76_datetime_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     current_timestamp/current_date: extracts, epoch arithmetic,
     interval addition, month truncation. Timestamp-typed outputs
     throughout (date-typed cells hash differently between engines'
-    pandas conversions)."""
+    pandas conversions).
+
+    Also carries the reference's one domain expression,
+    `parse_time_to_seconds` (03_silver.ipynb:133-139; previously q17):
+    H:MM:SS strings are synthesized from integer columns, parsed with
+    the engine helper — pure Column composition, not a UDF — and the
+    oracle derives the same seconds arithmetically (a stronger oracle
+    than re-parsing)."""
+    from ironman_medallion_lakehouse_spark.functions.scalar import parse_time_to_seconds
+
     t = load_tables(spark, sf_dir, "orders")
     ts = F.col("o_orderdate")
+    h = (F.col("o_custkey") % 10).cast("int")
+    m = (F.col("o_custkey") % 60).cast("int")
+    s = (F.col("o_orderkey") % 60).cast("int")
+    time_str = F.when(
+        F.col("o_orderkey") % 7 == 3, F.lit(None).cast("string")
+    ).otherwise(
+        F.concat_ws(
+            ":",
+            h.cast("string"),
+            F.lpad(m.cast("string"), 2, "0"),
+            F.lpad(s.cast("string"), 2, "0"),
+        )
+    )
     return (
         t["orders"]
         .filter(F.col("o_orderkey") % 50 == 0)
@@ -757,6 +790,7 @@ def q76_datetime_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(ts.cast("timestamp").cast("long") / 86400).cast("bigint").alias("epoch_day"),
             (ts + F.expr("INTERVAL 30 DAYS")).alias("plus_30d"),
             F.date_trunc("month", ts).alias("month_start"),
+            parse_time_to_seconds(time_str).cast("bigint").alias("parsed_seconds"),
         )
     )
 

@@ -12,11 +12,14 @@ from ironman_medallion_lakehouse_spark import suite
 SF = "/root/testdata/sf0.001"
 
 
-def _plan(spark, name: str) -> str:
-    df = suite.queries()[name](spark, SF)
+def _plan_of(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
+
+
+def _plan(spark, name: str) -> str:
+    return _plan_of(suite.queries()[name](spark, SF))
 
 
 def test_filter_and_projection_pushdown(spark):
@@ -38,11 +41,13 @@ def test_dim_joins_are_broadcast(spark):
 
 
 def test_lookup_join_broadcast_and_codegen(spark):
-    plan = _plan(spark, "q03_dim_lookup_join")
+    # q03/q13 are unregistered plan fixtures (their operator families are
+    # driver-verified through q04/q25/q26/q66) — call the shapes directly
+    plan = _plan_of(suite.q03_dim_lookup_join(spark, SF))
     assert "BroadcastHashJoin" in plan
     # codegen subtrees only materialize in the AQE final plan — execute,
     # then inspect the executed plan
-    df = suite.queries()["q03_dim_lookup_join"](spark, SF)
+    df = suite.q03_dim_lookup_join(spark, SF)
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     # '*(N)' prefixes mark whole-stage-codegen'd operators; the join,
@@ -52,7 +57,7 @@ def test_lookup_join_broadcast_and_codegen(spark):
 
 
 def test_topk_uses_take_ordered(spark):
-    plan = _plan(spark, "q13_topk")
+    plan = _plan_of(suite.q13_topk(spark, SF))
     assert "TakeOrderedAndProject" in plan  # no global sort for top-k
 
 
