@@ -6,12 +6,14 @@ Implemented as the classic scalable composition — union-tag-window —
 rather than a range join:
 
 1. Tag left rows (side=1) and right rows (side=0) and union them on
-   (keys, ts, side, right-payload).
-2. One window per key ordered by (ts, side): ``last(payload,
-   ignorenulls=True)`` carries the most recent right payload forward.
+   (keys, ts, side, right-row-struct).
+2. One window per key ordered by (ts, side): ``last(struct,
+   ignorenulls=True)`` carries the most recent whole right row forward
+   as one struct — so every unpacked output column comes from the same
+   matched row and genuinely-NULL payload fields are preserved.
    side=0 sorts before side=1 at equal ts, giving ``left.ts >=
    right.ts`` (inclusive backward) semantics.
-3. Keep side=1 rows.
+3. Keep side=1 rows and unpack the struct.
 
 Cost: ONE shuffle on the join keys + a sort — no range explosion, no
 per-row binary search, skew governed by key cardinality like any
@@ -49,12 +51,22 @@ def as_of_join(
     ]
     out_cols = [f"{c}{suffix}" for c in right_payload] + [f"{right_ts}{suffix}"]
 
+    # The whole right row travels as ONE nullable struct so a single
+    # last(_r, ignorenulls=True) carries it: all output columns come
+    # from the SAME matched right row, and a right payload column that
+    # is legitimately NULL stays NULL (per-column last() would skip it
+    # and mix fields across different right rows — r2 ADVICE fix).
+    r_struct = F.struct(
+        F.col(right_ts).alias("_ts_val"),
+        *[F.col(c).alias(c) for c in right_payload],
+    )
+    null_struct_src = right.select(r_struct.alias("_r")).schema["_r"].dataType
+
     left_tagged = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("_side"),
         F.col(left_ts).alias("_ts"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_payload],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
+        F.lit(None).cast(null_struct_src).alias("_r"),
     )
     null_left = [
         F.lit(None).cast(left.schema[c].dataType).alias(c)
@@ -66,9 +78,8 @@ def as_of_join(
         *null_left,
         F.lit(0).alias("_side"),
         F.col(right_ts).alias("_ts"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_payload],
-        F.col(right_ts).alias("_r_ts"),
-    ).select(*[F.col(c) for c in left.columns], "_side", "_ts", *[f"_r_{c}" for c in right_payload], "_r_ts")
+        r_struct.alias("_r"),
+    ).select(*[F.col(c) for c in left.columns], "_side", "_ts", "_r")
 
     unioned = left_tagged.unionByName(right_tagged)
     w = (
@@ -79,12 +90,14 @@ def as_of_join(
     carried = unioned.select(
         *[F.col(c) for c in left.columns],
         F.col("_side"),
-        *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_payload
-        ],
-        F.last(F.col("_r_ts"), ignorenulls=True).over(w).alias(f"{right_ts}{suffix}"),
+        F.last(F.col("_r"), ignorenulls=True).over(w).alias("_m"),
     )
-    return carried.filter(F.col("_side") == 1).drop("_side").select(
-        *left.columns, *out_cols
+    return (
+        carried.filter(F.col("_side") == 1)
+        .select(
+            *left.columns,
+            *[F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in right_payload],
+            F.col("_m._ts_val").alias(f"{right_ts}{suffix}"),
+        )
+        .select(*left.columns, *out_cols)
     )

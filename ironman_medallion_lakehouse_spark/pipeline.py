@@ -56,6 +56,11 @@ def run(spark: SparkSession, cfg: C.PipelineConfig) -> RunResult:
     cfg.validate_sources()
     store = TableStore(spark, cfg.warehouse_dir)
     incremental = cfg.run_mode == "incremental"
+    # Full loads compact whenever a partition has >1 file; incremental
+    # runs let small files accumulate to 8 per partition first, so a
+    # per-year append is O(new data) per run and the O(table) rewrite
+    # amortizes 1:8 (optimize() is a no-op below the threshold).
+    optimize_min_files = 2 if not incremental else 8
     result = RunResult()
 
     # ---- bronze (02_bronze): ingest selected files, merge or overwrite
@@ -65,7 +70,7 @@ def run(spark: SparkSession, cfg: C.PipelineConfig) -> RunResult:
         store.merge_insert_only(bronze_df, C.BRONZE_TABLE, cfg.bronze_merge_keys)
     else:
         store.save_overwrite(bronze_df, C.BRONZE_TABLE, partition_by=["year"])
-    store.optimize(C.BRONZE_TABLE)  # S10 (02_bronze.ipynb:354)
+    store.optimize(C.BRONZE_TABLE, min_files=optimize_min_files)  # S10 (02:354)
 
     # ---- silver (03_silver): full layer recompute over the scoped slice
     bronze_all = store.read(C.BRONZE_TABLE)
@@ -79,7 +84,7 @@ def run(spark: SparkSession, cfg: C.PipelineConfig) -> RunResult:
         store.save_overwrite(
             silver_plan.build_silver(bronze_all), C.SILVER_TABLE, partition_by=["year"]
         )
-    store.optimize(C.SILVER_TABLE)
+    store.optimize(C.SILVER_TABLE, min_files=optimize_min_files)
 
     # ---- gold dims (04a/04b/04c): the reference builds dims from the
     # YEAR-SCOPED silver slice (filter(year == process_year) in every
@@ -136,7 +141,7 @@ def run(spark: SparkSession, cfg: C.PipelineConfig) -> RunResult:
         store.merge_insert_only(fact, C.FACT_RESULTS, cfg.fact_merge_keys)
     else:
         store.save_overwrite(fact, C.FACT_RESULTS, partition_by=["year"])
-    store.optimize(C.FACT_RESULTS)
+    store.optimize(C.FACT_RESULTS, min_files=optimize_min_files)
 
     # ---- serving layer (05): register tables + the 13 views
     store.register_views(*ALL_TABLES)

@@ -50,6 +50,10 @@ from pyspark.sql.types import StructType
 _LOG_RE = re.compile(r"^(\d{8})\.json$")
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed the same table version first."""
+
+
 @dataclass
 class Manifest:
     version: int
@@ -117,12 +121,26 @@ class TableStore:
             return Manifest.from_json(fh.read())
 
     def _commit(self, name: str, manifest: Manifest) -> None:
+        """Put-if-absent commit: os.link refuses to replace an existing
+        manifest, so two writers that both read version N cannot both
+        commit N+1 — the loser gets ConcurrentCommitError instead of
+        silently clobbering (os.rename replaces; on an object store
+        this is the conditional PUT Delta uses)."""
         log_dir = self._log_dir(name)
         os.makedirs(log_dir, exist_ok=True)
         tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             fh.write(manifest.to_json())
-        os.rename(tmp, os.path.join(log_dir, f"{manifest.version:08d}.json"))
+        final = os.path.join(log_dir, f"{manifest.version:08d}.json")
+        try:
+            os.link(tmp, final)
+        except FileExistsError as e:
+            raise ConcurrentCommitError(
+                f"version {manifest.version} of {name} was committed by another "
+                f"writer; re-read the table and retry the operation"
+            ) from e
+        finally:
+            os.remove(tmp)
 
     # -------------------------------------------------------------- file io
     def _write_files(
@@ -276,6 +294,8 @@ class TableStore:
         """(files_kept, files_total) for a prospective read_where —
         observability hook for tests and planning."""
         manifest = self._latest_manifest(name)
+        if manifest is None:
+            raise FileNotFoundError(f"table {name} does not exist in {self.root}")
         kept = 0
         for f in manifest.files:
             st = manifest.stats.get(f, {}).get(column)
@@ -387,7 +407,22 @@ class TableStore:
         cols = [f.name for f in target.schema.fields]
         update_cols = update_cols or [c for c in cols if c not in keys]
 
-        src = source.select(*cols).alias("s")
+        # Delta MERGE raises on duplicate source matches; reproduce that
+        # contract instead of silently fanning target rows out. One
+        # aggregate job over the (small, incremental) source slice.
+        dup_keys = (
+            source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if dup_keys:
+            raise ValueError(
+                f"merge_scd1 source has duplicate rows per key {keys}; "
+                "deduplicate upstream (Delta MERGE semantics)"
+            )
+
+        # Explicit match indicator: keys[0] IS NOT NULL misreads a
+        # NULL-keyed source row that eqNullSafe-matched a NULL-keyed
+        # target row as unmatched (r2 ADVICE fix).
+        src = source.select(*cols).withColumn("_src_matched", F.lit(True)).alias("s")
         tgt = target.alias("t")
         match_cond = None
         for k in keys:
@@ -397,14 +432,19 @@ class TableStore:
         merged_existing = tgt.join(src, match_cond, "left").select(
             *[
                 F.when(
-                    F.col(f"s.{keys[0]}").isNotNull(), F.col(f"s.{c}")
+                    F.col("s._src_matched"), F.col(f"s.{c}")
                 ).otherwise(F.col(f"t.{c}")).alias(c)
                 if c in update_cols
                 else F.col(f"t.{c}").alias(c)
                 for c in cols
             ]
         )
-        inserts = src.join(tgt.select(*keys), on=keys, how="left_anti").select(*cols)
+        # Null-safe anti-join so a NULL-keyed source row that matched a
+        # NULL-keyed target row is not ALSO inserted as new.
+        anti_src = source.select(*cols).alias("s")
+        inserts = anti_src.join(tgt.select(*keys).alias("t"), match_cond, "left_anti").select(
+            *[F.col(f"s.{c}").alias(c) for c in cols]
+        )
         result = merged_existing.unionByName(inserts)
         files = self._write_files(result, name, manifest.partition_by)
         self._commit(
@@ -418,20 +458,42 @@ class TableStore:
             ),
         )
 
-    def optimize(self, name: str, target_partitions: int | None = None) -> None:
+    def optimize(
+        self, name: str, target_partitions: int | None = None, min_files: int = 2
+    ) -> None:
         """OPTIMIZE — bin-pack small files (02_bronze.ipynb:354).
 
         Rewrites the current version's data into fewer, larger files and
         commits a new manifest. Old files stay for time travel until
         vacuum().
+
+        **No-op unless compaction would actually happen**: when no data
+        directory holds ≥ ``min_files`` files there is nothing to
+        bin-pack, and rewriting a table 1:1 on every pipeline run is
+        O(table) wasted work that doubles on-disk data until vacuum()
+        and pollutes the change feed (r2 ADVICE fix). Callers on an
+        incremental cadence should raise ``min_files`` so compaction
+        amortizes (see pipeline.run).
+
+        Partitioned tables compact to one file per partition directory
+        (repartition on the partition columns); unpartitioned tables
+        coalesce to ``target_partitions`` (default 1).
         """
         manifest = self._latest_manifest(name)
         if manifest is None:
             return
+        if target_partitions is None:
+            from collections import Counter
+
+            per_dir = Counter(os.path.dirname(f) for f in manifest.files)
+            if not per_dir or max(per_dir.values()) < min_files:
+                return
         df = self.read(name)
         if target_partitions:
             df = df.repartition(target_partitions, *manifest.partition_by) if manifest.partition_by else df.coalesce(target_partitions)
-        elif not manifest.partition_by:
+        elif manifest.partition_by:
+            df = df.repartition(*manifest.partition_by)
+        else:
             df = df.coalesce(1)
         files = self._write_files(df, name, manifest.partition_by)
         self._commit(

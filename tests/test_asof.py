@@ -59,3 +59,25 @@ def test_asof_single_shuffle(spark):
     # union-tag-window: exactly one hash-partitioning shuffle (the
     # window); formatted explain prints each node twice (tree + detail)
     assert plan.count("hashpartitioning") == 1
+
+
+def test_asof_null_payload_from_matched_row(spark):
+    """A right row whose payload is legitimately NULL must win the
+    as-of match and deliver that NULL — per-column last(ignorenulls)
+    would skip it and mix fields across right rows (r2 ADVICE)."""
+    left = spark.createDataFrame(
+        [Row(k="a", lid=1, ts="2024-01-01 12:00:00")]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            Row(k="a", rid=100, label="old", ts="2024-01-01 10:00:00"),
+            Row(k="a", rid=None, label="newest", ts="2024-01-01 11:00:00"),
+        ]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    row = as_of_join(
+        left, right, on=["k"], right_payload=["rid", "label"]
+    ).collect()[0]
+    # ALL fields come from the 11:00 row — rid stays NULL, not 100
+    assert row.rid_asof is None
+    assert row.label_asof == "newest"
+    assert str(row.ts_asof) == "2024-01-01 11:00:00"
