@@ -5,12 +5,17 @@ Beyond-reference extension (BASELINE.json north star):
 - **cosine_topk**: brute-force baseline — exact, one broadcast of the
   query vector, one pass over the table, TakeOrderedAndProject top-k.
   Linear scan; correct at any scale but O(n) per query.
-- **ivf_assign / ivf_topk**: the scale path — IVF-style coarse
-  quantization. Centroids (small, broadcast) partition the corpus;
-  queries probe only the nearest `nprobe` cells, cutting the scanned
-  fraction to ~nprobe/n_cells. Centroid selection here is
-  deterministic (first-k rows) so results are oracle-checkable;
-  swapping in k-means centroids changes recall, not plumbing.
+- **IvfIndex (+ kmeans_centroids)**: the scale path — IVF coarse
+  quantization, materialized. A deterministic Lloyd k-means codebook
+  is computed-then-frozen; the vector→cell assignment is written once
+  through the TableStore partitioned by centroid_id, so a probe ranks
+  cells against the tiny frozen codebook and scans only the nprobe
+  matching partition directories (manifest-level pruning — the other
+  cells' files never enter the scan). ~nprobe/n_cells of the corpus
+  per query, built O(corpus) once.
+- **ivf_assign / ivf_topk**: the ad-hoc in-query form of the same
+  quantization with deterministic first-k centroids — what the DuckDB
+  oracle can replicate (q46); production probes use IvfIndex.
 
 All arithmetic is done in DOUBLE with an ordered left fold
 (F.aggregate), matching DuckDB's list_dot_product on DOUBLE[] casts —
@@ -117,6 +122,175 @@ def ivf_cell_sizes(embeddings: DataFrame, n_cells: int = 8) -> DataFrame:
     )
 
 
+def _assign_to_centroids(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Argmin assignment of every vector to the nearest centroid in a
+    (centroid_id, centroid) DataFrame: broadcast centroids × corpus,
+    one window per vector id. Ties break on centroid_id asc."""
+    from pyspark.sql import Window
+
+    scored = embeddings.crossJoin(
+        F.broadcast(centroids.select("centroid_id", F.col("centroid").alias("_cvec")))
+    ).select(
+        F.col(id_col),
+        F.col("centroid_id"),
+        cosine(F.col(vec_col), F.col("_cvec")).alias("_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_sim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "centroid_id", F.col("_sim").alias("centroid_sim"))
+    )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd k-means codebook: (centroid_id, centroid).
+
+    - Init: the first n_cells vectors by id (reproducible seed).
+    - Assign: broadcast argmin with centroid_id-asc tiebreak.
+    - Update: per-dimension mean via posexplode + DECIMAL(28,12)
+      accumulation — order-insensitive, so the codebook is
+      bit-identical across runs and partitionings. Cells that lose all
+      members keep their previous centroid.
+
+    Centroids live on the driver between iterations (n_cells × dim
+    doubles — bounded and tiny; the same driver-residency every
+    k-means implementation uses, incl. MLlib). The corpus is only ever
+    streamed: one assignment pass + one mean pass per iteration."""
+    spark = embeddings.sparkSession
+    init = [
+        (i, [float(x) for x in row[1]])
+        for i, row in enumerate(
+            embeddings.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(n_cells).collect()
+        )
+    ]
+    schema = "centroid_id int, centroid array<double>"
+    cents = spark.createDataFrame(init, schema)
+    for _ in range(n_iter):
+        assigned = _assign_to_centroids(embeddings, cents, id_col, vec_col)
+        means = (
+            embeddings.join(assigned.select(id_col, "centroid_id"), id_col)
+            .select("centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(
+                (F.sum(F.col("val").cast("decimal(28,12)")) / F.count(F.lit(1)))
+                .cast("double")
+                .alias("mv")
+            )
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("_pairs"))
+            .select(
+                "centroid_id",
+                F.transform(F.col("_pairs"), lambda s: s["mv"]).alias("centroid"),
+            )
+        )
+        updated = (
+            cents.alias("old")
+            .join(means.alias("new"), "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("new.centroid"), F.col("old.centroid")).alias("centroid"),
+            )
+        )
+        cents = spark.createDataFrame(
+            [(r.centroid_id, [float(x) for x in r.centroid]) for r in updated.collect()],
+            schema,
+        )
+    return cents
+
+
+class IvfIndex:
+    """Materialized IVF index over a TableStore (the r1 scale finding:
+    ivf_topk recomputed the full-corpus assignment per query and
+    collected the query's cell — at 100 TB assignment must be built
+    once and partitioned by cell).
+
+    ``build`` runs deterministic k-means, freezes the codebook into
+    ``<name>_centroids``, and writes the vector→cell assignment WITH
+    the vectors into ``<name>_assign`` partitioned by ``centroid_id``.
+    ``probe`` ranks cells against the frozen codebook (tiny broadcast
+    read) and scans ONLY the nprobe matching partition directories via
+    TableStore.read_partitions — manifest-level pruning, so the other
+    cells' files never enter the scan."""
+
+    def __init__(self, store, name: str = "ann.ivf"):
+        self.store = store
+        self.name = name
+
+    @property
+    def assign_table(self) -> str:
+        return f"{self.name}_assign"
+
+    @property
+    def centroids_table(self) -> str:
+        return f"{self.name}_centroids"
+
+    def build(
+        self,
+        embeddings: DataFrame,
+        n_cells: int = 8,
+        n_iter: int = 5,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        cents = kmeans_centroids(embeddings, n_cells, n_iter, id_col, vec_col)
+        self.store.save_overwrite(cents, self.centroids_table)
+        assigned = _assign_to_centroids(embeddings, cents, id_col, vec_col)
+        self.store.save_overwrite(
+            embeddings.join(assigned.select(id_col, "centroid_id"), id_col).select(
+                id_col, vec_col, "centroid_id"
+            ),
+            self.assign_table,
+            partition_by=["centroid_id"],
+        )
+
+    def probe_cells(self, query_vec: list[float], nprobe: int = 2) -> list[int]:
+        """The nprobe cell ids nearest the query vector — one pass over
+        the tiny frozen codebook, collected (bounded by n_cells)."""
+        cents = self.store.read(self.centroids_table)
+        qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+        ranked = (
+            cents.select(
+                "centroid_id", cosine(F.col("centroid"), qcol).alias("_s")
+            )
+            .orderBy(F.col("_s").desc(), F.col("centroid_id").asc())
+            .limit(nprobe)
+        )
+        return [r.centroid_id for r in ranked.collect()]
+
+    def probe(
+        self,
+        query_vec: list[float],
+        k: int = 10,
+        nprobe: int = 2,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        cells = self.probe_cells(query_vec, nprobe)
+        candidates = self.store.read_partitions(self.assign_table, "centroid_id", cells)
+        qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+        return (
+            candidates.select(
+                F.col(id_col), cosine(F.col(vec_col), qcol).alias("cosine_sim")
+            )
+            .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+            .limit(k)
+        )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_id: int,
@@ -127,8 +301,10 @@ def ivf_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: score only vectors in the nprobe cells nearest
-    the query. At scale the assignment is precomputed/partitioned-by
-    cell, making a probe a partition-pruned scan."""
+    the query. This ad-hoc form recomputes the assignment (fine for
+    one-off exploration and the deterministic oracle); production
+    probes go through IvfIndex, where the assignment is materialized
+    once, partitioned by cell, and a probe is a manifest-pruned scan."""
     assigned = ivf_assign(embeddings, n_cells, id_col, vec_col)
     corpus = embeddings.join(assigned.select(id_col, "centroid_id"), id_col)
     q_cells = [
