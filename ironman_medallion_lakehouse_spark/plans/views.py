@@ -18,8 +18,8 @@ ATH = "gold_dim_athletes"
 CTY = "gold_dim_countries"
 DIV = "gold_dim_divisions"
 
-VIEW_SQL: dict[str, str] = {
-    "vw_kpi_metrics": f"""
+_TEMPLATES: dict[str, str] = {
+    "vw_kpi_metrics": """
         SELECT
         COUNT(*) as total_athletes,
         SUM(CASE WHEN is_finisher THEN 1 ELSE 0 END) as total_finishers,
@@ -34,7 +34,7 @@ VIEW_SQL: dict[str, str] = {
         MAX(year) as latest_year
         FROM {FACT}
     """,
-    "vw_athletes_by_year": f"""
+    "vw_athletes_by_year": """
         SELECT
         year,
         source_gender as gender,
@@ -47,7 +47,7 @@ VIEW_SQL: dict[str, str] = {
         GROUP BY year, source_gender
         ORDER BY year, source_gender
     """,
-    "vw_finish_rate_trend": f"""
+    "vw_finish_rate_trend": """
         SELECT
         year,
         COUNT(*) as total_athletes,
@@ -58,7 +58,7 @@ VIEW_SQL: dict[str, str] = {
         GROUP BY year
         ORDER BY year
     """,
-    "vw_gender_distribution": f"""
+    "vw_gender_distribution": """
         SELECT
         year,
         CASE WHEN source_gender = 'M' THEN 'Male' ELSE source_gender END as gender,
@@ -68,7 +68,7 @@ VIEW_SQL: dict[str, str] = {
         GROUP BY year, source_gender
         ORDER BY year, source_gender
     """,
-    "vw_top_countries": f"""
+    "vw_top_countries": """
         SELECT
         c.country_name,
         c.continent,
@@ -83,7 +83,7 @@ VIEW_SQL: dict[str, str] = {
         GROUP BY c.country_name, c.continent
         ORDER BY total_athletes DESC
     """,
-    "vw_countries_by_year": f"""
+    "vw_countries_by_year": """
         SELECT
         f.year,
         c.country_name,
@@ -96,7 +96,7 @@ VIEW_SQL: dict[str, str] = {
         GROUP BY f.year, c.country_name, c.continent
         ORDER BY f.year, total_athletes DESC
     """,
-    "vw_continent_distribution": f"""
+    "vw_continent_distribution": """
         SELECT
         year,
         c.continent,
@@ -108,7 +108,7 @@ VIEW_SQL: dict[str, str] = {
         GROUP BY year, c.continent
         ORDER BY year, athletes DESC
     """,
-    "vw_segment_times": f"""
+    "vw_segment_times": """
         SELECT
         year,
         CASE WHEN source_gender = 'M' THEN 'Male' ELSE 'Female' END as gender,
@@ -126,7 +126,7 @@ VIEW_SQL: dict[str, str] = {
         GROUP BY year, source_gender
         ORDER BY year, source_gender
     """,
-    "vw_age_group_performance": f"""
+    "vw_age_group_performance": """
         SELECT
         f.year,
         d.age_group_start,
@@ -142,7 +142,7 @@ VIEW_SQL: dict[str, str] = {
         GROUP BY f.year, d.age_group_start, d.age_group_end
         ORDER BY f.year, d.age_group_start
     """,
-    "vw_finish_time_distribution": f"""
+    "vw_finish_time_distribution": """
         SELECT
         year,
         CASE WHEN source_gender = 'M' THEN 'Male' ELSE 'Female' END as gender,
@@ -154,7 +154,7 @@ VIEW_SQL: dict[str, str] = {
         GROUP BY year, source_gender, FLOOR(finish_time_seconds / 3600)
         ORDER BY year, source_gender, finish_hour
     """,
-    "vw_top_finishers": f"""
+    "vw_top_finishers": """
         SELECT
         f.year,
         f.rank,
@@ -179,7 +179,7 @@ VIEW_SQL: dict[str, str] = {
         WHERE f.is_finisher = true AND f.rank IS NOT NULL
         ORDER BY f.year DESC, f.rank
     """,
-    "vw_year_over_year": f"""
+    "vw_year_over_year": """
         WITH yearly_stats AS (
         SELECT
         year,
@@ -206,7 +206,7 @@ VIEW_SQL: dict[str, str] = {
         LEFT JOIN yearly_stats prev ON curr.year = prev.year + 1
         ORDER BY curr.year
     """,
-    "vw_pro_vs_age_group": f"""
+    "vw_pro_vs_age_group": """
         SELECT
         f.year,
         CASE WHEN d.is_professional THEN 'Professional' ELSE 'Age Group' END as category,
@@ -221,7 +221,7 @@ VIEW_SQL: dict[str, str] = {
         GROUP BY f.year, d.is_professional
         ORDER BY f.year, category
     """,
-    "vw_dnf_analysis": f"""
+    "vw_dnf_analysis": """
         SELECT
         year,
         CASE WHEN source_gender = 'M' THEN 'Male' ELSE 'Female' END as gender,
@@ -236,7 +236,7 @@ VIEW_SQL: dict[str, str] = {
         GROUP BY year, source_gender
         ORDER BY year, source_gender
     """,
-    "vw_fastest_times": f"""
+    "vw_fastest_times": """
         SELECT
         year,
         CASE WHEN source_gender = 'M' THEN 'Male' ELSE 'Female' END as gender,
@@ -252,6 +252,22 @@ VIEW_SQL: dict[str, str] = {
         ORDER BY year, source_gender
     """,
 }
+
+
+def view_sql(
+    fact: str = FACT, ath: str = ATH, cty: str = CTY, div: str = DIV
+) -> dict[str, str]:
+    """The 15 view definitions with table identifiers bound to the
+    given names — temp-view names for in-process serving (default) or
+    catalog-qualified names (``gold.fact_race_results``) when
+    publishing persistent views (plans/catalog.publish_catalog)."""
+    return {
+        name: tpl.format(FACT=fact, ATH=ath, CTY=cty, DIV=div)
+        for name, tpl in _TEMPLATES.items()
+    }
+
+
+VIEW_SQL: dict[str, str] = view_sql()
 
 
 def create_views(spark: SparkSession) -> list[str]:

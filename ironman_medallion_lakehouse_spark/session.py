@@ -122,6 +122,16 @@ def ensure_package_on_executors(spark: SparkSession) -> None:
     sc._imls_pkg_shipped = True
 
 
+def warehouse_path(spark: SparkSession) -> str:
+    """The session's warehouse root as a local filesystem path."""
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if wh.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        wh = unquote(urlparse(wh).path)
+    return wh
+
+
 def staging_dir(spark: SparkSession, label: str) -> str:
     """A scratch directory under the session's warehouse root.
 
@@ -129,12 +139,7 @@ def staging_dir(spark: SparkSession, label: str) -> str:
     executors on a real cluster (r1 finding); the warehouse dir is by
     definition shared storage, so staging under it is cluster-safe
     while behaving identically on local[N]."""
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    if wh.startswith("file:"):
-        from urllib.parse import unquote, urlparse
-
-        wh = unquote(urlparse(wh).path)
-    path = os.path.join(wh, "_staging", label)
+    path = os.path.join(warehouse_path(spark), "_staging", label)
     os.makedirs(path, exist_ok=True)
     return path
 

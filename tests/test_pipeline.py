@@ -175,3 +175,27 @@ def test_config_validation(landing_dir):
     )
     with pytest.raises(FileNotFoundError):
         cfg.validate_sources()
+
+
+def test_publish_catalog_qualified_sql(full_run, spark):
+    """Dashboard queries work by qualified name (gold.vw_*) on a fresh
+    session WITHOUT any in-process temp-view registration — the
+    reference's ironman.{layer}.table serving surface (01_config:193,
+    05_dashboard_queries:49)."""
+    from ironman_medallion_lakehouse_spark.plans.catalog import publish_catalog
+
+    _result, store = full_run
+    published = publish_catalog(spark, store)
+    assert "gold.fact_race_results" in published
+    assert "gold.vw_top_finishers" in published
+
+    fresh = spark.newSession()  # no temp views carried over
+    assert fresh.catalog.tableExists("gold.fact_race_results")
+    top = fresh.sql(
+        "SELECT athlete_name FROM gold.vw_top_finishers WHERE year = 2023"
+    ).collect()
+    assert len(top) > 0
+    kpi = fresh.sql("SELECT total_athletes FROM gold.vw_kpi_metrics").collect()[0]
+    assert kpi.total_athletes == 20
+    # bronze/silver layers addressable too
+    assert fresh.sql("SELECT COUNT(*) AS n FROM silver.ironman_results").collect()[0].n == 20

@@ -269,3 +269,44 @@ def test_optimize_compacts_partitioned_dirs(spark, tmp_path):
         dirs.setdefault(os.path.dirname(f), []).append(f)
     assert all(len(fs) == 1 for fs in dirs.values())
     assert st.read("db.t").count() == 23
+
+
+def test_commit_writes_delta_chunk_not_snapshot(spark, tmp_path):
+    """A merge commit's log entry lists only the CHANGED files
+    (O(changes)), never the whole table (r2: chunked manifests)."""
+    import json as _json
+
+    st = _store(spark, tmp_path)
+    st.save_overwrite(
+        spark.createDataFrame([Row(k=f"k{i}", y=i % 4, v=i) for i in range(40)]),
+        "db.t",
+        partition_by=["y"],
+    )
+    st.merge_insert_only(
+        spark.createDataFrame([Row(k="new", y=1, v=999)]), "db.t", keys=["k"]
+    )
+    m = st._latest_manifest("db.t")
+    with open(os.path.join(st._log_dir("db.t"), f"{m.version:08d}.json")) as fh:
+        entry = _json.load(fh)
+    assert "files" not in entry  # delta entry, not a snapshot
+    assert entry["remove"] == []
+    assert 0 < len(entry["add"]) < len(m.files)
+    # stats travel only for the added files
+    assert set(entry["stats"]) <= set(entry["add"])
+
+
+def test_checkpoint_and_replay_time_travel(spark, tmp_path):
+    """12 commits → checkpoint at version 10; every historical version
+    is still reconstructable by checkpoint + bounded replay."""
+    st = _store(spark, tmp_path)
+    st.save_overwrite(spark.createDataFrame([Row(k="k0", v=0)]), "db.t")
+    for i in range(1, 12):
+        st.merge_insert_only(
+            spark.createDataFrame([Row(k=f"k{i}", v=i)]), "db.t", keys=["k"]
+        )
+    assert st._checkpoint_versions("db.t") == [10]
+    assert st._latest_manifest("db.t").version == 12
+    for version, expected in [(1, 1), (5, 5), (10, 10), (12, 12)]:
+        assert st.read("db.t", version=version).count() == expected
+    # change feed across the checkpoint boundary
+    assert st.table_changes("db.t", 9, 11).count() == 2
