@@ -425,12 +425,32 @@ class TableStore:
         return kept, len(manifest.files)
 
     def save_overwrite(
-        self, df: DataFrame, name: str, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str] | None = None,
+        cluster_by: list[str] | None = None,
+        cluster_files: int | None = None,
     ) -> None:
         """Full load: format("delta").mode("overwrite")
         .option("overwriteSchema","true") equivalent (02_bronze.ipynb:301-310).
-        """
+
+        ``cluster_by`` is the Z-order/liquid-clustering analogue for
+        multi-column data skipping (beyond-reference; the reference
+        runs plain OPTIMIZE): rows are range-repartitioned then sorted
+        within files on the given columns, so each file's footer
+        min/max for those columns covers a narrow slice and
+        ``read_where`` prunes most files. Range-clustering gives
+        perfect skipping on the leading column and locality on the
+        rest — the same practical effect Z-ordering targets, using
+        only built-in exchange/sort operators."""
         partition_by = partition_by or []
+        if cluster_by:
+            df = (
+                df.repartitionByRange(cluster_files, *cluster_by)
+                if cluster_files
+                else df.repartitionByRange(*cluster_by)
+            ).sortWithinPartitions(*cluster_by)
         prev = self._latest_manifest(name)
         files = self._write_files(df, name, partition_by)
         self._commit(
@@ -568,7 +588,11 @@ class TableStore:
         )
 
     def optimize(
-        self, name: str, target_partitions: int | None = None, min_files: int = 2
+        self,
+        name: str,
+        target_partitions: int | None = None,
+        min_files: int = 2,
+        cluster_by: list[str] | None = None,
     ) -> None:
         """OPTIMIZE — bin-pack small files (02_bronze.ipynb:354).
 
@@ -587,18 +611,30 @@ class TableStore:
         Partitioned tables compact to one file per partition directory
         (repartition on the partition columns); unpartitioned tables
         coalesce to ``target_partitions`` (default 1).
+
+        ``cluster_by`` reclusters during the rewrite (the OPTIMIZE …
+        ZORDER BY analogue): range-repartition + sort-within-files on
+        the given columns so footer min/max skipping works on them.
+        Reclustering always rewrites (min_files does not gate it).
         """
         manifest = self._latest_manifest(name)
         if manifest is None:
             return
-        if target_partitions is None:
+        if target_partitions is None and not cluster_by:
             from collections import Counter
 
             per_dir = Counter(os.path.dirname(f) for f in manifest.files)
             if not per_dir or max(per_dir.values()) < min_files:
                 return
         df = self.read(name)
-        if target_partitions:
+        if cluster_by:
+            n = target_partitions
+            df = (
+                df.repartitionByRange(n, *cluster_by)
+                if n
+                else df.repartitionByRange(*cluster_by)
+            ).sortWithinPartitions(*cluster_by)
+        elif target_partitions:
             df = df.repartition(target_partitions, *manifest.partition_by) if manifest.partition_by else df.coalesce(target_partitions)
         elif manifest.partition_by:
             df = df.repartition(*manifest.partition_by)

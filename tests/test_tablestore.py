@@ -310,3 +310,37 @@ def test_checkpoint_and_replay_time_travel(spark, tmp_path):
         assert st.read("db.t", version=version).count() == expected
     # change feed across the checkpoint boundary
     assert st.table_changes("db.t", 9, 11).count() == 2
+
+
+def test_cluster_by_enables_data_skipping(spark, tmp_path):
+    """cluster_by (the Z-order analogue): range-clustered writes make
+    footer min/max stats selective, so read_where prunes most files —
+    the same shuffled write WITHOUT clustering prunes nothing."""
+    st = _store(spark, tmp_path)
+    df = spark.range(0, 1000).withColumn("v", (F.col("id") * 7919) % 1000)
+    # v is scattered: an unclustered 4-file write can't skip on v
+    st.save_overwrite(df.repartition(4), "db.plain")
+    kept_plain, total_plain = st.skipped_file_count("db.plain", "v", lo=100, hi=120)
+    assert (kept_plain, total_plain) == (4, 4)
+    # clustered on v: one file covers the whole probe range
+    st.save_overwrite(
+        df.repartition(4), "db.clustered", cluster_by=["v"], cluster_files=4
+    )
+    kept, total = st.skipped_file_count("db.clustered", "v", lo=100, hi=120)
+    assert total >= 2 and kept == 1
+    out = st.read_where("db.clustered", "v", lo=100, hi=120)
+    assert out.count() == 21
+    assert len(out.inputFiles()) == 1
+
+
+def test_optimize_recluster(spark, tmp_path):
+    """OPTIMIZE ... cluster_by reclusters an existing table in place."""
+    st = _store(spark, tmp_path)
+    df = spark.range(0, 1000).withColumn("v", (F.col("id") * 7919) % 1000)
+    st.save_overwrite(df.repartition(4), "db.t")
+    kept0, _ = st.skipped_file_count("db.t", "v", lo=0, hi=50)
+    assert kept0 == 4  # unclustered: no skipping
+    st.optimize("db.t", target_partitions=4, cluster_by=["v"])
+    kept1, total1 = st.skipped_file_count("db.t", "v", lo=0, hi=50)
+    assert total1 >= 2 and kept1 == 1
+    assert st.read("db.t").count() == 1000
