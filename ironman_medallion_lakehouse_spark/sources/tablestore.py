@@ -431,6 +431,7 @@ class TableStore:
         partition_by: list[str] | None = None,
         cluster_by: list[str] | None = None,
         cluster_files: int | None = None,
+        optimize_write: bool = True,
     ) -> None:
         """Full load: format("delta").mode("overwrite")
         .option("overwriteSchema","true") equivalent (02_bronze.ipynb:301-310).
@@ -443,7 +444,16 @@ class TableStore:
         ``read_where`` prunes most files. Range-clustering gives
         perfect skipping on the leading column and locality on the
         rest — the same practical effect Z-ordering targets, using
-        only built-in exchange/sort operators."""
+        only built-in exchange/sort operators.
+
+        ``optimize_write`` (default on, Delta's optimizeWrite
+        analogue): partitioned writes REBALANCE-hint on the partition
+        columns first, so each hive partition is written by as few
+        tasks as its size needs instead of by every upstream task —
+        without it a T-task write into P partitions emits up to T×P
+        small files at cluster scale. AQE's rebalance both coalesces
+        small partitions and splits skewed ones, so one huge year
+        still parallelizes."""
         partition_by = partition_by or []
         if cluster_by:
             df = (
@@ -451,6 +461,8 @@ class TableStore:
                 if cluster_files
                 else df.repartitionByRange(*cluster_by)
             ).sortWithinPartitions(*cluster_by)
+        elif partition_by and optimize_write:
+            df = df.hint("rebalance", *partition_by)
         prev = self._latest_manifest(name)
         files = self._write_files(df, name, partition_by)
         self._commit(

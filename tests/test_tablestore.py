@@ -344,3 +344,28 @@ def test_optimize_recluster(spark, tmp_path):
     kept1, total1 = st.skipped_file_count("db.t", "v", lo=0, hi=50)
     assert total1 >= 2 and kept1 == 1
     assert st.read("db.t").count() == 1000
+
+
+def test_optimize_write_bounds_files_per_partition(spark, tmp_path):
+    """optimize_write (the Delta optimizeWrite analogue): a T-task
+    upstream writing P hive partitions must NOT emit T×P files — the
+    rebalance hint routes each partition's rows together first."""
+    st = _store(spark, tmp_path)
+    df = (
+        spark.range(0, 200)
+        .withColumn("year", (F.col("id") % 2 + 2023).cast("int"))
+        .repartition(8)  # adversarial upstream: every task sees both years
+    )
+    st.save_overwrite(df, "db.opt", partition_by=["year"])
+    m = st._latest_manifest("db.opt")
+    from collections import Counter
+
+    per_dir = Counter(os.path.dirname(f) for f in m.files)
+    assert set(per_dir) == {"year=2023", "year=2024"}
+    assert max(per_dir.values()) == 1  # AQE rebalance coalesced each year
+
+    st.save_overwrite(df, "db.raw", partition_by=["year"], optimize_write=False)
+    raw_dirs = Counter(
+        os.path.dirname(f) for f in st._latest_manifest("db.raw").files
+    )
+    assert max(raw_dirs.values()) > 1  # without it: one file per task per year
