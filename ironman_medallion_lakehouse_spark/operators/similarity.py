@@ -337,3 +337,70 @@ def ivf_topk(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_axes: int = 2,
+) -> DataFrame:
+    """Exact cosine near-duplicate pairs as a blocked EQUI-join —
+    recall 1.0, never an all-pairs θ-join.
+
+    The bound that makes blocking lossless: on unit vectors,
+    cos(a,b) ≥ t  ⟹  ‖a−b‖² = 2−2·cos ≤ 2−2t, so along ANY single
+    coordinate |a_i − b_i| ≤ w where w = sqrt(2−2t). Binning each of
+    the first ``n_axes`` normalized coordinates at width w therefore
+    puts every qualifying pair in the same-or-adjacent bin per axis.
+    One side is replicated to its 3^n_axes neighbor-bin combinations
+    (the bin-replicate-refine rewrite of operators/rangejoin.py,
+    generalized to n axes) and the join is an equi-join on the bin
+    tuple — each true pair meets on exactly one offset combination, so
+    no distinct is needed. The exact cosine filter then drops false
+    candidates.
+
+    Scale: shuffle keys are bin tuples (O((range/w)^n_axes) blocks);
+    cost is sum of per-block products instead of n². At t=0.99,
+    w≈0.14 — tight blocks. Raise n_axes for denser corpora (3^n_axes
+    replication vs multiplicative pruning). Unlike sign-LSH banding,
+    recall is provably 1, so the same function is the verification
+    baseline AND the scale path.
+    """
+    w = float((2.0 - 2.0 * threshold) ** 0.5)
+    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / norm(F.col(vec_col)))
+    offsets = [[]]
+    for _ in range(n_axes):
+        offsets = [o + [d] for o in offsets for d in (-1, 0, 1)]
+
+    def bins(df, side):
+        # bin on the unit-normalized coordinates (that's what the bound
+        # is stated over), but carry the ORIGINAL vector for the refine
+        # filter so scores are bit-identical to an unblocked scorer
+        df = df.withColumn("_u", unit)
+        for i in range(n_axes):
+            df = df.withColumn(
+                f"_b{i}", F.floor(F.element_at(F.col("_u"), i + 1) / F.lit(w))
+            )
+        return df.select(
+            F.col(id_col).alias(f"id_{side}"),
+            F.col(vec_col).alias(f"v_{side}"),
+            *[F.col(f"_b{i}") for i in range(n_axes)],
+        )
+
+    left = bins(embeddings, "a")
+    right = bins(embeddings, "b")
+    right = right.withColumn(
+        "_off", F.explode(F.array(*[F.array(*[F.lit(d) for d in o]) for o in offsets]))
+    )
+    for i in range(n_axes):
+        right = right.withColumn(f"_b{i}", F.col(f"_b{i}") + F.element_at("_off", i + 1))
+    cond = F.col("id_a") < F.col("id_b")
+    for i in range(n_axes):
+        cond = cond & (left[f"_b{i}"] == right[f"_b{i}"])
+    return (
+        left.join(right, cond)
+        .filter(cosine(F.col("v_a"), F.col("v_b")) >= threshold)
+        .select("id_a", "id_b")
+    )

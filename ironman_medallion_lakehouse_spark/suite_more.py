@@ -815,16 +815,16 @@ _DOT = "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
     """,
 )
 def q59_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs at threshold 0.99. The
-    exact all-pairs form is the verification baseline (here, bounded
-    corpus); at 100 TB the IVF cells (q46) or LSH buckets provide the
-    blocking and this same scoring runs only within candidate blocks."""
-    t = load_tables(spark, sf_dir, "embeddings")
-    e = t["embeddings"]
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= 0.99)
-        .select("id_a", "id_b")
+    """Embedding-cosine near-duplicate pairs at threshold 0.99, via the
+    lossless blocked equi-join (operators/similarity.
+    cosine_neardup_pairs): unit-coordinate binning at width
+    sqrt(2−2t) guarantees every qualifying pair shares a bin tuple
+    (recall exactly 1 — provable, unlike sign-LSH banding), so the
+    DuckDB all-pairs θ-join oracle stays the spec while the Spark plan
+    is an equi-join whose cost is per-block products, not n²."""
+    from ironman_medallion_lakehouse_spark.operators.similarity import (
+        cosine_neardup_pairs,
     )
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(t["embeddings"], threshold=0.99)
