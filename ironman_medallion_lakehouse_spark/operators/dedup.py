@@ -51,27 +51,18 @@ def shingles(text_col: str, n: int = 3) -> Column:
 
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Exact dedup: md5 content hash → group stats. Keeper = min id
-    (deterministic survivor policy)."""
-    return (
-        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
-        .agg(
-            F.count(F.lit(1)).alias("n_copies"),
-            F.min(id_col).alias("keeper"),
-        )
+    """Group-grain view of ``exact_dedup``: (content_hash, n_copies,
+    keeper). One survivor policy, three projections — this and
+    ``exact_dedup_survivors`` are thin views over the fused pass so the
+    min-id tiebreak can never drift between them."""
+    return exact_dedup(docs, text_col, id_col).select(
+        "content_hash", "n_copies", F.col(id_col).alias("keeper")
     )
 
 
 def exact_dedup_survivors(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Rows that survive exact dedup (first id per content hash)."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col).asc())
-    return (
-        docs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    """Survivor-rows-only view of ``exact_dedup`` (original columns)."""
+    return exact_dedup(docs, text_col, id_col).drop("content_hash", "n_copies")
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -93,7 +84,7 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def minhash_signatures(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 128
 ) -> DataFrame:
     """k-permutation MinHash over distinct word tokens.
 
@@ -101,6 +92,9 @@ def minhash_signatures(
     element is the minimum hash — computed as k min-aggregations over a
     single explode. One shuffle on id_col; map-side partial mins make
     the reduce tiny regardless of document size.
+
+    The k=128 default matches ``lsh_candidate_pairs`` (32 bands × r=4),
+    so the documented two-call pipeline works with defaults end-to-end.
     """
     tokens = docs.select(
         F.col(id_col), F.explode(word_set(text_col)).alias("tok")
@@ -113,10 +107,17 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str = "doc_id", k: int = 128, bands: int = 32
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    k: int | None = None,
+    bands: int = 32,
 ) -> DataFrame:
     """LSH banding: hash each band of r = k/bands signature elements to
     a bucket; documents sharing any band bucket become candidate pairs.
+
+    ``k`` defaults to the signature width actually present in the
+    input (the sig_* columns), so the two-call pipeline can't silently
+    reference columns that don't exist.
 
     Implemented as one explode to (band_id, bucket) + a self equi-join
     on (band_id, bucket) — the join keys are uniform md5 buckets, so
@@ -130,7 +131,14 @@ def lsh_candidate_pairs(
     (superlinear output growth at corpus scale). ALWAYS follow with
     ``jaccard_refine`` — banding is a recall filter, not a verdict.
     """
+    if k is None:
+        k = sum(1 for f in signatures.schema.fields if f.name.startswith("sig_"))
     r = k // bands
+    if r < 1:
+        raise ValueError(
+            f"bands ({bands}) exceeds signature width k ({k}); "
+            "recompute signatures with k >= bands (k=128 recommended)"
+        )
     band_cols = [
         F.struct(
             F.lit(b).alias("band_id"),

@@ -367,21 +367,35 @@ def cosine_neardup_pairs(
     replication vs multiplicative pruning). Unlike sign-LSH banding,
     recall is provably 1, so the same function is the verification
     baseline AND the scale path.
+
+    Edge cases: threshold=1.0 gives w=0 — clamped to a tiny positive
+    width (the |Δ| ≤ 0 ≤ w bound still holds, exact duplicates share a
+    bin). Zero-norm vectors have no direction (cosine undefined): their
+    bins go NULL via nullif, and NULL join keys match nothing, so they
+    produce no pairs instead of a division error.
     """
-    w = float((2.0 - 2.0 * threshold) ** 0.5)
-    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / norm(F.col(vec_col)))
+    w = max(float((2.0 - 2.0 * threshold) ** 0.5), 1e-9)
     offsets = [[]]
     for _ in range(n_axes):
         offsets = [o + [d] for o in offsets for d in (-1, 0, 1)]
 
     def bins(df, side):
         # bin on the unit-normalized coordinates (that's what the bound
-        # is stated over), but carry the ORIGINAL vector for the refine
-        # filter so scores are bit-identical to an unblocked scorer
-        df = df.withColumn("_u", unit)
+        # is stated over) — norm computed ONCE per row, and only the
+        # n_axes binned coordinates are normalized (a full unit-vector
+        # transform would re-run the O(dim) norm fold per element:
+        # Spark doesn't hoist lambda-invariant aggregates). The ORIGINAL
+        # vector is carried for the refine filter so scores are
+        # bit-identical to an unblocked scorer.
+        df = df.withColumn("_n", F.nullif(norm(F.col(vec_col)), F.lit(0.0)))
         for i in range(n_axes):
             df = df.withColumn(
-                f"_b{i}", F.floor(F.element_at(F.col("_u"), i + 1) / F.lit(w))
+                f"_b{i}",
+                F.floor(
+                    F.element_at(F.col(vec_col), i + 1).cast("double")
+                    / F.col("_n")
+                    / F.lit(w)
+                ),
             )
         return df.select(
             F.col(id_col).alias(f"id_{side}"),

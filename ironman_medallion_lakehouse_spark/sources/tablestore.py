@@ -56,6 +56,9 @@ _CKPT_RE = re.compile(r"^(\d{8})\.checkpoint\.json$")
 # replay at most N-1 delta entries on top of the nearest checkpoint.
 CHECKPOINT_EVERY = 10
 
+# sentinel: "caller didn't supply the previous manifest — replay the log"
+_DERIVE_PREV: "Manifest | None" = object()  # type: ignore[assignment]
+
 
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed the same table version first."""
@@ -182,21 +185,30 @@ class TableStore:
             stats=stats,
         )
 
-    def _commit(self, name: str, manifest: Manifest) -> None:
+    def _commit(
+        self, name: str, manifest: Manifest, prev: Manifest | None = _DERIVE_PREV
+    ) -> None:
         """Commit the target state as a DELTA entry (diff vs the
         previous version), put-if-absent: os.link refuses to replace an
         existing entry, so two writers that both read version N cannot
         both commit N+1 — the loser gets ConcurrentCommitError instead
         of silently clobbering (on an object store this is the
         conditional PUT Delta uses). Every CHECKPOINT_EVERY-th version
-        additionally writes a full-snapshot checkpoint."""
+        additionally writes a full-snapshot checkpoint.
+
+        Callers pass the previous Manifest they already hold (``prev``,
+        None for a new table) so the commit doesn't replay the log a
+        second time — at one commit per streaming micro-batch the
+        duplicate checkpoint+delta reads are the dominant metadata
+        cost."""
         log_dir = self._log_dir(name)
         os.makedirs(log_dir, exist_ok=True)
-        prev = (
-            self._manifest_at(name, manifest.version - 1)
-            if manifest.version > 1
-            else None
-        )
+        if prev is _DERIVE_PREV:
+            prev = (
+                self._manifest_at(name, manifest.version - 1)
+                if manifest.version > 1
+                else None
+            )
         prev_files = set(prev.files) if prev else set()
         new_files = set(manifest.files)
         add = [f for f in manifest.files if f not in prev_files]
@@ -234,18 +246,29 @@ class TableStore:
 
     # -------------------------------------------------------------- file io
     def _write_files(
-        self, df: DataFrame, name: str, partition_by: list[str]
+        self, df: DataFrame, name: str, partition_by: list[str], distribute: bool = True
     ) -> list[str]:
         """Write df as immutable parquet files into data/, return relative paths.
 
         Spark writes to a staging dir; files are then renamed into the
         shared partition layout with a unique write-id prefix (renames
         are metadata-only — no data copy).
+
+        ``distribute`` (default on, Delta's optimizeWrite analogue):
+        partitioned writes REBALANCE-hint on the partition columns
+        first, so each hive partition is written by as few tasks as its
+        size needs — without it a T-task upstream writing P partitions
+        emits up to T×P small files at cluster scale. Applied HERE so
+        every write path (overwrite, both merges, streaming ingest)
+        shares it; callers that have already arranged the distribution
+        (range clustering, explicit compaction) pass False.
         """
         data_dir = self._data_dir(name)
         os.makedirs(data_dir, exist_ok=True)
         write_id = uuid.uuid4().hex[:12]
         staging = os.path.join(self._table_dir(name), f"_staging-{write_id}")
+        if partition_by and distribute:
+            df = df.hint("rebalance", *partition_by)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -392,9 +415,29 @@ class TableStore:
             raise FileNotFoundError(f"table {name} does not exist in {self.root}")
         if column not in manifest.partition_by:
             raise ValueError(f"{column} is not a partition column of {name}")
-        wanted = {f"{column}={v}" for v in values}
+        # Match by PARSING the dir segments rather than formatting the
+        # wanted values: Spark percent-escapes special characters in
+        # partition paths ('a b' → 'a%20b') and writes NULL as
+        # __HIVE_DEFAULT_PARTITION__, so naive f"{col}={v}" string
+        # equality silently misses those partitions.
+        from urllib.parse import unquote
+
+        wanted = {("\0null" if v is None else str(v)) for v in values}
+
+        def seg_value(seg: str) -> str | None:
+            pfx = f"{column}="
+            if not seg.startswith(pfx):
+                return None
+            raw = seg[len(pfx):]
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                return "\0null"
+            return unquote(raw)
+
         kept = [
-            f for f in manifest.files if wanted.intersection(f.split(os.sep))
+            f
+            for f in manifest.files
+            if any((sv := seg_value(seg)) is not None and sv in wanted
+                   for seg in f.split(os.sep))
         ]
         schema = StructType.fromJson(json.loads(manifest.schema_json))
         if not kept:
@@ -446,25 +489,21 @@ class TableStore:
         rest — the same practical effect Z-ordering targets, using
         only built-in exchange/sort operators.
 
-        ``optimize_write`` (default on, Delta's optimizeWrite
-        analogue): partitioned writes REBALANCE-hint on the partition
-        columns first, so each hive partition is written by as few
-        tasks as its size needs instead of by every upstream task —
-        without it a T-task write into P partitions emits up to T×P
-        small files at cluster scale. AQE's rebalance both coalesces
-        small partitions and splits skewed ones, so one huge year
-        still parallelizes."""
+        ``optimize_write`` (default on): see ``_write_files`` — the
+        rebalance-hint write distribution shared by every write path;
+        range clustering supplies its own distribution, so the two are
+        mutually exclusive here."""
         partition_by = partition_by or []
+        distribute = bool(optimize_write)
         if cluster_by:
             df = (
                 df.repartitionByRange(cluster_files, *cluster_by)
                 if cluster_files
                 else df.repartitionByRange(*cluster_by)
             ).sortWithinPartitions(*cluster_by)
-        elif partition_by and optimize_write:
-            df = df.hint("rebalance", *partition_by)
+            distribute = False
         prev = self._latest_manifest(name)
-        files = self._write_files(df, name, partition_by)
+        files = self._write_files(df, name, partition_by, distribute=distribute)
         self._commit(
             name,
             Manifest(
@@ -474,6 +513,7 @@ class TableStore:
                 files=files,
                 stats=self._collect_file_stats(self._data_dir(name), files),
             ),
+            prev=prev,
         )
 
     def merge_insert_only(
@@ -521,6 +561,7 @@ class TableStore:
                 files=manifest.files + files,
                 stats=stats,
             ),
+            prev=manifest,
         )
 
     def merge_scd1(
@@ -597,6 +638,7 @@ class TableStore:
                 files=files,
                 stats=self._collect_file_stats(self._data_dir(name), files),
             ),
+            prev=manifest,
         )
 
     def optimize(
@@ -652,7 +694,9 @@ class TableStore:
             df = df.repartition(*manifest.partition_by)
         else:
             df = df.coalesce(1)
-        files = self._write_files(df, name, manifest.partition_by)
+        # every branch above arranged its own distribution — don't
+        # re-shuffle in the write layer
+        files = self._write_files(df, name, manifest.partition_by, distribute=False)
         self._commit(
             name,
             Manifest(
@@ -662,6 +706,7 @@ class TableStore:
                 files=files,
                 stats=self._collect_file_stats(self._data_dir(name), files),
             ),
+            prev=manifest,
         )
 
     def vacuum(self, name: str) -> int:

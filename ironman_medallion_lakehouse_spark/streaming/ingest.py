@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ironman_medallion_lakehouse_spark.sources.tablestore import ConcurrentCommitError
+
 
 def streaming_merge_into(
     spark,
@@ -34,6 +36,7 @@ def streaming_merge_into(
     table: str,
     keys: list[str],
     checkpoint_dir: str,
+    commit_retries: int = 5,
 ):
     """File-source stream merged continuously into a TableStore table.
 
@@ -45,7 +48,19 @@ def streaming_merge_into(
     def _merge_batch(batch_df, batch_id: int) -> None:
         # foreachBatch may replay a batch after restart; insert-only
         # merge on the natural key makes the replay a no-op.
-        store.merge_insert_only(batch_df, table, keys=keys)
+        #
+        # A concurrent writer (another stream, an OPTIMIZE) can win the
+        # put-if-absent commit race; merge_insert_only re-reads the
+        # latest manifest on entry, so losing the race is safely
+        # retryable — without this, the first real conflict would kill
+        # the whole streaming query.
+        for attempt in range(commit_retries + 1):
+            try:
+                store.merge_insert_only(batch_df, table, keys=keys)
+                return
+            except ConcurrentCommitError:
+                if attempt == commit_retries:
+                    raise
 
     stream = spark.readStream.schema(schema).format("parquet").load(source_path)
     return (

@@ -60,3 +60,16 @@ def test_blocked_pairs_plan_is_equi_join(spark):
     plan = cosine_neardup_pairs(df)._jdf.queryExecution().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_threshold_one_and_zero_norm_vectors(spark):
+    """threshold=1.0 (w=0 clamped) finds exact duplicates; a zero-norm
+    vector (cosine undefined) yields no pairs instead of a crash."""
+    M = _corpus(n_base=12, n_dupes=0)
+    rows = [Row(vec_id=i, embedding=[float(x) for x in r]) for i, r in enumerate(M)]
+    rows.append(Row(vec_id=100, embedding=[float(x) for x in M[0]]))  # exact dup of 0
+    rows.append(Row(vec_id=101, embedding=[0.0] * M.shape[1]))  # zero norm
+    df = spark.createDataFrame(rows)
+    got = {(r.id_a, r.id_b) for r in cosine_neardup_pairs(df, threshold=1.0).collect()}
+    assert (0, 100) in got
+    assert all(101 not in p for p in got)

@@ -369,3 +369,19 @@ def test_optimize_write_bounds_files_per_partition(spark, tmp_path):
         os.path.dirname(f) for f in st._latest_manifest("db.raw").files
     )
     assert max(raw_dirs.values()) > 1  # without it: one file per task per year
+
+
+def test_read_partitions_escaped_and_null_values(spark, tmp_path):
+    """Partition dirs use Spark's path escaping ('a b' → 'a%20b') and
+    __HIVE_DEFAULT_PARTITION__ for NULL; read_partitions must parse
+    them, not string-format the wanted values."""
+    st = _store(spark, tmp_path)
+    df = spark.createDataFrame(
+        [Row(cat="a b", v=1), Row(cat="plain", v=2), Row(cat=None, v=3),
+         Row(cat="x:y", v=4)]
+    )
+    st.save_overwrite(df, "db.esc", partition_by=["cat"])
+    assert [r.v for r in st.read_partitions("db.esc", "cat", ["a b"]).collect()] == [1]
+    assert [r.v for r in st.read_partitions("db.esc", "cat", ["x:y"]).collect()] == [4]
+    got = {r.v for r in st.read_partitions("db.esc", "cat", ["plain", None]).collect()}
+    assert got == {2, 3}

@@ -36,7 +36,16 @@ def _dtype_label(s: pd.Series) -> str:
     element types actually present (this is where HUGEINT → Python int
     leaks show up as 'object[int]' vs a proper 'int64')."""
     if s.dtype == object:
-        kinds = sorted({type(v).__name__ for v in s if v is not None and v == v})
+        # pd.NA makes `v == v` evaluate to NA (ambiguous truth value) —
+        # classify missingness via pd.isna, guarded for list-likes
+        # whose isna() returns an array
+        def _present(v) -> bool:
+            try:
+                return not bool(pd.isna(v))
+            except (TypeError, ValueError):
+                return True
+
+        kinds = sorted({type(v).__name__ for v in s if _present(v)})
         return f"object[{','.join(kinds)}]"
     return str(s.dtype)
 
