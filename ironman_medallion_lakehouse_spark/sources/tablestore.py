@@ -64,6 +64,79 @@ class ConcurrentCommitError(RuntimeError):
     """Another writer committed the same table version first."""
 
 
+# --------------------------------------------------------------------------
+# Log replay as module-level pure functions (no SparkSession): shared by
+# TableStore and by the change-feed streaming source, whose planner runs
+# on the driver without a store instance and whose readers run on
+# executors.
+def log_versions(log_dir: str) -> list[int]:
+    if not os.path.isdir(log_dir):
+        return []
+    return sorted(
+        int(m.group(1)) for f in os.listdir(log_dir) if (m := _LOG_RE.match(f))
+    )
+
+
+def checkpoint_versions(log_dir: str) -> list[int]:
+    if not os.path.isdir(log_dir):
+        return []
+    return sorted(
+        int(m.group(1)) for f in os.listdir(log_dir) if (m := _CKPT_RE.match(f))
+    )
+
+
+def manifest_at(log_dir: str, version: int) -> "Manifest | None":
+    """Replay delta entries on top of the nearest checkpoint ≤ version."""
+    if version not in set(log_versions(log_dir)):
+        return None
+    ckpts = [v for v in checkpoint_versions(log_dir) if v <= version]
+    files: list[str] = []
+    stats: dict[str, dict[str, list]] = {}
+    schema_json, partition_by = "", []
+    start = 0
+    if ckpts:
+        with open(os.path.join(log_dir, f"{ckpts[-1]:08d}.checkpoint.json")) as fh:
+            snap = Manifest.from_json(fh.read())
+        files, stats = list(snap.files), dict(snap.stats)
+        schema_json, partition_by = snap.schema_json, snap.partition_by
+        start = snap.version
+    for v in range(start + 1, version + 1):
+        with open(os.path.join(log_dir, f"{v:08d}.json")) as fh:
+            d = json.loads(fh.read())
+        schema_json = d["schema"]
+        partition_by = d["partition_by"]
+        if "files" in d:  # legacy full-snapshot entry
+            files = list(d["files"])
+            stats = dict(d.get("stats", {}))
+            continue
+        removed = set(d.get("remove", []))
+        files = [f for f in files if f not in removed] + d.get("add", [])
+        for f in removed:
+            stats.pop(f, None)
+        stats.update(d.get("stats", {}))
+    return Manifest(
+        version=version,
+        schema_json=schema_json,
+        partition_by=partition_by,
+        files=files,
+        stats=stats,
+    )
+
+
+def added_files_in(log_dir: str, version: int) -> list[str]:
+    """Files ADDED by exactly this commit (the change-feed grain).
+    Delta entries record it directly; legacy full-snapshot entries fall
+    back to a set diff against the previous version."""
+    path = os.path.join(log_dir, f"{version:08d}.json")
+    with open(path) as fh:
+        d = json.loads(fh.read())
+    if "add" in d:
+        return list(d["add"])
+    prev = manifest_at(log_dir, version - 1)
+    prev_files = set(prev.files) if prev else set()
+    return [f for f in d.get("files", []) if f not in prev_files]
+
+
 @dataclass
 class Manifest:
     version: int
@@ -127,20 +200,10 @@ class TableStore:
     # millions of live files, per-commit cost stays proportional to the
     # change; the O(table) snapshot amortizes 1:N (r1 VERDICT item 10).
     def _log_versions(self, name: str) -> list[int]:
-        log_dir = self._log_dir(name)
-        if not os.path.isdir(log_dir):
-            return []
-        return sorted(
-            int(m.group(1)) for f in os.listdir(log_dir) if (m := _LOG_RE.match(f))
-        )
+        return log_versions(self._log_dir(name))
 
     def _checkpoint_versions(self, name: str) -> list[int]:
-        log_dir = self._log_dir(name)
-        if not os.path.isdir(log_dir):
-            return []
-        return sorted(
-            int(m.group(1)) for f in os.listdir(log_dir) if (m := _CKPT_RE.match(f))
-        )
+        return checkpoint_versions(self._log_dir(name))
 
     def _latest_manifest(self, name: str) -> Manifest | None:
         versions = self._log_versions(name)
@@ -149,41 +212,7 @@ class TableStore:
         return self._manifest_at(name, versions[-1])
 
     def _manifest_at(self, name: str, version: int) -> Manifest | None:
-        log_dir = self._log_dir(name)
-        if version not in set(self._log_versions(name)):
-            return None
-        ckpts = [v for v in self._checkpoint_versions(name) if v <= version]
-        files: list[str] = []
-        stats: dict[str, dict[str, list]] = {}
-        schema_json, partition_by = "", []
-        start = 0
-        if ckpts:
-            with open(os.path.join(log_dir, f"{ckpts[-1]:08d}.checkpoint.json")) as fh:
-                snap = Manifest.from_json(fh.read())
-            files, stats = list(snap.files), dict(snap.stats)
-            schema_json, partition_by = snap.schema_json, snap.partition_by
-            start = snap.version
-        for v in range(start + 1, version + 1):
-            with open(os.path.join(log_dir, f"{v:08d}.json")) as fh:
-                d = json.loads(fh.read())
-            schema_json = d["schema"]
-            partition_by = d["partition_by"]
-            if "files" in d:  # legacy full-snapshot entry
-                files = list(d["files"])
-                stats = dict(d.get("stats", {}))
-                continue
-            removed = set(d.get("remove", []))
-            files = [f for f in files if f not in removed] + d.get("add", [])
-            for f in removed:
-                stats.pop(f, None)
-            stats.update(d.get("stats", {}))
-        return Manifest(
-            version=version,
-            schema_json=schema_json,
-            partition_by=partition_by,
-            files=files,
-            stats=stats,
-        )
+        return manifest_at(self._log_dir(name), version)
 
     def _commit(
         self, name: str, manifest: Manifest, prev: Manifest | None = _DERIVE_PREV

@@ -1,0 +1,82 @@
+"""Change-feed streaming source: readStream over the TableStore
+manifest log delivers exactly the rows each commit added."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from ironman_medallion_lakehouse_spark.sources.tablestore import TableStore
+from ironman_medallion_lakehouse_spark.streaming.cdc_source import stream_changes
+
+
+def _start(spark, store, name, sink):
+    return (
+        stream_changes(spark, store, name)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+
+
+def test_stream_changes_delivers_per_commit_adds(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.save_overwrite(
+        spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")]), "db.t"
+    )
+    q = _start(spark, store, "db.t", "cdc_sink")
+    try:
+        q.processAllAvailable()
+        assert {(r.k, r.v) for r in spark.table("cdc_sink").collect()} == {
+            (1, "a"),
+            (2, "b"),
+        }
+        # an insert-only merge commits a new version; the stream picks
+        # up ONLY the added rows
+        store.merge_insert_only(
+            spark.createDataFrame([Row(k=2, v="b"), Row(k=3, v="c")]), "db.t", keys=["k"]
+        )
+        q.processAllAvailable()
+        got = sorted((r.k, r.v) for r in spark.table("cdc_sink").collect())
+        assert got == [(1, "a"), (2, "b"), (3, "c")]
+    finally:
+        q.stop()
+
+
+def test_stream_changes_partitioned_table(spark, tmp_path):
+    """Partition-directory values (not stored in the data files) are
+    re-attached; an escaped value round-trips."""
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.save_overwrite(
+        spark.createDataFrame(
+            [Row(cat="a b", v=1), Row(cat="plain", v=2), Row(cat=None, v=3)]
+        ),
+        "db.p",
+        partition_by=["cat"],
+    )
+    q = _start(spark, store, "db.p", "cdc_part_sink")
+    try:
+        q.processAllAvailable()
+        got = {(r.cat, r.v) for r in spark.table("cdc_part_sink").collect()}
+        assert got == {("a b", 1), ("plain", 2), (None, 3)}
+    finally:
+        q.stop()
+
+
+def test_stream_changes_from_starting_version(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.save_overwrite(spark.createDataFrame([Row(k=1)]), "db.s")
+    store.merge_insert_only(spark.createDataFrame([Row(k=2)]), "db.s", keys=["k"])
+    store.merge_insert_only(spark.createDataFrame([Row(k=3)]), "db.s", keys=["k"])
+    q = (
+        stream_changes(spark, store, "db.s", starting_version=2)
+        .writeStream.format("memory")
+        .queryName("cdc_from_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert sorted(r.k for r in spark.table("cdc_from_sink").collect()) == [2, 3]
+    finally:
+        q.stop()
