@@ -123,6 +123,22 @@ def manifest_at(log_dir: str, version: int) -> "Manifest | None":
     )
 
 
+def parse_partition_segment(seg: str) -> tuple[str, str | None] | None:
+    """Decode one hive-style path segment ``col=raw`` → (col, value),
+    undoing Spark's percent-escaping and mapping
+    __HIVE_DEFAULT_PARTITION__ to None. Returns None for non-partition
+    segments. Single shared decoder for the batch reader
+    (read_partitions) and the change-feed streaming source."""
+    col, eq, raw = seg.partition("=")
+    if not eq:
+        return None
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return col, None
+    from urllib.parse import unquote
+
+    return col, unquote(raw)
+
+
 def added_files_in(log_dir: str, version: int) -> list[str]:
     """Files ADDED by exactly this commit (the change-feed grain).
     Delta entries record it directly; legacy full-snapshot entries fall
@@ -449,18 +465,13 @@ class TableStore:
         # partition paths ('a b' → 'a%20b') and writes NULL as
         # __HIVE_DEFAULT_PARTITION__, so naive f"{col}={v}" string
         # equality silently misses those partitions.
-        from urllib.parse import unquote
-
         wanted = {("\0null" if v is None else str(v)) for v in values}
 
         def seg_value(seg: str) -> str | None:
-            pfx = f"{column}="
-            if not seg.startswith(pfx):
+            parsed = parse_partition_segment(seg)
+            if parsed is None or parsed[0] != column:
                 return None
-            raw = seg[len(pfx):]
-            if raw == "__HIVE_DEFAULT_PARTITION__":
-                return "\0null"
-            return unquote(raw)
+            return "\0null" if parsed[1] is None else parsed[1]
 
         kept = [
             f

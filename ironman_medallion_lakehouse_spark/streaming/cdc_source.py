@@ -33,7 +33,6 @@ from __future__ import annotations
 
 import json
 import os
-from urllib.parse import unquote
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -46,6 +45,7 @@ from ironman_medallion_lakehouse_spark.sources.tablestore import (
     added_files_in,
     log_versions,
     manifest_at,
+    parse_partition_segment,
 )
 
 FORMAT_NAME = "tablestore_changes"
@@ -61,9 +61,9 @@ class _AddedFile(InputPartition):
 def _partition_values(rel_path: str, partition_by: list[str]) -> list[tuple[str, str | None]]:
     values: dict[str, str | None] = {}
     for seg in rel_path.split(os.sep)[:-1]:
-        col, eq, raw = seg.partition("=")
-        if eq and col in partition_by:
-            values[col] = None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw)
+        parsed = parse_partition_segment(seg)
+        if parsed and parsed[0] in partition_by:
+            values[parsed[0]] = parsed[1]
     return [(c, values.get(c)) for c in partition_by]
 
 
@@ -81,14 +81,19 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         versions = log_versions(self._log_dir)
-        latest = versions[-1] if versions else self._starting_version - 1
-        return {"version": latest}
+        latest = versions[-1] if versions else 0
+        # never regress below the requested start: a table still behind
+        # starting_version must not checkpoint a lower offset and later
+        # deliver versions the caller asked to skip
+        return {"version": max(latest, self._starting_version - 1)}
 
     def partitions(self, start: dict, end: dict):
-        manifest = manifest_at(self._log_dir, end["version"])
-        partition_by = manifest.partition_by if manifest else []
         parts = []
         for v in range(start["version"] + 1, end["version"] + 1):
+            # partition layout is resolved PER VERSION — a replayed
+            # range may span a repartitioning of the table
+            manifest = manifest_at(self._log_dir, v)
+            partition_by = manifest.partition_by if manifest else []
             for rel in added_files_in(self._log_dir, v):
                 parts.append(
                     _AddedFile(
@@ -114,22 +119,32 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         target = to_arrow_schema(self._schema)
-        tbl = pq.read_table(partition.path)
-        n = tbl.num_rows
-        arrays = []
-        for field in target:
-            if field.name in tbl.column_names:
-                arrays.append(tbl.column(field.name).cast(field.type))
-            else:
-                (value,) = [v for c, v in partition.part_values if c == field.name]
-                scalar = pa.scalar(value, type=pa.string())
-                arrays.append(
-                    pa.compute.cast(pa.nulls(n, pa.string()), field.type)
-                    if value is None
-                    else pa.array([value] * n, type=pa.string()).cast(field.type)
-                )
-        out = pa.Table.from_arrays(arrays, schema=target)
-        return iter(out.to_batches(max_chunksize=1 << 16))
+        part_values = dict(partition.part_values)
+
+        def align(batch: "pa.RecordBatch") -> "pa.RecordBatch":
+            n = batch.num_rows
+            arrays = []
+            for field in target:
+                if field.name in batch.schema.names:
+                    arrays.append(batch.column(field.name).cast(field.type))
+                elif field.name in part_values:
+                    value = part_values[field.name]
+                    arrays.append(
+                        pa.nulls(n, field.type)
+                        if value is None
+                        else pa.array([value] * n, type=pa.string()).cast(field.type)
+                    )
+                else:
+                    # schema evolution: a field added after this file
+                    # was written reads as NULL, same as Spark's
+                    # mergeSchema-style batch read of an older file
+                    arrays.append(pa.nulls(n, field.type))
+            return pa.RecordBatch.from_arrays(arrays, schema=target)
+
+        # stream row groups — peak executor memory is O(batch), not
+        # O(file), even when a compaction writes one huge file
+        pf = pq.ParquetFile(partition.path)
+        return (align(b) for b in pf.iter_batches(batch_size=1 << 16))
 
 
 class ChangeFeedDataSource(DataSource):

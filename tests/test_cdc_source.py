@@ -80,3 +80,29 @@ def test_stream_changes_from_starting_version(spark, tmp_path):
         assert sorted(r.k for r in spark.table("cdc_from_sink").collect()) == [2, 3]
     finally:
         q.stop()
+
+
+def test_stream_changes_schema_evolution(spark, tmp_path):
+    """A replayed range spanning a schema change must not kill the
+    query: files written before a column existed read it as NULL."""
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.save_overwrite(spark.createDataFrame([Row(k=1)]), "db.e")
+    store.save_overwrite(
+        spark.createDataFrame([Row(k=2, extra="x")]), "db.e"
+    )  # v2 widens the schema; v1's file lacks `extra`
+    # v2 is an overwrite (v1's file removed), so only v2's adds carry
+    # data — but a fresh stream replays v1's ADD too, exercising the
+    # old-file-through-new-schema path
+    q = (
+        stream_changes(spark, store, "db.e")
+        .writeStream.format("memory")
+        .queryName("cdc_evo_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {(r.k, r.extra) for r in spark.table("cdc_evo_sink").collect()}
+        assert got == {(1, None), (2, "x")}
+    finally:
+        q.stop()

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, functions as F  # noqa: E402
 from ironman_medallion_lakehouse_spark.session import get_spark, load_tables  # noqa: E402
 from ironman_medallion_lakehouse_spark import suite  # noqa: E402
 from ironman_medallion_lakehouse_spark.operators import dedup as D  # noqa: E402
+from ironman_medallion_lakehouse_spark.streaming.event_windows import sessionize  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -70,11 +71,8 @@ def _probe_queries(spark, factor: int):
             .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
             .limit(10)
         ),
-        # q11 shape: dedup-rank window
-        "window": __import__(
-            "ironman_medallion_lakehouse_spark.streaming.event_windows",
-            fromlist=["sessionize"],
-        ).sessionize(ev),
+        # sessionization shape: shared-sort window chain
+        "window": sessionize(ev),
         # q55 shape: zero-shuffle minhash
         "minhash": D.minhash_signatures(docs, k=16),
     }
@@ -92,9 +90,11 @@ def main() -> None:
     spark = get_spark(app_name="scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
     out = {"sf_dir": SF_DIR, "factor": factor, "queries": {}}
-    for name in _probe_queries(spark, 1):
-        t1 = _time(_probe_queries(spark, 1)[name])
-        tn = _time(_probe_queries(spark, factor)[name])
+    q1 = _probe_queries(spark, 1)
+    qn = _probe_queries(spark, factor)
+    for name in q1:
+        t1 = _time(q1[name])
+        tn = _time(qn[name])
         out["queries"][name] = {
             "t_1x": t1,
             f"t_{factor}x": tn,
