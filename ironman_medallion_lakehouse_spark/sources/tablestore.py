@@ -514,6 +514,7 @@ class TableStore:
         partition_by: list[str] | None = None,
         cluster_by: list[str] | None = None,
         cluster_files: int | None = None,
+        zorder_by: list[str] | None = None,
         optimize_write: bool = True,
     ) -> None:
         """Full load: format("delta").mode("overwrite")
@@ -529,13 +530,32 @@ class TableStore:
         rest — the same practical effect Z-ordering targets, using
         only built-in exchange/sort operators.
 
+        ``zorder_by`` clusters on the interleaved Morton value instead
+        (operators/zorder.py): balanced min/max skipping on EVERY
+        listed column, where ``cluster_by``'s lexicographic sort skips
+        only on the leading one. Use cluster_by for one hot filter
+        column, zorder_by for multi-dimensional probe workloads.
+
         ``optimize_write`` (default on): see ``_write_files`` — the
         rebalance-hint write distribution shared by every write path;
-        range clustering supplies its own distribution, so the two are
+        clustering supplies its own distribution, so the two are
         mutually exclusive here."""
         partition_by = partition_by or []
         distribute = bool(optimize_write)
-        if cluster_by:
+        if cluster_by and zorder_by:
+            raise ValueError("cluster_by and zorder_by are mutually exclusive")
+        if zorder_by:
+            from ironman_medallion_lakehouse_spark.operators.zorder import zorder_value
+
+            z = zorder_value(df, zorder_by)
+            df = df.withColumn("_zv", z)
+            df = (
+                df.repartitionByRange(cluster_files, "_zv")
+                if cluster_files
+                else df.repartitionByRange("_zv")
+            ).sortWithinPartitions("_zv").drop("_zv")
+            distribute = False
+        elif cluster_by:
             df = (
                 df.repartitionByRange(cluster_files, *cluster_by)
                 if cluster_files
@@ -687,6 +707,7 @@ class TableStore:
         target_partitions: int | None = None,
         min_files: int = 2,
         cluster_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> None:
         """OPTIMIZE — bin-pack small files (02_bronze.ipynb:354).
 
@@ -706,22 +727,34 @@ class TableStore:
         (repartition on the partition columns); unpartitioned tables
         coalesce to ``target_partitions`` (default 1).
 
-        ``cluster_by`` reclusters during the rewrite (the OPTIMIZE …
-        ZORDER BY analogue): range-repartition + sort-within-files on
-        the given columns so footer min/max skipping works on them.
-        Reclustering always rewrites (min_files does not gate it).
+        ``cluster_by`` reclusters during the rewrite: range-repartition
+        + sort-within-files on the given columns so footer min/max
+        skipping works on the leading column. ``zorder_by`` reclusters
+        on the interleaved Morton value instead (OPTIMIZE … ZORDER BY:
+        balanced skipping on every listed column). Reclustering always
+        rewrites (min_files does not gate it).
         """
         manifest = self._latest_manifest(name)
         if manifest is None:
             return
-        if target_partitions is None and not cluster_by:
+        if cluster_by and zorder_by:
+            raise ValueError("cluster_by and zorder_by are mutually exclusive")
+        if target_partitions is None and not cluster_by and not zorder_by:
             from collections import Counter
 
             per_dir = Counter(os.path.dirname(f) for f in manifest.files)
             if not per_dir or max(per_dir.values()) < min_files:
                 return
         df = self.read(name)
-        if cluster_by:
+        if zorder_by:
+            from ironman_medallion_lakehouse_spark.operators.zorder import zorder_value
+
+            df = df.withColumn("_zv", zorder_value(df, zorder_by))
+            n = target_partitions
+            df = (
+                df.repartitionByRange(n, "_zv") if n else df.repartitionByRange("_zv")
+            ).sortWithinPartitions("_zv").drop("_zv")
+        elif cluster_by:
             n = target_partitions
             df = (
                 df.repartitionByRange(n, *cluster_by)

@@ -385,3 +385,35 @@ def test_read_partitions_escaped_and_null_values(spark, tmp_path):
     assert [r.v for r in st.read_partitions("db.esc", "cat", ["x:y"]).collect()] == [4]
     got = {r.v for r in st.read_partitions("db.esc", "cat", ["plain", None]).collect()}
     assert got == {2, 3}
+
+
+def test_zorder_skips_on_every_clustered_column(spark, tmp_path):
+    """Z-order clustering: min/max skipping works on BOTH clustered
+    columns, where lexicographic range clustering only skips on the
+    leading one."""
+    st = _store(spark, tmp_path)
+    df = (
+        spark.range(0, 4096)
+        .withColumn("x", (F.col("id") * 2654435761) % 1024)
+        .withColumn("y", (F.col("id") * 40503) % 1024)
+    )
+    st.save_overwrite(df, "db.z", zorder_by=["x", "y"], cluster_files=16)
+    st.save_overwrite(df, "db.lex", cluster_by=["x", "y"], cluster_files=16)
+
+    zx, ztot = st.skipped_file_count("db.z", "x", lo=0, hi=63)
+    zy, _ = st.skipped_file_count("db.z", "y", lo=0, hi=63)
+    lx, ltot = st.skipped_file_count("db.lex", "x", lo=0, hi=63)
+    ly, _ = st.skipped_file_count("db.lex", "y", lo=0, hi=63)
+    assert ztot >= 8 and ltot >= 8
+    # lexicographic: leading column prunes hard, second column barely
+    assert lx <= 2
+    assert ly >= ltot - 2
+    # z-order: BOTH columns prune, and the secondary column prunes far
+    # better than lexicographic clustering ever can
+    assert zx < ztot / 2
+    assert zy < ztot / 2
+    assert zy < ly
+    # correctness: the clustered rewrite loses no rows
+    assert st.read("db.z").count() == 4096
+    assert st.read_where("db.z", "y", lo=0, hi=63).filter("y <= 63").count() == \
+        df.filter("y <= 63").count()
