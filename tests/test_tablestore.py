@@ -417,3 +417,20 @@ def test_zorder_skips_on_every_clustered_column(spark, tmp_path):
     assert st.read("db.z").count() == 4096
     assert st.read_where("db.z", "y", lo=0, hi=63).filter("y <= 63").count() == \
         df.filter("y <= 63").count()
+
+
+def test_optimize_zorder_reclusters_in_place(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    df = (
+        spark.range(0, 2048)
+        .withColumn("x", (F.col("id") * 2654435761) % 512)
+        .withColumn("y", (F.col("id") * 40503) % 512)
+    )
+    st.save_overwrite(df.repartition(8), "db.zo")
+    # 16 z-range files = 4 interleaved prefix bits = two split levels
+    # per column, so both columns prune below half
+    st.optimize("db.zo", target_partitions=16, zorder_by=["x", "y"])
+    kx, tot = st.skipped_file_count("db.zo", "x", lo=0, hi=31)
+    ky, _ = st.skipped_file_count("db.zo", "y", lo=0, hi=31)
+    assert tot >= 4 and kx < tot / 2 and ky < tot / 2
+    assert st.read("db.zo").count() == 2048
