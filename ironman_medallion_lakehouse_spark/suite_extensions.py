@@ -106,9 +106,9 @@ _BAND_SELECTS = "\n      UNION ALL ".join(
 def q43_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full near-dup scale path (operators/dedup.py): MinHash
     (k=128) → LSH banding (32 bands × r=4) → exact word-set Jaccard
-    refine at 0.5 over candidates only. Explode + k min-aggs + band
-    equi-join + two candidate-bounded hash joins; no all-pairs
-    computation anywhere. Covers both the LSH-candidate and the
+    refine at 0.5 over candidates only. Zero-shuffle per-row signature
+    transforms + band equi-join + two candidate-bounded hash joins; no
+    all-pairs computation anywhere. Covers both the LSH-candidate and the
     Jaccard-verify operator families (previously q42 + q43).
 
     Measured at sf0.01: 107k band candidates → 91k pairs ≥ 0.5 — an
@@ -139,7 +139,8 @@ def q43_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q55_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature computation alone (the linear, scalable stage
-    of q43): one explode + k min-aggregations, map-side partial mins.
+    of q43): array_min over per-row transforms — zero shuffles, one
+    codegen stage (see operators/dedup.minhash_signatures).
     Benchmarked separately from pair generation because the synthetic
     corpus's tiny vocabulary makes true near-dup pairs quadratically
     dense — candidate explosion there is data, not plan."""
