@@ -139,6 +139,21 @@ def parse_partition_segment(seg: str) -> tuple[str, str | None] | None:
     return col, unquote(raw)
 
 
+def _render_partition_value(v) -> str:
+    """Render a Python value the way Spark renders it in a hive-style
+    partition path (pre-escaping), so read_partitions can compare
+    against parsed segments. Spark writes booleans lowercase
+    ('true'/'false'), dates/timestamps in ISO 'yyyy-MM-dd[ HH:mm:ss]'
+    form, and ints/floats via toString — Python ``str()`` matches all
+    of those EXCEPT bool ('True') and zero-microsecond datetimes
+    (which str() already renders without the fraction, matching)."""
+    if v is None:
+        return "\0null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
 def added_files_in(log_dir: str, version: int) -> list[str]:
     """Files ADDED by exactly this commit (the change-feed grain).
     Delta entries record it directly; legacy full-snapshot entries fall
@@ -465,7 +480,7 @@ class TableStore:
         # partition paths ('a b' → 'a%20b') and writes NULL as
         # __HIVE_DEFAULT_PARTITION__, so naive f"{col}={v}" string
         # equality silently misses those partitions.
-        wanted = {("\0null" if v is None else str(v)) for v in values}
+        wanted = {_render_partition_value(v) for v in values}
 
         def seg_value(seg: str) -> str | None:
             parsed = parse_partition_segment(seg)

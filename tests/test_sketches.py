@@ -7,7 +7,11 @@ from pyspark.sql import functions as F
 
 from ironman_medallion_lakehouse_spark.operators.sketches import (
     distinct_sketches,
+    quantile_sketches,
     rollup_distinct,
+    rollup_quantiles,
+    rollup_theta,
+    theta_sketches,
 )
 
 
@@ -61,3 +65,60 @@ def test_rollup_by_union_matches_direct_sketch(spark):
     total = rollup_distinct(fine, []).collect()[0].approx_distinct
     exact_total = df.select(F.countDistinct("user_id")).collect()[0][0]
     assert abs(total - exact_total) <= 0.05 * exact_total
+
+
+def test_kll_quantile_rollup_tracks_exact_quantiles(spark):
+    """KLL sketches stored at (day, country) answer per-day quantiles
+    by merge; estimates stay within the sketch's rank-error bound of
+    exact percentiles. Values are skewed (id^1.3) so the median isn't
+    trivially the midpoint."""
+    df = _events(spark).withColumn(
+        "latency", F.pow(F.col("id") % 1000, F.lit(1.3))
+    )
+    fine = quantile_sketches(df, ["day", "country"], "latency")
+    rolled = {
+        r.day: (r.q_0_5, r.q_0_99)
+        for r in rollup_quantiles(fine, ["day"], [0.5, 0.99]).collect()
+    }
+    exact = {
+        r.day: (r.p50, r.p99)
+        for r in df.groupBy("day")
+        .agg(
+            F.expr("percentile(latency, 0.5)").alias("p50"),
+            F.expr("percentile(latency, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    # rank error ~1.7% at k=200 → compare by rank: the estimated
+    # quantile's exact rank must be within 3% of the requested rank
+    for day in exact:
+        vals = sorted(
+            r.latency for r in df.filter(F.col("day") == day).collect()
+        )
+        for est, prob in ((rolled[day][0], 0.5), (rolled[day][1], 0.99)):
+            rank = sum(v <= est for v in vals) / len(vals)
+            assert abs(rank - prob) <= 0.03, (day, prob, rank)
+    # single-sketch coarse group (rollup at the fine grain itself)
+    same_grain = rollup_quantiles(fine, ["day", "country"], [0.5])
+    assert same_grain.count() == 12
+
+
+def test_theta_union_and_intersection_rollups(spark):
+    """Theta union matches countDistinct within bound; intersection
+    over day-sketches estimates the users active on EVERY day."""
+    df = _events(spark)
+    fine = theta_sketches(df, ["day"], "user_id")
+    union_est = rollup_theta(fine, [], "union").collect()[0].approx_distinct
+    exact_union = df.select(F.countDistinct("user_id")).collect()[0][0]
+    assert abs(union_est - exact_union) <= 0.05 * exact_union
+
+    inter_est = (
+        rollup_theta(fine, [], "intersection").collect()[0].approx_distinct
+    )
+    days = df.select("day").distinct().count()
+    per_day = [
+        {r.user_id for r in df.filter(F.col("day") == d).select("user_id").distinct().collect()}
+        for d in range(days)
+    ]
+    exact_inter = len(set.intersection(*per_day))
+    assert abs(inter_est - exact_inter) <= max(0.06 * exact_inter, 3.0)

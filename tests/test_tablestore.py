@@ -387,6 +387,27 @@ def test_read_partitions_escaped_and_null_values(spark, tmp_path):
     assert got == {2, 3}
 
 
+def test_read_partitions_bool_and_date_values(spark, tmp_path):
+    """Spark renders partition values via Catalyst toString: booleans
+    LOWERCASE ('flag=true'), dates ISO ('d=2024-03-01'). Python
+    str(True) is 'True', so read_partitions must canonicalize bools
+    explicitly or silently return zero files."""
+    import datetime
+
+    st = _store(spark, tmp_path)
+    df = spark.createDataFrame(
+        [Row(flag=True, d=datetime.date(2024, 3, 1), v=1),
+         Row(flag=False, d=datetime.date(2024, 3, 2), v=2)]
+    )
+    st.save_overwrite(df, "db.boolp", partition_by=["flag"])
+    assert [r.v for r in st.read_partitions("db.boolp", "flag", [True]).collect()] == [1]
+    assert [r.v for r in st.read_partitions("db.boolp", "flag", [False]).collect()] == [2]
+
+    st.save_overwrite(df, "db.datep", partition_by=["d"])
+    got = st.read_partitions("db.datep", "d", [datetime.date(2024, 3, 1)]).collect()
+    assert [r.v for r in got] == [1]
+
+
 def test_zorder_skips_on_every_clustered_column(spark, tmp_path):
     """Z-order clustering: min/max skipping works on BOTH clustered
     columns, where lexicographic range clustering only skips on the
