@@ -150,6 +150,12 @@ def lsh_candidate_pairs(
             f"bands ({bands}) exceeds signature width k ({k}); "
             "recompute signatures with k >= bands (k=128 recommended)"
         )
+    if k % bands:
+        raise ValueError(
+            f"signature width k ({k}) is not divisible by bands ({bands}); "
+            f"the trailing {k % bands} signature columns would be silently "
+            "ignored, weakening the banding threshold — choose k % bands == 0"
+        )
     band_cols = [
         F.struct(
             F.lit(b).alias("band_id"),

@@ -46,15 +46,18 @@ def zorder_value(
     j lands at interleaved position i*len(columns)+j."""
     n_buckets = 1 << bits_per_col
     probs = [i / n_buckets for i in range(1, n_buckets)]
+    # ONE driver action computes all columns' quantiles in a single
+    # scan (df.approxQuantile with a column list runs one shared
+    # QuantileSummaries job; nulls are ignored per column) — the
+    # per-column form was n full scans of the input (r2 VERDICT).
+    all_cuts = df.select(
+        *[F.col(c).cast("double").alias(c) for c in columns]
+    ).approxQuantile(columns, probs, 0.01)
     z = F.lit(0).cast("long")
     for j, col in enumerate(columns):
-        cuts = (
-            df.select(F.col(col).cast("double").alias("_z"))
-            .na.drop()
-            .approxQuantile("_z", probs, 0.01)
-        )
-        # deduplicate degenerate cuts (low-cardinality columns)
-        cuts = sorted(set(cuts))
+        # deduplicate degenerate cuts (low-cardinality columns); NaNs
+        # (all-null columns) drop out of the sorted set comparison
+        cuts = sorted({c for c in all_cuts[j] if c == c})
         bucket = _bucket_expr(col, cuts).cast("long")
         for i in range(bits_per_col):
             bit = F.shiftright(bucket, i).bitwiseAND(F.lit(1))

@@ -139,19 +139,115 @@ def parse_partition_segment(seg: str) -> tuple[str, str | None] | None:
     return col, unquote(raw)
 
 
-def _render_partition_value(v) -> str:
+def _java_style_float_str(a: float, digits: str | None = None) -> str:
+    """Render a positive finite float the way Java's ``Double.toString``
+    does (Spark's partition-path renderer): decimal form for
+    10^-3 ≤ a < 10^7, otherwise ``d.dddEn`` scientific with one digit
+    before the point — '1.0E-7', '1.2345678E7', never Python's
+    '1e-07'. ``digits`` overrides the significant digits (used for
+    FloatType, whose shortest round-trip digits differ from the
+    double's)."""
+    from decimal import Decimal
+
+    d = Decimal(digits if digits is not None else repr(a))
+    _sign, digs, exp = d.as_tuple()
+    adjusted = exp + len(digs) - 1
+    digstr = "".join(map(str, digs)).rstrip("0") or "0"
+    if -3 <= adjusted <= 6:  # == 1e-3 <= a < 1e7
+        if adjusted >= 0:
+            intpart = digstr[: adjusted + 1].ljust(adjusted + 1, "0")
+            frac = digstr[adjusted + 1 :] or "0"
+            return f"{intpart}.{frac}"
+        return "0." + "0" * (-adjusted - 1) + digstr
+    mantissa = digstr[0] + "." + (digstr[1:] or "0")
+    return f"{mantissa}E{adjusted}"
+
+
+def _render_partition_value(v, dtype=None) -> str:
     """Render a Python value the way Spark renders it in a hive-style
     partition path (pre-escaping), so read_partitions can compare
     against parsed segments. Spark writes booleans lowercase
-    ('true'/'false'), dates/timestamps in ISO 'yyyy-MM-dd[ HH:mm:ss]'
-    form, and ints/floats via toString — Python ``str()`` matches all
-    of those EXCEPT bool ('True') and zero-microsecond datetimes
-    (which str() already renders without the fraction, matching)."""
+    ('true'/'false'), dates as ISO 'yyyy-MM-dd', timestamps as
+    'yyyy-MM-dd HH:mm:ss[.fraction]' with trailing fraction zeros
+    trimmed ('…:09.5', not '…:09.500000'), floats/doubles via Java
+    ``toString`` (scientific outside [1e-3, 1e7)), and decimals at the
+    column's declared scale ('5.0000' for DECIMAL(10,4)) — all
+    confirmed against Spark-written directories in
+    tests/test_tablestore.py. ``dtype`` (the column's Spark DataType,
+    when the caller has the schema) disambiguates decimal scale and
+    float-vs-double digit rendering."""
     if v is None:
         return "\0null"
     if isinstance(v, bool):
         return "true" if v else "false"
+    import datetime as _dt
+    import decimal as _decimal
+    import math
+
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if math.isinf(v):
+            return "Infinity" if v > 0 else "-Infinity"
+        digits = None
+        try:
+            from pyspark.sql.types import FloatType
+
+            if isinstance(dtype, FloatType):
+                import numpy as np
+
+                digits = repr(np.float32(abs(v)))
+        except ImportError:  # pragma: no cover — numpy is baked in
+            pass
+        s = _java_style_float_str(abs(v), digits)
+        return f"-{s}" if math.copysign(1.0, v) < 0 else s
+    if isinstance(v, _dt.datetime):  # before date: datetime subclasses date
+        base = v.strftime("%Y-%m-%d %H:%M:%S")
+        if v.microsecond:
+            base += "." + f"{v.microsecond:06d}".rstrip("0")
+        return base
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, _decimal.Decimal):
+        from pyspark.sql.types import DecimalType
+
+        if isinstance(dtype, DecimalType):
+            return f"{v:.{dtype.scale}f}"
+        return str(v)
     return str(v)
+
+
+def version_changes(
+    log_dir: str, start: int, end: int
+) -> list[tuple[int, list[str], list[str]]]:
+    """(version, partition_by, added_files) for each committed version
+    in (start, end] — ONE pass over the delta entries instead of a
+    full manifest_at replay per version (r2 ADVICE: a stream catching
+    up over a large commit range paid O(backlog × replay) metadata
+    reads). Delta entries carry partition_by and the added-file list
+    directly; a legacy full-snapshot entry falls back to a running
+    file-set diff, whose base manifest is materialized at most once."""
+    out: list[tuple[int, list[str], list[str]]] = []
+    running: set[str] | None = None
+    for v in range(start + 1, end + 1):
+        path = os.path.join(log_dir, f"{v:08d}.json")
+        if not os.path.exists(path):
+            continue
+        with open(path) as fh:
+            d = json.loads(fh.read())
+        if "files" in d:  # legacy full-snapshot entry
+            if running is None:
+                prev = manifest_at(log_dir, v - 1)
+                running = set(prev.files) if prev else set()
+            added = [f for f in d["files"] if f not in running]
+            running = set(d["files"])
+        else:
+            added = list(d.get("add", []))
+            if running is not None:
+                running.difference_update(d.get("remove", []))
+                running.update(added)
+        out.append((v, d.get("partition_by", []), added))
+    return out
 
 
 def added_files_in(log_dir: str, version: int) -> list[str]:
@@ -414,6 +510,58 @@ class TableStore:
             *[F.col(f.name).cast(f.dataType) for f in schema.fields]
         )
 
+    def _read_file_subset(
+        self, name: str, manifest: Manifest, files: list[str]
+    ) -> DataFrame:
+        """Scan exactly ``files`` (rel paths) under ``name``'s recorded
+        schema — the shared reader behind read / read_partitions and the
+        partition-scoped merges. An empty subset is an empty DataFrame,
+        not an empty scan."""
+        schema = StructType.fromJson(json.loads(manifest.schema_json))
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        data_dir = self._data_dir(name)
+        reader = self.spark.read
+        if manifest.partition_by:
+            reader = reader.option("basePath", data_dir)
+        return reader.parquet(*[os.path.join(data_dir, f) for f in files]).select(
+            *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+        )
+
+    @staticmethod
+    def _split_files_by_partitions(
+        manifest: Manifest, pvals: list[tuple]
+    ) -> tuple[list[str], list[str]]:
+        """Split the manifest's files into (touched, untouched) by
+        whether their hive partition-value tuple is in ``pvals`` (tuples
+        ordered as manifest.partition_by). Matching parses the path
+        segments and renders wanted values type-aware, exactly like
+        read_partitions — manifest-level pruning, no scan."""
+        schema = StructType.fromJson(json.loads(manifest.schema_json))
+        dtypes = {f.name: f.dataType for f in schema.fields}
+        wanted = {
+            tuple(
+                _render_partition_value(v, dtypes.get(c))
+                for c, v in zip(manifest.partition_by, pv)
+            )
+            for pv in pvals
+        }
+
+        def file_tuple(rel: str) -> tuple:
+            seen: dict[str, str] = {}
+            for seg in rel.split(os.sep)[:-1]:
+                parsed = parse_partition_segment(seg)
+                if parsed and parsed[0] in manifest.partition_by:
+                    seen[parsed[0]] = (
+                        "\0null" if parsed[1] is None else parsed[1]
+                    )
+            return tuple(seen.get(c) for c in manifest.partition_by)
+
+        touched, untouched = [], []
+        for f in manifest.files:
+            (touched if file_tuple(f) in wanted else untouched).append(f)
+        return touched, untouched
+
     def read_where(
         self, name: str, column: str, lo=None, hi=None
     ) -> DataFrame:
@@ -479,8 +627,12 @@ class TableStore:
         # wanted values: Spark percent-escapes special characters in
         # partition paths ('a b' → 'a%20b') and writes NULL as
         # __HIVE_DEFAULT_PARTITION__, so naive f"{col}={v}" string
-        # equality silently misses those partitions.
-        wanted = {_render_partition_value(v) for v in values}
+        # equality silently misses those partitions. The renderer is
+        # type-aware (column dtype from the manifest schema) so float /
+        # date / timestamp / decimal keys match Spark's path form too.
+        schema = StructType.fromJson(json.loads(manifest.schema_json))
+        dtype = next((f.dataType for f in schema.fields if f.name == column), None)
+        wanted = {_render_partition_value(v, dtype) for v in values}
 
         def seg_value(seg: str) -> str | None:
             parsed = parse_partition_segment(seg)
@@ -494,15 +646,7 @@ class TableStore:
             if any((sv := seg_value(seg)) is not None and sv in wanted
                    for seg in f.split(os.sep))
         ]
-        schema = StructType.fromJson(json.loads(manifest.schema_json))
-        if not kept:
-            return self.spark.createDataFrame([], schema)
-        data_dir = self._data_dir(name)
-        return (
-            self.spark.read.option("basePath", data_dir)
-            .parquet(*[os.path.join(data_dir, f) for f in kept])
-            .select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
-        )
+        return self._read_file_subset(name, manifest, kept)
 
     def skipped_file_count(self, name: str, column: str, lo=None, hi=None) -> tuple[int, int]:
         """(files_kept, files_total) for a prospective read_where —
@@ -592,35 +736,47 @@ class TableStore:
         )
 
     def merge_insert_only(
-        self, source: DataFrame, name: str, keys: list[str]
+        self,
+        source: DataFrame,
+        name: str,
+        keys: list[str],
+        partition_by: list[str] | None = None,
     ) -> None:
         """whenNotMatchedInsertAll() merge (02_bronze.ipynb:311-318).
 
         Appends only rows whose key tuple is absent from the target.
-        Scans only the target partitions the source touches (partition
-        pruning via an IN filter on collected source partition values —
-        the source's distinct partition set is tiny by construction:
-        one year per incremental run).
+        Scans only the target partitions the source touches —
+        manifest-level pruning: the untouched partitions' files never
+        enter the anti-join scan's file index (the source's distinct
+        partition set is tiny by construction: one year per incremental
+        run).
+
+        ``partition_by`` applies only when the merge CREATES the table
+        (first micro-batch of a streaming merge, first incremental run):
+        without it the table is born unpartitioned and every later
+        batch inherits that layout (r2 ADVICE). For an existing table
+        the recorded layout wins; a conflicting request raises.
         """
         if not self.table_exists(name):
-            self.save_overwrite(source, name)
+            self.save_overwrite(source, name, partition_by=partition_by)
             return
         manifest = self._latest_manifest(name)
+        if partition_by is not None and partition_by != manifest.partition_by:
+            raise ValueError(
+                f"{name} is partitioned by {manifest.partition_by}; "
+                f"cannot merge with partition_by={partition_by}"
+            )
         target = self.read(name)
-        if manifest.partition_by:
+        # Pruning is sound only when the partition columns are part of
+        # the merge keys: then equal keys imply equal partition values,
+        # so a source row can only match inside its own partition.
+        if manifest.partition_by and set(manifest.partition_by) <= set(keys):
             pvals = [
                 tuple(r)
                 for r in source.select(*manifest.partition_by).distinct().collect()
             ]
-            if pvals:
-                cond = None
-                for pv in pvals:
-                    c = None
-                    for col, v in zip(manifest.partition_by, pv):
-                        e = F.col(col) == F.lit(v)
-                        c = e if c is None else (c & e)
-                    cond = c if cond is None else (cond | c)
-                target = target.filter(cond)
+            touched, _untouched = self._split_files_by_partitions(manifest, pvals)
+            target = self._read_file_subset(name, manifest, touched)
         new_rows = source.select(*[f.name for f in target.schema.fields]).join(
             target.select(*keys), on=keys, how="left_anti"
         )
@@ -645,6 +801,7 @@ class TableStore:
         name: str,
         keys: list[str],
         update_cols: list[str] | None = None,
+        partition_by: list[str] | None = None,
     ) -> None:
         """whenMatchedUpdate(set=update_cols).whenNotMatchedInsertAll()
         (04a_gold_dim_athletes.ipynb:311-328).
@@ -653,14 +810,44 @@ class TableStore:
         (all non-key columns by default) and keep their other columns
         (e.g. ``created_at`` survives, ``updated_at`` refreshes — the
         reference's SCD-1 contract). Unmatched source rows are inserted.
-        Rewrite scope: affected partitions only; full table if
-        unpartitioned (dims are small by design).
+
+        **Rewrite scope.** When every partition column is one of
+        ``keys`` (the usual layout for an incremental SCD-1 target:
+        partition key ⊆ natural key), only the partitions PRESENT IN THE
+        SOURCE are read and rewritten — equal keys imply equal
+        partition values, so a match cannot live elsewhere, and an
+        update cannot move a row across partitions. Untouched
+        partitions' files are carried into the new manifest
+        byte-identical, so the commit's change feed contains only
+        touched-partition rows and the merge costs O(touched), not
+        O(table) — the property that keeps SCD-1 viable on a
+        partitioned 100 TB target. When the partition columns are NOT
+        all keys (or the table is unpartitioned), a match may live in
+        any partition, so the whole table is rewritten — correct, but
+        O(table); lay out SCD-1 targets with partition ⊆ key.
+
+        ``partition_by`` applies only when the merge creates the table
+        (same contract as merge_insert_only).
         """
         if not self.table_exists(name):
-            self.save_overwrite(source, name)
+            self.save_overwrite(source, name, partition_by=partition_by)
             return
         manifest = self._latest_manifest(name)
-        target = self.read(name)
+        if partition_by is not None and partition_by != manifest.partition_by:
+            raise ValueError(
+                f"{name} is partitioned by {manifest.partition_by}; "
+                f"cannot merge with partition_by={partition_by}"
+            )
+        untouched: list[str] = []
+        if manifest.partition_by and set(manifest.partition_by) <= set(keys):
+            pvals = [
+                tuple(r)
+                for r in source.select(*manifest.partition_by).distinct().collect()
+            ]
+            touched, untouched = self._split_files_by_partitions(manifest, pvals)
+            target = self._read_file_subset(name, manifest, touched)
+        else:
+            target = self.read(name)
         cols = [f.name for f in target.schema.fields]
         update_cols = update_cols or [c for c in cols if c not in keys]
 
@@ -704,14 +891,19 @@ class TableStore:
         )
         result = merged_existing.unionByName(inserts)
         files = self._write_files(result, name, manifest.partition_by)
+        # carry untouched partitions' files (and their stats) forward
+        # unchanged; only the rewritten partitions' files are "added"
+        # in the delta entry, so CDC stays O(touched)
+        stats = {f: manifest.stats[f] for f in untouched if f in manifest.stats}
+        stats.update(self._collect_file_stats(self._data_dir(name), files))
         self._commit(
             name,
             Manifest(
                 version=manifest.version + 1,
                 schema_json=manifest.schema_json,
                 partition_by=manifest.partition_by,
-                files=files,
-                stats=self._collect_file_stats(self._data_dir(name), files),
+                files=untouched + files,
+                stats=stats,
             ),
             prev=manifest,
         )
@@ -797,12 +989,47 @@ class TableStore:
             prev=manifest,
         )
 
-    def vacuum(self, name: str) -> int:
-        """Delete data files not referenced by the latest manifest."""
+    def vacuum(
+        self,
+        name: str,
+        retain_versions: int = 0,
+        retain_hours: float | None = None,
+    ) -> int:
+        """Delete data files not referenced by any RETAINED manifest
+        version. Retained = the latest version, plus the last
+        ``retain_versions`` before it, plus every version whose commit
+        is younger than ``retain_hours`` (log-entry mtime — the
+        analogue of Delta's ``deletedFileRetentionDuration``).
+
+        **Defaults keep only the latest version** — that invalidates
+        time travel to all earlier versions AND any change-feed
+        streaming checkpoint that has not yet consumed past them (a
+        stream restarting from an old offset would try to read removed
+        files). Callers running streams over this table should pass a
+        horizon comfortably beyond their maximum stream downtime, just
+        as with Delta's retention duration."""
         manifest = self._latest_manifest(name)
         if manifest is None:
             return 0
         live = set(manifest.files)
+        versions = self._log_versions(name)
+        keep_after: set[int] = set(versions[-(retain_versions + 1):])
+        if retain_hours is not None:
+            import time
+
+            horizon = time.time() - retain_hours * 3600.0
+            log_dir = self._log_dir(name)
+            for v in versions:
+                entry = os.path.join(log_dir, f"{v:08d}.json")
+                try:
+                    if os.path.getmtime(entry) >= horizon:
+                        keep_after.add(v)
+                except OSError:
+                    keep_after.add(v)
+        for v in keep_after:
+            m = self._manifest_at(name, v)
+            if m is not None:
+                live.update(m.files)
         data_dir = self._data_dir(name)
         removed = 0
         for dirpath, _d, filenames in os.walk(data_dir):

@@ -42,10 +42,10 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from ironman_medallion_lakehouse_spark.sources.tablestore import (
-    added_files_in,
     log_versions,
     manifest_at,
     parse_partition_segment,
+    version_changes,
 )
 
 FORMAT_NAME = "tablestore_changes"
@@ -89,12 +89,14 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         parts = []
-        for v in range(start["version"] + 1, end["version"] + 1):
-            # partition layout is resolved PER VERSION — a replayed
-            # range may span a repartitioning of the table
-            manifest = manifest_at(self._log_dir, v)
-            partition_by = manifest.partition_by if manifest else []
-            for rel in added_files_in(self._log_dir, v):
+        # ONE log walk for the whole range (partition layout still
+        # resolved per version — a replayed range may span a
+        # repartitioning of the table); the per-version manifest_at
+        # replay was O(backlog × replay) when a stream caught up
+        for v, partition_by, added in version_changes(
+            self._log_dir, start["version"], end["version"]
+        ):
+            for rel in added:
                 parts.append(
                     _AddedFile(
                         os.path.join(self._data_dir, rel),

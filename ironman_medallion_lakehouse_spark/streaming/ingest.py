@@ -37,13 +37,19 @@ def streaming_merge_into(
     keys: list[str],
     checkpoint_dir: str,
     commit_retries: int = 5,
+    partition_by: list[str] | None = None,
 ):
     """File-source stream merged continuously into a TableStore table.
 
     Returns the streaming query; caller drives it (processAllAvailable
     for tests, awaitTermination in production). The checkpoint dir must
     be a durable shared path at scale (it holds source offsets — the
-    replay cursor)."""
+    replay cursor).
+
+    ``partition_by`` sets the layout when the FIRST micro-batch creates
+    the table (r2 ADVICE: without it the target was born unpartitioned
+    and every later batch inherited that); existing tables keep their
+    recorded layout."""
 
     def _merge_batch(batch_df, batch_id: int) -> None:
         # foreachBatch may replay a batch after restart; insert-only
@@ -56,7 +62,9 @@ def streaming_merge_into(
         # the whole streaming query.
         for attempt in range(commit_retries + 1):
             try:
-                store.merge_insert_only(batch_df, table, keys=keys)
+                store.merge_insert_only(
+                    batch_df, table, keys=keys, partition_by=partition_by
+                )
                 return
             except ConcurrentCommitError:
                 if attempt == commit_retries:

@@ -455,3 +455,202 @@ def test_optimize_zorder_reclusters_in_place(spark, tmp_path):
     ky, _ = st.skipped_file_count("db.zo", "y", lo=0, hi=31)
     assert tot >= 4 and kx < tot / 2 and ky < tot / 2
     assert st.read("db.zo").count() == 2048
+
+
+def test_scd1_partition_scoped_rewrite(spark, tmp_path):
+    """r2 VERDICT #1: SCD-1 on a partitioned target (partition col in
+    keys) must rewrite ONLY source-touched partitions — untouched
+    partitions' files stay byte-identical in the manifest, and the
+    change feed across the merge contains only touched-partition rows."""
+    st = _store(spark, tmp_path)
+    base = spark.createDataFrame(
+        [
+            Row(k="a", y=1, attr="old", created="c1"),
+            Row(k="b", y=1, attr="keep", created="c2"),
+            Row(k="z", y=2, attr="other", created="c3"),
+        ]
+    )
+    st.save_overwrite(base, "db.dim", partition_by=["y"])
+    m1 = st._latest_manifest("db.dim")
+    y2_files = sorted(f for f in m1.files if f.startswith("y=2"))
+    assert y2_files, "fixture must produce a y=2 partition file"
+
+    src = spark.createDataFrame(
+        [Row(k="a", y=1, attr="new", created="cX"), Row(k="c", y=1, attr="ins", created="c4")]
+    )
+    st.merge_scd1(src, "db.dim", keys=["k", "y"], update_cols=["attr"])
+
+    rows = {r.k: (r.attr, r.created, r.y) for r in st.read("db.dim").collect()}
+    assert rows["a"] == ("new", "c1", 1)
+    assert rows["b"] == ("keep", "c2", 1)
+    assert rows["c"] == ("ins", "c4", 1)
+    assert rows["z"] == ("other", "c3", 2)
+
+    m2 = st._latest_manifest("db.dim")
+    # untouched partition's files carried forward byte-identical
+    assert sorted(f for f in m2.files if f.startswith("y=2")) == y2_files
+    # the touched partition was rewritten (no y=1 file survives)
+    y1_old = {f for f in m1.files if f.startswith("y=1")}
+    assert not y1_old & set(m2.files)
+    # CDC across the merge = touched-partition rows only
+    changed = st.table_changes("db.dim", m1.version, m2.version)
+    assert {r.y for r in changed.collect()} == {1}
+    # untouched file's stats carried forward too
+    for f in y2_files:
+        if f in m1.stats:
+            assert m2.stats[f] == m1.stats[f]
+
+
+def test_scd1_full_rewrite_when_partition_not_in_keys(spark, tmp_path):
+    """When partition cols are not all merge keys a match may live in
+    any partition — the merge must fall back to a full rewrite and
+    still produce correct SCD-1 results."""
+    st = _store(spark, tmp_path)
+    st.save_overwrite(
+        spark.createDataFrame([Row(k="a", y=1, attr="old"), Row(k="b", y=2, attr="keep")]),
+        "db.dim",
+        partition_by=["y"],
+    )
+    # source row carries y=2 but matches k='a' living in y=1
+    st.merge_scd1(
+        spark.createDataFrame([Row(k="a", y=2, attr="new")]),
+        "db.dim",
+        keys=["k"],
+        update_cols=["attr"],
+    )
+    rows = {r.k: (r.attr, r.y) for r in st.read("db.dim").collect()}
+    assert rows["a"] == ("new", 1)  # attr updated, partition col kept (not an update_col)
+    assert rows["b"] == ("keep", 2)
+
+
+def test_merge_insert_only_partition_by_on_create(spark, tmp_path):
+    """r2 ADVICE: the table-creation path of merge_insert_only accepts
+    partition_by so a streaming merge's first micro-batch doesn't lock
+    in an unpartitioned layout; conflicting layout on an existing
+    table raises."""
+    import pytest as _pytest
+
+    st = _store(spark, tmp_path)
+    st.merge_insert_only(
+        spark.createDataFrame([Row(k="a", y=1, v=1)]), "db.t", keys=["k", "y"],
+        partition_by=["y"],
+    )
+    assert st._latest_manifest("db.t").partition_by == ["y"]
+    st.merge_insert_only(
+        spark.createDataFrame([Row(k="b", y=2, v=2)]), "db.t", keys=["k", "y"],
+        partition_by=["y"],
+    )
+    assert {r.k for r in st.read("db.t").collect()} == {"a", "b"}
+    with _pytest.raises(ValueError, match="partitioned by"):
+        st.merge_insert_only(
+            spark.createDataFrame([Row(k="c", y=3, v=3)]), "db.t", keys=["k", "y"],
+            partition_by=["k"],
+        )
+
+
+def test_read_partitions_float_timestamp_decimal(spark, tmp_path):
+    """r2 VERDICT #5 / ADVICE: float, timestamp-with-microseconds, and
+    decimal partition keys must match Spark's path rendering (Java
+    Double.toString scientific form, trailing-zero-trimmed fractions,
+    declared decimal scale)."""
+    import datetime
+    from decimal import Decimal
+
+    st = _store(spark, tmp_path)
+
+    # doubles incl. the scientific-notation renderings Spark uses
+    st.save_overwrite(
+        spark.createDataFrame(
+            [(1, 1.5), (2, 1e-7), (3, 12345678.0), (4, 0.001), (5, 2.0)],
+            "id int, f double",
+        ),
+        "db.fp",
+        partition_by=["f"],
+    )
+    got = {r.id for r in st.read_partitions("db.fp", "f", [1e-7, 12345678.0, 2.0]).collect()}
+    assert got == {2, 3, 5}
+
+    ts = [
+        (1, datetime.datetime(2023, 1, 5, 7, 8, 9)),
+        (2, datetime.datetime(2023, 1, 5, 7, 8, 9, 500000)),
+        (3, datetime.datetime(2023, 1, 5, 7, 8, 9, 123456)),
+    ]
+    st.save_overwrite(
+        spark.createDataFrame(ts, "id int, t timestamp"), "db.ts", partition_by=["t"]
+    )
+    got = {
+        r.id
+        for r in st.read_partitions(
+            "db.ts", "t", [ts[1][1], ts[2][1]]
+        ).collect()
+    }
+    assert got == {2, 3}
+
+    st.save_overwrite(
+        spark.createDataFrame(
+            [(1, Decimal("12.3400")), (2, Decimal("5")), (3, Decimal("-0.0100"))],
+            "id int, d decimal(10,4)",
+        ),
+        "db.dec",
+        partition_by=["d"],
+    )
+    # note Decimal("5") — the renderer must expand to the column scale 5.0000
+    got = {r.id for r in st.read_partitions("db.dec", "d", [Decimal("5"), Decimal("-0.01")]).collect()}
+    assert got == {2, 3}
+
+
+def test_vacuum_retention_horizon(spark, tmp_path):
+    """r3 ADVICE (medium): vacuum with a retention horizon keeps files
+    of recent versions so time travel / stream replay inside the
+    horizon still works; default (retain nothing) keeps only latest."""
+    st = _store(spark, tmp_path)
+    st.save_overwrite(spark.createDataFrame([Row(k="a", v=1)]), "db.t")  # v1
+    st.save_overwrite(spark.createDataFrame([Row(k="b", v=2)]), "db.t")  # v2
+    st.save_overwrite(spark.createDataFrame([Row(k="c", v=3)]), "db.t")  # v3
+
+    # hours-based horizon: everything was committed seconds ago → no-op,
+    # all versions stay time-travelable
+    assert st.vacuum("db.t", retain_hours=1.0) == 0
+    assert {r.k for r in st.read("db.t", version=1).collect()} == {"a"}
+    # retain one version back: v2 must stay readable, v1's files go
+    removed = st.vacuum("db.t", retain_versions=1)
+    assert removed > 0
+    assert {r.k for r in st.read("db.t", version=2).collect()} == {"b"}
+    # default: only latest survives
+    st.vacuum("db.t")
+    assert {r.k for r in st.read("db.t").collect()} == {"c"}
+    try:
+        st.read("db.t", version=2).collect()
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
+
+
+def test_version_changes_single_walk_matches_per_version(spark, tmp_path):
+    """The single-pass range walker (r3 ADVICE) must agree with the
+    per-version added_files_in on every committed version."""
+    from ironman_medallion_lakehouse_spark.sources.tablestore import (
+        added_files_in,
+        version_changes,
+    )
+
+    st = _store(spark, tmp_path)
+    st.save_overwrite(
+        spark.createDataFrame([Row(k="a", y=1, v=1), Row(k="z", y=2, v=9)]),
+        "db.t",
+        partition_by=["y"],
+    )
+    st.merge_insert_only(
+        spark.createDataFrame([Row(k="b", y=1, v=2)]), "db.t", keys=["k", "y"]
+    )
+    st.merge_scd1(
+        spark.createDataFrame([Row(k="a", y=1, v=10)]), "db.t", keys=["k", "y"]
+    )
+    st.optimize("db.t", target_partitions=1)
+    log_dir = st._log_dir("db.t")
+    walked = version_changes(log_dir, 0, 4)
+    assert [v for v, _pb, _a in walked] == [1, 2, 3, 4]
+    for v, pb, added in walked:
+        assert added == added_files_in(log_dir, v)
+        assert pb == ["y"]
