@@ -339,63 +339,111 @@ def ivf_topk(
     )
 
 
-def cosine_neardup_pairs(
+def _blocking_directions(
     embeddings: DataFrame,
-    threshold: float = 0.99,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_axes: int = 2,
+    w: float,
+    id_col: str,
+    vec_col: str,
+    max_axes: int,
+    min_bins: float,
+    sample_cap: int,
+) -> list[list[float]]:
+    """Choose the unit directions the near-dup blocker bins on — FROM
+    THE DATA, not the first coordinates.
+
+    Why: coordinates of unit vectors concentrate as ~N(0, 1/dim), so at
+    dim ≥ 64 a raw coordinate spans only 2-4 bins of width w≈0.14 and
+    per-block products approach n² (the r2 scale finding). Projections
+    onto the top PRINCIPAL directions don't concentrate — for any
+    corpus with structure (clusters, topics) their spread is O(1)
+    regardless of dim, because that's where the variance lives.
+
+    Method: take a deterministic pseudo-random sample (order by
+    xxhash64(id), bounded by ``sample_cap`` — a TakeOrdered, never a
+    full collect), run an SVD of the centered unit vectors on the
+    driver (numpy, O(sample·dim²) — bounded, off the data path), and
+    keep the principal directions whose sampled p02–p98 projection
+    spread covers at least ``min_bins`` bins of width w — each kept
+    axis multiplies candidate pruning by ~spread/w while costing 3× in
+    replication, so an axis is only worth keeping when spread/w ≥ 3.
+    At most ``max_axes`` are kept; if none qualify (an isotropic corpus
+    where NO direction separates — nothing prunes that), the single
+    widest direction is kept so the plan stays an equi-join.
+
+    Exactness never depends on this choice: the per-direction bound
+    |⟨a,u⟩ − ⟨b,u⟩| = |⟨a−b, u⟩| ≤ ‖a−b‖ ≤ w holds for EVERY unit
+    direction u, so any selection here only changes speed, not the
+    pair set."""
+    import numpy as np
+
+    sample = [
+        r[0]
+        for r in embeddings.select(F.col(vec_col))
+        .filter(F.col(vec_col).isNotNull())
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(sample_cap)
+        .collect()
+    ]
+    if not sample:
+        return [[1.0]]
+    M = np.asarray(sample, dtype=np.float64)
+    nrm = np.linalg.norm(M, axis=1, keepdims=True)
+    M = M[nrm[:, 0] > 0.0] / np.maximum(nrm[nrm[:, 0] > 0.0], 1e-300)
+    dim = M.shape[1]
+    if M.shape[0] < 2:
+        return [[1.0] + [0.0] * (dim - 1)]
+    # Fit directions on one half of the (hash-ordered, hence
+    # exchangeable) sample, measure spread on the held-out half: the
+    # SVD maximizes ITS OWN sample's variance, so in-sample spread is
+    # biased high and an isotropic corpus would look separable. Tiny
+    # samples (<20 eval rows) skip the split — overfitting is harmless
+    # when n itself is small.
+    half = M.shape[0] // 2
+    fit, ev = (M[:half], M[half:]) if half >= 20 else (M, M)
+    # a few spare candidates beyond max_axes so a low-spread top PC can
+    # be passed over in favor of a wider lower one
+    n_cand = min(dim, max(max_axes * 2, max_axes + 2), fit.shape[0])
+    _, _, Vt = np.linalg.svd(fit - fit.mean(axis=0), full_matrices=False)
+    cand = Vt[:n_cand]
+    proj = ev @ cand.T
+    spread = np.percentile(proj, 98, axis=0) - np.percentile(proj, 2, axis=0)
+    order = np.argsort(-spread)
+    keep = [i for i in order if spread[i] / w >= min_bins][:max_axes]
+    if not keep:
+        keep = [int(order[0])]
+    return [[float(x) for x in cand[i]] for i in keep]
+
+
+def _neardup_candidates(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    directions: list[list[float]],
 ) -> DataFrame:
-    """Exact cosine near-duplicate pairs as a blocked EQUI-join —
-    recall 1.0, never an all-pairs θ-join.
-
-    The bound that makes blocking lossless: on unit vectors,
-    cos(a,b) ≥ t  ⟹  ‖a−b‖² = 2−2·cos ≤ 2−2t, so along ANY single
-    coordinate |a_i − b_i| ≤ w where w = sqrt(2−2t). Binning each of
-    the first ``n_axes`` normalized coordinates at width w therefore
-    puts every qualifying pair in the same-or-adjacent bin per axis.
-    One side is replicated to its 3^n_axes neighbor-bin combinations
-    (the bin-replicate-refine rewrite of operators/rangejoin.py,
-    generalized to n axes) and the join is an equi-join on the bin
-    tuple — each true pair meets on exactly one offset combination, so
-    no distinct is needed. The exact cosine filter then drops false
-    candidates.
-
-    Scale: shuffle keys are bin tuples (O((range/w)^n_axes) blocks);
-    cost is sum of per-block products instead of n². At t=0.99,
-    w≈0.14 — tight blocks. Raise n_axes for denser corpora (3^n_axes
-    replication vs multiplicative pruning). Unlike sign-LSH banding,
-    recall is provably 1, so the same function is the verification
-    baseline AND the scale path.
-
-    Edge cases: threshold=1.0 gives w=0 — clamped to a tiny positive
-    width (the |Δ| ≤ 0 ≤ w bound still holds, exact duplicates share a
-    bin). Zero-norm vectors have no direction (cosine undefined): their
-    bins go NULL via nullif, and NULL join keys match nothing, so they
-    produce no pairs instead of a division error.
-    """
+    """The blocked equi-join candidate set (pre-refine): every pair
+    with cosine ≥ threshold is present (recall 1 by the projection
+    bound), plus block-collision false positives the refine filter
+    drops. Exposed separately so tests can assert the candidate count
+    is pruned, not ~n²/2."""
     w = max(float((2.0 - 2.0 * threshold) ** 0.5), 1e-9)
+    n_axes = len(directions)
     offsets = [[]]
     for _ in range(n_axes):
         offsets = [o + [d] for o in offsets for d in (-1, 0, 1)]
 
     def bins(df, side):
-        # bin on the unit-normalized coordinates (that's what the bound
-        # is stated over) — norm computed ONCE per row, and only the
-        # n_axes binned coordinates are normalized (a full unit-vector
-        # transform would re-run the O(dim) norm fold per element:
-        # Spark doesn't hoist lambda-invariant aggregates). The ORIGINAL
-        # vector is carried for the refine filter so scores are
-        # bit-identical to an unblocked scorer.
+        # project onto each blocking direction, normalized — norm
+        # computed ONCE per row (Spark doesn't hoist lambda-invariant
+        # aggregates, so don't unit-normalize the whole array). The
+        # ORIGINAL vector is carried for the refine filter so scores
+        # are bit-identical to an unblocked scorer.
         df = df.withColumn("_n", F.nullif(norm(F.col(vec_col)), F.lit(0.0)))
-        for i in range(n_axes):
+        for i, u in enumerate(directions):
+            ucol = F.array(*[F.lit(float(x)) for x in u])
             df = df.withColumn(
                 f"_b{i}",
-                F.floor(
-                    F.element_at(F.col(vec_col), i + 1).cast("double")
-                    / F.col("_n")
-                    / F.lit(w)
-                ),
+                F.floor(dot(F.col(vec_col), ucol) / F.col("_n") / F.lit(w)),
             )
         return df.select(
             F.col(id_col).alias(f"id_{side}"),
@@ -413,8 +461,57 @@ def cosine_neardup_pairs(
     cond = F.col("id_a") < F.col("id_b")
     for i in range(n_axes):
         cond = cond & (left[f"_b{i}"] == right[f"_b{i}"])
+    return left.join(right, cond).select("id_a", "id_b", "v_a", "v_b")
+
+
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_axes: int = 3,
+    min_bins: float = 3.0,
+    sample_cap: int = 1024,
+) -> DataFrame:
+    """Exact cosine near-duplicate pairs as a blocked EQUI-join —
+    recall 1.0, never an all-pairs θ-join, dimension-robust.
+
+    The bound that makes blocking lossless: on unit vectors,
+    cos(a,b) ≥ t  ⟹  ‖a−b‖ ≤ w = sqrt(2−2t), so the projections of a
+    and b onto ANY unit direction u differ by at most w. Binning each
+    chosen direction's projection at width w therefore puts every
+    qualifying pair in the same-or-adjacent bin per axis. One side is
+    replicated to its 3^n_axes neighbor-bin combinations (the
+    bin-replicate-refine rewrite of operators/rangejoin.py,
+    generalized) and the join is an equi-join on the bin tuple — each
+    true pair meets on exactly one offset combination, so no distinct
+    is needed. The exact cosine filter then drops false candidates.
+
+    The directions and their count are chosen FROM THE DATA
+    (``_blocking_directions``): top principal directions of a bounded
+    deterministic sample, keeping only axes whose projection spread
+    covers ≥ ``min_bins`` bins — raw first-coordinates binning (the r2
+    design) degenerates at dim ≥ 64 because unit-vector coordinates
+    concentrate as ~N(0, 1/dim), while principal projections keep O(1)
+    spread on any structured corpus at any dim.
+
+    Scale: shuffle keys are bin tuples; cost is sum of per-block
+    products instead of n². Unlike sign-LSH banding, recall is
+    provably 1, so the same function is the verification baseline AND
+    the scale path.
+
+    Edge cases: threshold=1.0 gives w=0 — clamped to a tiny positive
+    width (the |Δ| ≤ 0 ≤ w bound still holds, exact duplicates share a
+    bin). Zero-norm vectors have no direction (cosine undefined): their
+    bins go NULL via nullif, and NULL join keys match nothing, so they
+    produce no pairs instead of a division error.
+    """
+    w = max(float((2.0 - 2.0 * threshold) ** 0.5), 1e-9)
+    directions = _blocking_directions(
+        embeddings, w, id_col, vec_col, max_axes, min_bins, sample_cap
+    )
     return (
-        left.join(right, cond)
+        _neardup_candidates(embeddings, threshold, id_col, vec_col, directions)
         .filter(cosine(F.col("v_a"), F.col("v_b")) >= threshold)
         .select("id_a", "id_b")
     )

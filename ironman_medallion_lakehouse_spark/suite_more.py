@@ -811,20 +811,29 @@ _DOT = "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b
     FROM n a JOIN n b ON a.vec_id < b.vec_id
-    WHERE {_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) >= 0.99
+    WHERE {_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) >= 0.45
     """,
 )
 def q59_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs at threshold 0.99, via the
-    lossless blocked equi-join (operators/similarity.
-    cosine_neardup_pairs): unit-coordinate binning at width
-    sqrt(2−2t) guarantees every qualifying pair shares a bin tuple
-    (recall exactly 1 — provable, unlike sign-LSH banding), so the
-    DuckDB all-pairs θ-join oracle stays the spec while the Spark plan
-    is an equi-join whose cost is per-block products, not n²."""
+    """Embedding-cosine near-duplicate pairs via the lossless blocked
+    equi-join (operators/similarity.cosine_neardup_pairs): projections
+    onto data-chosen principal directions, binned at width sqrt(2−2t),
+    guarantee every qualifying pair shares a bin tuple (recall exactly
+    1 — provable, unlike sign-LSH banding), so the DuckDB all-pairs
+    θ-join oracle stays the spec while the Spark plan is an equi-join
+    whose cost is per-block products, not n².
+
+    Threshold 0.45, NOT 0.99: the synthetic embeddings corpus is
+    near-isotropic (max pairwise cosine ≈ 0.51 at sf0.01), so any
+    higher threshold makes both engines return 0 pairs and the green
+    row proves nothing (the r2 verdict's "vacuous row" finding). At
+    0.45 the oracle emits 14 pairs at sf0.01 — the row attests recall,
+    not just agreement on emptiness. Recall on genuinely
+    near-duplicate corpora is covered by tests/test_neardup.py
+    (dim-256 clustered fixture, planted dupes, threshold 0.99)."""
     from ironman_medallion_lakehouse_spark.operators.similarity import (
         cosine_neardup_pairs,
     )
 
     t = load_tables(spark, sf_dir, "embeddings")
-    return cosine_neardup_pairs(t["embeddings"], threshold=0.99)
+    return cosine_neardup_pairs(t["embeddings"], threshold=0.45)

@@ -8,6 +8,8 @@ import numpy as np
 from pyspark.sql import Row
 
 from ironman_medallion_lakehouse_spark.operators.similarity import (
+    _blocking_directions,
+    _neardup_candidates,
     cosine_neardup_pairs,
 )
 
@@ -60,6 +62,74 @@ def test_blocked_pairs_plan_is_equi_join(spark):
     plan = cosine_neardup_pairs(df)._jdf.queryExecution().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _clustered_corpus(n_clusters=20, per_cluster=50, dim=256, n_dupes=40, seed=11):
+    """A realistic high-dim embedding corpus: cluster structure (topic
+    centers + within-cluster noise at sim ≈ 0.95, below the 0.99
+    threshold) plus planted near-duplicates above it."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = []
+    for c in centers:
+        vecs.append(c + rng.normal(size=(per_cluster, dim)) * 0.25 / np.sqrt(dim))
+    X = np.vstack(vecs)
+    for _ in range(n_dupes):
+        j = rng.integers(0, len(X))
+        X = np.vstack([X, (X[j] + rng.normal(size=dim) * 0.004)[None]])
+    return X / np.linalg.norm(X, axis=1, keepdims=True)
+
+
+def test_high_dim_candidates_are_pruned(spark):
+    """The r2 scale finding: raw-coordinate binning degenerates at
+    dim ≥ 64 (unit coordinates ~N(0,1/dim) all land in 2-4 bins). The
+    data-chosen principal directions must (a) still find EXACTLY the
+    brute-force pair set at dim=256 and (b) produce a candidate set
+    that is a small multiple of (true pairs + n), nowhere near n²/2."""
+    threshold = 0.99
+    M = _clustered_corpus()
+    n = len(M)
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in row]) for i, row in enumerate(M)]
+    )
+    w = float((2.0 - 2.0 * threshold) ** 0.5)
+    dirs = _blocking_directions(
+        df, w, "vec_id", "embedding", max_axes=3, min_bins=3.0, sample_cap=1024
+    )
+    assert len(dirs) == 3  # a clustered corpus has ≥3 wide directions
+    candidates = _neardup_candidates(df, threshold, "vec_id", "embedding", dirs).count()
+    expected = _true_pairs(M, threshold)
+    all_pairs = n * (n - 1) // 2
+    # empirically ~56k candidates vs 540k all-pairs on this fixture;
+    # assert with headroom: ≥4x pruning and O(true + n), not O(n²)
+    assert candidates <= all_pairs / 4, (candidates, all_pairs)
+    assert candidates <= 120 * (len(expected) + n), (candidates, len(expected), n)
+    got = {
+        (r.id_a, r.id_b)
+        for r in cosine_neardup_pairs(df, threshold=threshold).collect()
+    }
+    assert got == expected
+    assert len(expected) >= 10  # the fixture actually exercises recall
+
+
+def test_isotropic_corpus_falls_back_to_one_axis(spark):
+    """When NO direction separates (pure isotropic noise), axis
+    selection keeps the single widest direction rather than paying
+    3^n replication for no pruning — and the result is still exact."""
+    rng = np.random.default_rng(3)
+    M = rng.normal(size=(60, 128))
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in row]) for i, row in enumerate(M)]
+    )
+    w = float((2.0 - 2.0 * 0.99) ** 0.5)
+    dirs = _blocking_directions(
+        df, w, "vec_id", "embedding", max_axes=3, min_bins=3.0, sample_cap=1024
+    )
+    assert len(dirs) == 1
+    got = {(r.id_a, r.id_b) for r in cosine_neardup_pairs(df, threshold=0.3).collect()}
+    assert got == _true_pairs(M, 0.3)
 
 
 def test_threshold_one_and_zero_norm_vectors(spark):
