@@ -94,29 +94,17 @@ def q56_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-group normalization: window form (oracle) ≡ applyInPandas form (pytest)
 # ===========================================================================
 
-@register(
-    "q65_group_zscore",
-    oracle="""
-    WITH stats AS (
-      SELECT c_nationkey,
-        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(c_acctbal) AS mu,
-        COUNT(*) AS n
-      FROM customer GROUP BY c_nationkey
-    )
-    SELECT c.c_custkey,
-           c.c_nationkey,
-           ROUND((c.c_acctbal - s.mu) / 1000.0, 6) AS centered_k
-    FROM customer c JOIN stats s ON c.c_nationkey = s.c_nationkey
-    """,
-)
 def q65_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group normalization (centering), Spark-first: a window
     aggregate over the group — no Python, one shuffle. The
     applyInPandas variant of the same semantics lives in
     tests/test_extensions_more.py and is asserted equal; built-ins win
     whenever they can express the op (SURVEY §2.10 philosophy).
-    Division by a constant (not stddev) keeps the oracle
-    bit-deterministic."""
+
+    Not registered as a suite entry since round 3: the window-over-agg
+    family keeps three driver rows (q10/q23 share-of-group, q68 frame
+    window) and this slot went to the sketch-rollup row (q82); the
+    window ≡ applyInPandas equivalence stays pytest-enforced."""
     from pyspark.sql import Window
 
     t = load_tables(spark, sf_dir, "customer")
@@ -128,6 +116,79 @@ def q65_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_nationkey",
         F.round((F.col("c_acctbal") - mu) / 1000.0, 6).alias("centered_k"),
+    )
+
+
+# ===========================================================================
+# mergeable-sketch rollups (operators/sketches.py): store fine-grained,
+# answer coarse by union — the 100 TB COUNT(DISTINCT)/quantile pattern
+# ===========================================================================
+
+@register(
+    "q82_sketch_rollup",
+    oracle="""
+    SELECT
+      CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+      COUNT(DISTINCT o_custkey) AS exact_distinct_buyers,
+      quantile_cont(o_totalprice, 0.5) AS median_price,
+      TRUE AS hll_within_5pct,
+      TRUE AS theta_within_5pct,
+      TRUE AS kll_within_5pct
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q82_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch rollups driver-attested via the q28 tolerance-boolean
+    protocol (sketch estimates are engine-specific — DataSketches
+    binaries can't hash-match a DuckDB value, so the contract becomes
+    a boolean the oracle pins TRUE, alongside exact columns that ARE
+    hash-matched):
+
+    - fine grain: per-(year, priority) HLL + Theta sketches of buyers
+      and a KLL sketch of price (operators/sketches.py — ONE shuffle
+      over raw rows, each group reduced to a ~KB sketch);
+    - coarse answer: per-year rollups by sketch union/merge — input is
+      5 sketch rows per year, never raw data (at 100 TB: the fact
+      table is read once ever, every coarser dashboard grain is
+      answered from stored sketches);
+    - checks: hll/theta distinct-buyer estimates within 5% of the
+      hash-matched exact countDistinct (lgK=12 ≈ 2% stderr, 5% ≈ 3σ);
+      KLL median within 5% of the hash-matched exact interpolated
+      median (k=200 ≈ 1.7% rank error on a smooth price
+      distribution)."""
+    from ironman_medallion_lakehouse_spark.operators import sketches as SK
+
+    t = load_tables(spark, sf_dir, "orders")
+    o = t["orders"].withColumn("order_year", year_of("o_orderdate"))
+
+    hll_fine = SK.distinct_sketches(o, ["order_year", "o_orderpriority"], "o_custkey")
+    hll_year = SK.rollup_distinct(hll_fine, ["order_year"])
+    theta_fine = SK.theta_sketches(o, ["order_year", "o_orderpriority"], "o_custkey")
+    theta_year = SK.rollup_theta(theta_fine, ["order_year"], op="union")
+    kll_fine = SK.quantile_sketches(o, ["order_year", "o_orderpriority"], "o_totalprice")
+    kll_year = SK.rollup_quantiles(kll_fine, ["order_year"], probs=[0.5])
+
+    exact = o.groupBy("order_year").agg(
+        F.countDistinct("o_custkey").alias("exact_distinct_buyers"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+    )
+
+    def within(est, ref, tol=0.05):
+        return F.abs(est - ref) <= tol * F.abs(ref)
+
+    return (
+        exact.join(hll_year.withColumnRenamed("approx_distinct", "hll_est"), "order_year")
+        .join(theta_year.withColumnRenamed("approx_distinct", "theta_est"), "order_year")
+        .join(kll_year.withColumnRenamed("q_0_5", "kll_median"), "order_year")
+        .select(
+            "order_year",
+            "exact_distinct_buyers",
+            "median_price",
+            within(F.col("hll_est"), F.col("exact_distinct_buyers")).alias("hll_within_5pct"),
+            within(F.col("theta_est"), F.col("exact_distinct_buyers")).alias("theta_within_5pct"),
+            within(F.col("kll_median"), F.col("median_price")).alias("kll_within_5pct"),
+        )
     )
 
 
@@ -422,29 +483,15 @@ def q66_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q67_regional_volume",
-    oracle="""
-    SELECT
-      n.n_name AS nation_name,
-      CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
-      COUNT(*) AS n_lines
-    FROM customer c
-    JOIN orders o   ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
-    JOIN nation n   ON s.s_nationkey = n.n_nationkey
-    JOIN region r   ON n.n_regionkey = r.r_regionkey
-    WHERE r.r_name = 'ASIA'
-      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
-    GROUP BY n.n_name
-    """,
-)
 def q67_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join with a same-nation constraint between
     customer and supplier. customer/supplier/nation/region broadcast;
     the fact-side shuffle is lineitem⋈orders only.
+
+    Not registered as a suite entry since round 3: the Q5 join shape
+    overlaps q66 (Q3) and q04 (star join), and its driver slot went to
+    the serving-catalog SQL row (q80). The salted-agg plan properties
+    stay enforced by tests/test_plans_round2.py.
 
     The final aggregate runs as a **salted two-phase aggregation**
     (previously the standalone q63): the group key has only ~5 values
@@ -485,6 +532,115 @@ def q67_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("nation_name").agg(
         F.sum("_rev").cast("double").alias("revenue"),
         F.sum("_n").alias("n_lines"),
+    )
+
+
+# ===========================================================================
+# serving catalog: publish + persistent-view SQL from a fresh session
+# (SURVEY §3 entry-point 3 — 05_dashboard_queries.ipynb:49 ff.)
+# ===========================================================================
+
+@register(
+    "q80_catalog_sql",
+    oracle="""
+    WITH fact AS (
+      SELECT
+        CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS year,
+        o_custkey % 25 AS country_key,
+        o_orderstatus = 'F' AS is_finisher
+      FROM orders
+    ),
+    cty AS (
+      SELECT n_nationkey AS country_key, n_name AS country_name, r_name AS continent
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+    )
+    SELECT f.year, c.country_name, c.continent,
+           COUNT(*) AS total_athletes,
+           CAST(SUM(CASE WHEN f.is_finisher THEN 1 ELSE 0 END) AS BIGINT) AS finishers
+    FROM fact f
+    LEFT JOIN cty c ON f.country_key = c.country_key
+    WHERE c.country_name IS NOT NULL
+    GROUP BY f.year, c.country_name, c.continent
+    """,
+)
+def q80_catalog_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL serving catalog end-to-end (plans/catalog.publish_catalog,
+    SURVEY §3 entry-point 3): gold tables land in a real TableStore,
+    ``publish_catalog`` snapshots them into the session catalog and
+    issues the reference's 15 persistent-view DDLs
+    (05_dashboard_queries.ipynb:49 ff.), and the answer is read back
+    with ``spark.sql`` **from a fresh ``spark.newSession()``** — no
+    temp-view registration, exactly how a BI client would connect. The
+    driver row therefore attests the whole serving path: manifest table
+    → saveAsTable → CREATE VIEW gold.vw_* → cross-session qualified
+    SQL.
+
+    The gold schema is mapped from the driver's TPC-H-ish tables with
+    pure-SQL derivations (status flags from o_orderstatus, country_key
+    from o_custkey % 25, dims from nation ⋈ region) so DuckDB can
+    replay the published view's semantics — vw_countries_by_year: dim
+    LEFT JOIN + null-rejecting WHERE + per-(year, country) counts. All
+    15 views are created (their DDL resolves against the published
+    tables); counts-only output keeps the oracle float-free."""
+    from ironman_medallion_lakehouse_spark import config as C
+    from ironman_medallion_lakehouse_spark.plans.catalog import publish_catalog
+    from ironman_medallion_lakehouse_spark.session import staging_dir
+
+    t = load_tables(spark, sf_dir, "orders", "customer", "nation", "region")
+    o, n, r = t["orders"], t["nation"], t["region"]
+    price = F.col("o_totalprice")
+    fact = o.select(
+        F.col("o_custkey").alias("athlete_key"),
+        year_of("o_orderdate").alias("year"),
+        F.when(F.col("o_orderkey") % 2 == 0, "M").otherwise("F").alias("source_gender"),
+        (F.col("o_orderstatus") == "F").alias("is_finisher"),
+        (F.col("o_orderstatus") == "O").alias("is_dnf"),
+        (F.col("o_orderstatus") == "P").alias("is_dns"),
+        F.lit(False).alias("is_dq"),
+        F.lit(False).alias("has_data_issue"),
+        price.cast("bigint").alias("finish_time_seconds"),
+        (price / 4).cast("bigint").alias("swim_time_seconds"),
+        (price / 2).cast("bigint").alias("bike_time_seconds"),
+        (price / 5).cast("bigint").alias("run_time_seconds"),
+        (F.col("o_orderkey") % 300).alias("transition_1_seconds"),
+        (F.col("o_orderkey") % 200).alias("transition_2_seconds"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit(1)).cast("int").alias("rank"),
+        (F.col("o_custkey") % 25).alias("country_key"),
+        (F.col("o_custkey") % 8).alias("division_key"),
+    )
+    cty = n.join(r, n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("country_key"),
+        F.col("n_name").alias("country_name"),
+        F.col("r_name").alias("continent"),
+    )
+    ath = t["customer"].select(
+        F.col("c_custkey").alias("athlete_key"), F.col("c_name").alias("athlete_name")
+    )
+    div = spark.range(8).select(
+        F.col("id").alias("division_key"),
+        F.concat(F.lit("DIV-"), F.col("id")).alias("division_description"),
+        F.when(F.col("id") % 2 == 0, "M").otherwise("F").alias("gender"),
+        (F.col("id") == 0).alias("is_professional"),
+        (18 + 5 * F.col("id")).cast("int").alias("age_group_start"),
+        (22 + 5 * F.col("id")).cast("int").alias("age_group_end"),
+    )
+
+    root = tempfile.mkdtemp(prefix="catalog_", dir=staging_dir(spark, "tablestore"))
+    store = TableStore(spark, root)
+    store.save_overwrite(fact, C.FACT_RESULTS, partition_by=["year"])
+    store.save_overwrite(cty, C.DIM_COUNTRIES)
+    store.save_overwrite(ath, C.DIM_ATHLETES)
+    store.save_overwrite(div, C.DIM_DIVISIONS)
+    publish_catalog(
+        spark,
+        store,
+        tables=[C.DIM_ATHLETES, C.DIM_COUNTRIES, C.DIM_DIVISIONS, C.FACT_RESULTS],
+    )
+
+    fresh = spark.newSession()  # shares the metastore, not temp state
+    return fresh.sql(
+        "SELECT year, country_name, continent, total_athletes, finishers "
+        "FROM gold.vw_countries_by_year"
     )
 
 

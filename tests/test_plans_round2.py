@@ -31,8 +31,12 @@ def test_shipping_priority_topk_and_pushdown(spark):
 
 def test_regional_volume_broadcasts_dims(spark):
     # TPC-H Q5 shape: supplier/nation/region are explicit broadcasts;
-    # the salted two-phase aggregate shows up as >=2 HashAggregates
-    plan = _plan(spark, "q67_regional_volume")
+    # the salted two-phase aggregate shows up as >=2 HashAggregates.
+    # (q67 lost its driver slot to q80_catalog_sql in round 3 but the
+    # plan contract stays enforced here.)
+    from ironman_medallion_lakehouse_spark.suite_more import q67_regional_volume
+
+    plan = _plan_of(q67_regional_volume(spark, SF))
     assert plan.count("BroadcastHashJoin") >= 3
     assert plan.count("HashAggregate") >= 2
 
