@@ -13,9 +13,11 @@ Beyond-reference extension (BASELINE.json north star):
   matching partition directories (manifest-level pruning — the other
   cells' files never enter the scan). ~nprobe/n_cells of the corpus
   per query, built O(corpus) once.
-- **ivf_assign / ivf_topk**: the ad-hoc in-query form of the same
-  quantization with deterministic first-k centroids — what the DuckDB
-  oracle can replicate (q46); production probes use IvfIndex.
+With ``n_iter=0`` the codebook IS the deterministic first-k seed
+vectors, which a DuckDB oracle can replicate exactly (q46) — the same
+IvfIndex code path serves both the oracle check and production (the
+r2 ad-hoc ``ivf_topk``/``ivf_assign`` forms, which re-derived the
+assignment per query and collected the query's cell, are gone).
 
 All arithmetic is done in DOUBLE with an ordered left fold
 (F.aggregate), matching DuckDB's list_dot_product on DOUBLE[] casts —
@@ -78,50 +80,6 @@ def cosine_topk(
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
-def ivf_assign(
-    embeddings: DataFrame,
-    n_cells: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Assign every vector to its nearest centroid cell.
-
-    Centroids = the first n_cells rows by id (deterministic; stands in
-    for a k-means codebook). Broadcast centroids × corpus → argmin by
-    (cosine desc, centroid_id asc) via one window — a single narrow
-    pass over the corpus."""
-    from pyspark.sql import Window
-
-    centroids = (
-        embeddings.orderBy(F.col(id_col).asc())
-        .limit(n_cells)
-        .select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cvec")
-        )
-    )
-    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col),
-        F.col("centroid_id"),
-        cosine(F.col(vec_col), F.col("_cvec")).alias("_sim"),
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("_sim").desc(), F.col("centroid_id").asc()
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "centroid_id", F.col("_sim").alias("centroid_sim"))
-    )
-
-
-def ivf_cell_sizes(embeddings: DataFrame, n_cells: int = 8) -> DataFrame:
-    return (
-        ivf_assign(embeddings, n_cells)
-        .groupBy("centroid_id")
-        .agg(F.count(F.lit(1)).alias("n_members"))
-    )
-
-
 def _assign_to_centroids(
     embeddings: DataFrame,
     centroids: DataFrame,
@@ -159,7 +117,10 @@ def kmeans_centroids(
 ) -> DataFrame:
     """Deterministic Lloyd k-means codebook: (centroid_id, centroid).
 
-    - Init: the first n_cells vectors by id (reproducible seed).
+    - Init: the first n_cells vectors by id (reproducible seed); each
+      cell is labeled by its seed row's id, so with ``n_iter=0`` the
+      codebook is exactly those rows and a SQL oracle can replicate
+      the whole assignment (q46).
     - Assign: broadcast argmin with centroid_id-asc tiebreak.
     - Update: per-dimension mean via posexplode + DECIMAL(28,12)
       accumulation — order-insensitive, so the codebook is
@@ -172,12 +133,13 @@ def kmeans_centroids(
     streamed: one assignment pass + one mean pass per iteration."""
     spark = embeddings.sparkSession
     init = [
-        (i, [float(x) for x in row[1]])
-        for i, row in enumerate(
-            embeddings.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(n_cells).collect()
-        )
+        (int(row[0]), [float(x) for x in row[1]])
+        for row in embeddings.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .collect()
     ]
-    schema = "centroid_id int, centroid array<double>"
+    schema = "centroid_id bigint, centroid array<double>"
     cents = spark.createDataFrame(init, schema)
     for _ in range(n_iter):
         assigned = _assign_to_centroids(embeddings, cents, id_col, vec_col)
@@ -289,54 +251,6 @@ class IvfIndex:
             .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
             .limit(k)
         )
-
-
-def ivf_topk(
-    embeddings: DataFrame,
-    query_id: int,
-    k: int = 10,
-    n_cells: int = 8,
-    nprobe: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Approximate top-k: score only vectors in the nprobe cells nearest
-    the query. This ad-hoc form recomputes the assignment (fine for
-    one-off exploration and the deterministic oracle); production
-    probes go through IvfIndex, where the assignment is materialized
-    once, partitioned by cell, and a probe is a manifest-pruned scan."""
-    assigned = ivf_assign(embeddings, n_cells, id_col, vec_col)
-    corpus = embeddings.join(assigned.select(id_col, "centroid_id"), id_col)
-    q_cells = [
-        r.centroid_id
-        for r in assigned.filter(F.col(id_col) == query_id)
-        .select("centroid_id")
-        .collect()
-    ]
-    centroids = (
-        embeddings.orderBy(F.col(id_col).asc())
-        .limit(n_cells)
-        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cvec"))
-    )
-    q = embeddings.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("_qvec")
-    )
-    probe_cells = (
-        centroids.crossJoin(F.broadcast(q))
-        .select("centroid_id", cosine(F.col("_cvec"), F.col("_qvec")).alias("_s"))
-        .orderBy(F.col("_s").desc(), F.col("centroid_id").asc())
-        .limit(nprobe)
-        .select("centroid_id")
-    )
-    candidates = corpus.join(F.broadcast(probe_cells), "centroid_id").filter(
-        F.col(id_col) != query_id
-    )
-    return (
-        candidates.crossJoin(F.broadcast(q))
-        .select(F.col(id_col), cosine(F.col(vec_col), F.col("_qvec")).alias("cosine_sim"))
-        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
-        .limit(k)
-    )
 
 
 def _blocking_directions(

@@ -255,11 +255,32 @@ def q45_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q46_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse quantization cell sizes (operators/similarity.py):
-    broadcast 8 deterministic centroids, one narrow argmin pass. The
-    ANN scale path — probes scan ~nprobe/n_cells of the corpus."""
+    """The MATERIALIZED IVF index driver-attested end-to-end
+    (operators/similarity.IvfIndex — the production ANN scale path,
+    not an ad-hoc stand-in): ``build`` freezes the codebook, writes
+    the vector→cell assignment through a real TableStore partitioned
+    by centroid_id, and the returned cell sizes are read back FROM THE
+    INDEX TABLE. ``n_iter=0`` keeps the codebook exactly the first-8
+    seed vectors (cells labeled by seed vec_id), which is what the
+    DuckDB argmin oracle replicates; probes over the same index are
+    partition-pruned (tests/test_ivf.py asserts inputFiles ⊆ nprobe
+    cells). The r2 ad-hoc collect-path forms (ivf_topk/ivf_assign)
+    are deleted — one code path serves oracle and production."""
+    import tempfile as _tempfile
+
+    from ironman_medallion_lakehouse_spark.session import staging_dir
+    from ironman_medallion_lakehouse_spark.sources.tablestore import TableStore
+
     t = load_tables(spark, sf_dir, "embeddings")
-    return S.ivf_cell_sizes(t["embeddings"], n_cells=8)
+    root = _tempfile.mkdtemp(prefix="ivf_", dir=staging_dir(spark, "tablestore"))
+    store = TableStore(spark, root)
+    idx = S.IvfIndex(store, "ann.ivf")
+    idx.build(t["embeddings"], n_cells=8, n_iter=0)
+    return (
+        store.read(idx.assign_table)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
 
 
 # -------------------------------------------------------- text analysis

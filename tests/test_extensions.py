@@ -93,19 +93,35 @@ def test_cosine_topk_exact(spark):
     assert abs(top[0].cosine_sim - 1.0) < 1e-12
 
 
-def test_ivf_recall_vs_brute(spark):
+def test_ivf_recall_vs_brute(spark, tmp_path):
+    from ironman_medallion_lakehouse_spark.sources.tablestore import TableStore
+
     emb = _embeddings(spark)
+    store = TableStore(spark, str(tmp_path / "wh"))
+    idx = S.IvfIndex(store, "ann.ivf")
+    idx.build(emb, n_cells=4, n_iter=0)
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
     brute = [r.vec_id for r in S.cosine_topk(emb, query_id=0, k=5).collect()]
-    approx = [r.vec_id for r in S.ivf_topk(emb, query_id=0, k=5, n_cells=4, nprobe=2).collect()]
+    approx = [
+        r.vec_id
+        for r in idx.probe(query, k=6, nprobe=2).collect()
+        if r.vec_id != 0
+    ]
     # nprobe=2 of 4 cells must still find the exact duplicate
     assert approx[0] == 50
     assert len(set(brute) & set(approx)) >= 3  # decent recall on smooth data
 
 
-def test_ivf_assign_covers_all(spark):
+def test_ivf_assign_covers_all(spark, tmp_path):
+    from ironman_medallion_lakehouse_spark.sources.tablestore import TableStore
+
     emb = _embeddings(spark)
-    assigned = S.ivf_assign(emb, n_cells=4)
+    store = TableStore(spark, str(tmp_path / "wh"))
+    idx = S.IvfIndex(store, "ann.ivf")
+    idx.build(emb, n_cells=4, n_iter=0)
+    assigned = store.read(idx.assign_table)
     assert assigned.count() == emb.count()
+    assert assigned.select("vec_id").distinct().count() == emb.count()
     assert assigned.select("centroid_id").distinct().count() <= 4
 
 
