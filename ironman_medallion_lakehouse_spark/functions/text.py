@@ -100,3 +100,44 @@ def bag_fingerprint(text: Column | str) -> Column:
     identical fingerprints — a cheap near-dup key (one narrow pass)."""
     ws = F.array_sort(F.array_distinct(word_array(text)))
     return F.md5(F.concat_ws(" ", ws))
+
+
+def winnowing_fingerprints(
+    text: Column | str, k: int = 8, window: int = 4
+) -> Column:
+    """Rolling-hash document fingerprints by winnowing (the MOSS
+    scheme, Schleimer et al. 2003): hash every character k-gram of the
+    whitespace-normalized lowercased text, slide a window of ``window``
+    consecutive gram hashes, keep each window's minimum, return the
+    distinct selected hashes.
+
+    Guarantee: any shared substring of length ≥ k + window − 1 between
+    two documents contributes at least one COMMON fingerprint, while
+    the fingerprint density stays ~2/(window+1) of the grams — the
+    standard partial-overlap/containment detector (order-sensitive,
+    unlike ``bag_fingerprint``; substring-local, unlike MinHash which
+    sketches whole-set resemblance).
+
+    Pure Column composition — k-grams via substring over a sequence,
+    window minima via array_min over slices — one codegen stage, no
+    UDF, no shuffle. Texts shorter than k characters yield an empty
+    array (CASE-guarded: Spark's ``sequence(1, 0)`` descends rather
+    than being empty). Join fingerprints to pair documents:
+    ``explode → equi-join on the hash → group pairs`` — same bucketed
+    shape as LSH banding, never all-pairs."""
+    t = F.col(text) if isinstance(text, str) else text
+    norm = F.regexp_replace(F.trim(F.lower(t)), r"\s+", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(norm) - F.lit(k - 1)),
+        lambda i: F.md5(F.substring(norm, i, k)),
+    )
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size(grams) - F.lit(window - 1)),
+        lambda j: F.array_min(F.slice(grams, j, window)),
+    )
+    empty = F.expr("cast(array() as array<string>)")
+    return (
+        F.when(F.length(norm) < k, empty)
+        .when(F.size(grams) < window, F.array_distinct(F.array(F.array_min(grams))))
+        .otherwise(F.array_distinct(mins))
+    )

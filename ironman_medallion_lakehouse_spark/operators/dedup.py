@@ -40,13 +40,15 @@ def word_set(text: Column | str) -> Column:
 
 def shingles(text_col: str, n: int = 3) -> Column:
     """Distinct word n-gram shingles as a pure Column expression (stays
-    inside codegen; no UDF). Built with F.expr because the transform
-    lambda needs index arithmetic (element_at(words, i + j))."""
+    inside codegen; no UDF). Documents shorter than ``n`` words yield
+    an EMPTY array — guarded with CASE because Spark's
+    ``sequence(1, 0)`` is a *descending* sequence, not empty, so an
+    unguarded transform would index past the array on short docs."""
     t = f"split(lower({text_col}), '\\\\s+')"
-    gram = ", ".join(f"element_at({t}, i + {j + 1})" for j in range(n))
     return F.expr(
-        f"array_distinct(transform(sequence(0, greatest(size({t}) - {n}, -1)),"
-        f" i -> concat_ws(' ', {gram})))"
+        f"CASE WHEN size({t}) < {n} THEN cast(array() as array<string>) "
+        f"ELSE array_distinct(transform(sequence(1, size({t}) - {n} + 1), "
+        f"i -> concat_ws(' ', slice({t}, i, {n})))) END"
     )
 
 
@@ -84,9 +86,18 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def minhash_signatures(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 128
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 128,
+    tokens: Column | None = None,
 ) -> DataFrame:
-    """k-permutation MinHash over distinct word tokens.
+    """k-permutation MinHash over distinct tokens — word tokens by
+    default, or any caller-supplied distinct-token array expression via
+    ``tokens`` (e.g. ``shingles(text_col, 3)`` for word-3-gram MinHash:
+    shingle Jaccard is order-sensitive, so reordered copies stop
+    looking like near-dups — the standard shingle→minhash→band
+    pipeline).
 
     Permutation j is the order of md5(word || '#' || j); the signature
     element is the minimum hash — computed as array_min over a
@@ -105,7 +116,7 @@ def minhash_signatures(
     second parameter (PySpark arity dispatch), silently shadowing a
     default-argument ``j``.
     """
-    ws = word_set(text_col)
+    ws = word_set(text_col) if tokens is None else tokens
 
     def sig(j: int):
         return F.array_min(
@@ -221,13 +232,19 @@ def jaccard_refine(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    tokens: Column | None = None,
 ) -> DataFrame:
-    """Exact word-set Jaccard over an LSH candidate-pair set — the
+    """Exact token-set Jaccard over an LSH candidate-pair set — the
     verify stage after ``lsh_candidate_pairs``. Two broadcast-or-shuffle
-    hash joins attach each side's word set to the (id_a, id_b) pairs;
+    hash joins attach each side's token set to the (id_a, id_b) pairs;
     cost is O(candidates), never all-pairs. Emits only pairs at or
-    above ``threshold`` with their exact score."""
-    ws = docs.select(F.col(id_col), word_set(text_col).alias("ws"))
+    above ``threshold`` with their exact score. ``tokens`` swaps the
+    default word set for any distinct-token expression (pass the SAME
+    expression used for the signatures — e.g. ``shingles(text_col, 3)``
+    for the n-gram Jaccard family)."""
+    ws = docs.select(
+        F.col(id_col), (word_set(text_col) if tokens is None else tokens).alias("ws")
+    )
     a = ws.select(F.col(id_col).alias("id_a"), F.col("ws").alias("ws_a"))
     b = ws.select(F.col(id_col).alias("id_b"), F.col("ws").alias("ws_b"))
     inter = F.size(F.array_intersect(F.col("ws_a"), F.col("ws_b")))

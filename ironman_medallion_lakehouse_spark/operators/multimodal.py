@@ -114,6 +114,65 @@ def extract_features(
     return media.mapInPandas(_batches, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def deterministic_fake_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """Stand-in for decode→resize→re-encode: emits a deterministic
+    payload whose size scales with the target area (a real resizer
+    returns the re-encoded image bytes; this preserves the contract
+    that output payload size is a function of target dims + content)."""
+    digest = hashlib.md5(payload or b"")
+    digest.update(f"{width}x{height}".encode())
+    seed = digest.digest()
+    out_len = max(16, (width * height) // 64)
+    return (seed * (out_len // len(seed) + 1))[:out_len]
+
+
+def resize_media(
+    media: DataFrame,
+    width: int = 224,
+    height: int = 224,
+    resizer: Callable[[bytes, int, int], bytes] = deterministic_fake_resizer,
+) -> DataFrame:
+    """Batch resize via Arrow-batched mapInPandas — the write-side twin
+    of ``extract_features`` (same batching contract: payloads cross the
+    Spark↔Python boundary once per batch, never per row). Output rows
+    keep MEDIA_SCHEMA plus the target dimensions, so a resized corpus
+    can be written back through the TableStore and re-enter any
+    downstream stage. Swap ``resizer`` for a real codec-backed
+    implementation (PIL/ffmpeg) when available — it would raise
+    NotImplementedError on formats it can't parse."""
+    from ironman_medallion_lakehouse_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(media.sparkSession)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = [resizer(p, width, height) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "payload": resized,
+                    "media_type": pdf["media_type"].values,
+                    "n_bytes": [len(p) for p in resized],
+                    "width": [width] * len(resized),
+                    "height": [height] * len(resized),
+                }
+            )
+
+    return media.mapInPandas(_batches, RESIZED_SCHEMA)
+
+
 def frame_sample(
     media: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8
 ) -> DataFrame:

@@ -38,6 +38,46 @@ def test_shingles_expression(spark):
     assert out == ["a b c", "b c d"]
 
 
+def test_shingles_short_doc_is_empty(spark):
+    """Docs shorter than n words must yield an empty shingle array —
+    the unguarded form crashed (Spark's sequence(1, 0) DESCENDS, so
+    the transform indexed past the array)."""
+    df = spark.createDataFrame([Row(text="one two"), Row(text="a b c d")])
+    out = {tuple(r.s) for r in df.select(D.shingles("text", 3).alias("s")).collect()}
+    assert out == {(), ("a b c", "b c d")}
+
+
+def test_ngram_minhash_is_order_sensitive(spark):
+    """The shingle→minhash→band→refine pipeline (n-gram Jaccard family):
+    word-set MinHash calls a permuted doc a perfect dup (same set);
+    3-gram shingle MinHash + shingle-Jaccard refine rejects it while
+    keeping the genuine one-word-edit near-dup."""
+    docs = _docs(spark)
+    toks = D.shingles("text", 3)
+    sigs = D.minhash_signatures(docs, k=8, tokens=toks)
+    # r=1 banding: the one-word-edit pair sits at shingle-Jaccard 0.4,
+    # where r=2 band collision is a coin flip — recall-friendly banding
+    # keeps the test about ORDER sensitivity, not banding probability
+    cand = D.lsh_candidate_pairs(sigs, k=8, bands=8)
+    refined = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.jaccard_refine(cand, docs, threshold=0.4, tokens=toks).collect()
+    }
+    assert refined[(1, 2)] == 1.0  # exact dup: all shingles shared
+    assert (1, 3) in refined  # one-word edit keeps most 3-grams
+    assert (1, 5) not in refined  # permuted doc shares NO 3-gram
+    # contrast: word-set refine scores the permuted doc 1.0
+    word_refined = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.jaccard_refine(
+            D.lsh_candidate_pairs(D.minhash_signatures(docs, k=8), k=8, bands=4),
+            docs,
+            threshold=0.4,
+        ).collect()
+    }
+    assert word_refined[(1, 5)] == 1.0
+
+
 def test_minhash_lsh_finds_near_dups(spark):
     docs = _docs(spark)
     sigs = D.minhash_signatures(docs, k=8)
@@ -145,6 +185,38 @@ def test_text_functions(spark):
     assert fp2 == row.fp  # order-insensitive
 
 
+def test_winnowing_fingerprints(spark):
+    """Winnowing rolling-hash fingerprints: documents sharing a long
+    substring share ≥1 fingerprint; a permuted word bag does NOT
+    (order-sensitive, unlike bag_fingerprint); short text is empty."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text="PREFIX added here. " + base + " and a suffix too"),
+        Row(doc_id=3, text="bank river the near dog lazy the over jumps fox brown quick the"),
+        Row(doc_id=4, text="short"),
+    ]
+    df = spark.createDataFrame(rows)
+    fps = {
+        r.doc_id: set(r.fp)
+        for r in df.select(
+            "doc_id", T.winnowing_fingerprints("text", k=8, window=4).alias("fp")
+        ).collect()
+    }
+    assert fps[1] & fps[2]  # shared substring ≥ k+w−1 → common fingerprint
+    overlap = len(fps[1] & fps[3]) / max(len(fps[1] | fps[3]), 1)
+    assert overlap < 0.3  # permuted bag: rolling hashes mostly differ
+    assert fps[4] == set()  # shorter than k chars
+    # determinism across partitionings
+    fps_re = {
+        r.doc_id: set(r.fp)
+        for r in df.repartition(3)
+        .select("doc_id", T.winnowing_fingerprints("text", k=8, window=4).alias("fp"))
+        .collect()
+    }
+    assert fps_re == fps
+
+
 def test_multimodal_pipeline(spark):
     docs = _docs(spark).withColumnRenamed("src", "source")
     media = M.attach_binary_payload(docs)
@@ -162,3 +234,17 @@ def test_multimodal_pipeline(spark):
     frames = M.frame_sample(media, every_n_bytes=10, max_frames=3)
     per_media = frames.groupBy("media_id").count().collect()
     assert all(r["count"] <= 3 for r in per_media)
+
+
+def test_multimodal_resize(spark):
+    docs = _docs(spark).withColumnRenamed("src", "source")
+    media = M.attach_binary_payload(docs)
+    resized = {r.media_id: r for r in M.resize_media(media, 128, 96).collect()}
+    assert len(resized) == 5
+    for r in resized.values():
+        assert (r.width, r.height) == (128, 96)
+        assert r.n_bytes == len(r.payload) == (128 * 96) // 64
+    # deterministic: identical payload + target dims → identical bytes
+    assert resized[1].payload == resized[2].payload
+    # content still matters (not a constant payload)
+    assert resized[1].payload != resized[4].payload
