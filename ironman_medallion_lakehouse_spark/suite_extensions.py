@@ -7,8 +7,9 @@ Oracle notes:
   signatures and LSH candidate pairs are hash-checked against DuckDB.
 - Embedding math is double-precision ordered folds on both sides
   (Spark F.aggregate ≡ DuckDB list_dot_product over DOUBLE[] casts).
-- simhash (bit-majority pandas UDF) and percentile sketches are
-  engine-specific → rows-only checks, by design.
+- simhash is hash-oracled since r3 (DuckDB replays the md5 token hash
+  and per-bit majority exactly); only the multimodal decode stub
+  (q54) remains rows-only — its codec is engine-specific by nature.
 """
 
 from __future__ import annotations
