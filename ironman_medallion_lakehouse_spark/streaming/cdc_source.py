@@ -51,6 +51,7 @@ from ironman_medallion_lakehouse_spark.sources.tablestore import (
 FORMAT_NAME = "tablestore_changes"
 
 
+
 class _AddedFile(InputPartition):
     def __init__(self, path: str, version: int, part_values: list[tuple[str, str | None]]):
         self.path = path
@@ -68,15 +69,26 @@ def _partition_values(rel_path: str, partition_by: list[str]) -> list[tuple[str,
 
 
 class ChangeFeedStreamReader(DataSourceStreamReader):
-    def __init__(self, schema: StructType, table_dir: str, starting_version: int):
+    def __init__(
+        self,
+        schema: StructType,
+        table_dir: str,
+        starting_version: int,
+        max_files_per_trigger: int | None = None,
+    ):
         self._schema = schema
         self._log_dir = os.path.join(table_dir, "_log")
         self._data_dir = os.path.join(table_dir, "data")
         self._starting_version = starting_version
+        self._max_files = max_files_per_trigger
+        # last offset this reader has planned/committed — admission
+        # control state (None until the first batch boundary is known)
+        self._last_end: int | None = None
 
     # ------------------------------------------------------- driver side
     def initialOffset(self) -> dict:
         # offset = highest version already consumed
+        self._last_end = max(self._starting_version - 1, self._last_end or 0)
         return {"version": self._starting_version - 1}
 
     def latestOffset(self) -> dict:
@@ -85,9 +97,35 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         # never regress below the requested start: a table still behind
         # starting_version must not checkpoint a lower offset and later
         # deliver versions the caller asked to skip
-        return {"version": max(latest, self._starting_version - 1)}
+        latest = max(latest, self._starting_version - 1)
+        if self._max_files is None or self._last_end is None:
+            # No admission control — or THE FIRST TRIGGER OF A RUN,
+            # where the batch boundary is unknown: Spark calls
+            # latestOffset BEFORE initialOffset on a fresh stream
+            # (observed; and before anything on a clean restart), and
+            # this API version has no SupportsAdmissionControl
+            # (latestOffset never receives the start offset). Clamping
+            # blind could return an offset BELOW a restart checkpoint,
+            # regressing the offset WAL into re-delivery. So each
+            # run's first batch is unthrottled; every subsequent
+            # trigger is bounded — which is what paces a long catch-up
+            # (ongoing commits arrive in later, throttled batches) and
+            # steady state.
+            return {"version": latest}
+        # advance only through versions whose cumulative added-file
+        # count fits the budget (always ≥1 version so progress is made)
+        budget, end = self._max_files, self._last_end
+        for v, _pb, added in version_changes(self._log_dir, self._last_end, latest):
+            budget -= len(added)
+            if budget < 0 and end > self._last_end:
+                break
+            end = v
+            if budget <= 0:
+                break
+        return {"version": end}
 
     def partitions(self, start: dict, end: dict):
+        self._last_end = max(end["version"], self._last_end or end["version"])
         parts = []
         # ONE log walk for the whole range (partition layout still
         # resolved per version — a replayed range may span a
@@ -109,7 +147,9 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         return parts or [_AddedFile("", end["version"], [])]
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in the stream's checkpoint; log is immutable
+        # offsets live in the stream's checkpoint; log is immutable.
+        # Track the committed boundary for admission control.
+        self._last_end = max(end["version"], self._last_end or end["version"])
 
     # ----------------------------------------------------- executor side
     def read(self, partition: _AddedFile):
@@ -151,8 +191,14 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
 
 class ChangeFeedDataSource(DataSource):
     """Register with ``spark.dataSource.register(ChangeFeedDataSource)``;
-    options: ``table_dir`` (the <root>/<db>/<table> directory) and
-    optional ``starting_version`` (default 1)."""
+    options: ``table_dir`` (the <root>/<db>/<table> directory),
+    optional ``starting_version`` (default 1), and optional
+    ``max_files_per_trigger`` — the Delta ``maxFilesPerTrigger``
+    analogue: each micro-batch AFTER a run's first advances only
+    through versions whose cumulative added-file count fits the budget
+    (always ≥1 version so the stream progresses). The first batch of
+    each run is unthrottled — see latestOffset for why the Python
+    DataSource API can't bound it safely."""
 
     @classmethod
     def name(cls) -> str:
@@ -168,22 +214,32 @@ class ChangeFeedDataSource(DataSource):
         return StructType.fromJson(json.loads(manifest.schema_json))
 
     def streamReader(self, schema: StructType) -> ChangeFeedStreamReader:
+        max_files = self.options.get("max_files_per_trigger")
         return ChangeFeedStreamReader(
             schema,
             self.options["table_dir"],
             int(self.options.get("starting_version", "1")),
+            int(max_files) if max_files is not None else None,
         )
 
 
-def stream_changes(spark, store, name: str, starting_version: int = 1):
+def stream_changes(
+    spark,
+    store,
+    name: str,
+    starting_version: int = 1,
+    max_files_per_trigger: int | None = None,
+):
     """Convenience: a streaming DataFrame over ``name``'s change feed."""
     from ironman_medallion_lakehouse_spark.session import ensure_package_on_executors
 
     ensure_package_on_executors(spark)
     spark.dataSource.register(ChangeFeedDataSource)
-    return (
+    reader = (
         spark.readStream.format(FORMAT_NAME)
         .option("table_dir", store._table_dir(name))
         .option("starting_version", str(starting_version))
-        .load()
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("max_files_per_trigger", str(max_files_per_trigger))
+    return reader.load()

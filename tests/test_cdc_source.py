@@ -82,6 +82,37 @@ def test_stream_changes_from_starting_version(spark, tmp_path):
         q.stop()
 
 
+def test_stream_changes_max_files_per_trigger(spark, tmp_path):
+    """Admission control (Delta maxFilesPerTrigger analogue): commits
+    arriving after a run's first batch are paced — with
+    max_files_per_trigger=1 each later micro-batch advances one
+    version at a time (each commit here adds >= 1 file), and every row
+    still arrives exactly once. (A run's FIRST batch is unthrottled by
+    API necessity: Spark asks for latestOffset before the reader can
+    know the batch boundary — documented in cdc_source.py.)"""
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.save_overwrite(spark.createDataFrame([Row(k=1)]), "db.r")
+    q = (
+        stream_changes(spark, store, "db.r", max_files_per_trigger=1)
+        .writeStream.format("memory")
+        .queryName("cdc_throttled_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: the v1 backlog
+        for k in (2, 3, 4):
+            store.merge_insert_only(
+                spark.createDataFrame([Row(k=k)]), "db.r", keys=["k"]
+            )
+        q.processAllAvailable()  # v2..v4 must arrive as >= 3 paced batches
+        assert sorted(r.k for r in spark.table("cdc_throttled_sink").collect()) == [1, 2, 3, 4]
+        nonempty = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        assert len(nonempty) >= 4, [p["numInputRows"] for p in q.recentProgress]
+    finally:
+        q.stop()
+
+
 def test_stream_changes_schema_evolution(spark, tmp_path):
     """A replayed range spanning a schema change must not kill the
     query: files written before a column existed read it as NULL."""
