@@ -258,6 +258,65 @@ def jaccard_refine(
     )
 
 
+def winnowing_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 1,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Substring-overlap candidate pairs from winnowing fingerprints
+    (functions/text.winnowing_fingerprints): docs sharing ≥
+    ``min_shared`` selected rolling-hash k-grams become (id_a, id_b,
+    n_shared). Catches PARTIAL overlap — a long passage copied into an
+    otherwise-different document — which whole-set MinHash resemblance
+    dilutes away; any shared substring ≥ k+window−1 chars guarantees a
+    shared fingerprint.
+
+    Plan shape: explode fingerprints → self equi-join on the hash →
+    count per pair. Same bucketed discipline as LSH banding: only docs
+    sharing a fingerprint are ever paired, never all-pairs.
+
+    Skew control: boilerplate (headers, license blocks) yields
+    fingerprints shared by thousands of docs — each such hash is a hot
+    join bucket contributing O(df²) pairs. ``max_doc_freq`` drops
+    fingerprints above a document-frequency ceiling BEFORE the join
+    (the IDF-style stop-fingerprint cut every production overlap
+    pipeline applies); the df aggregation is one extra skew-free
+    shuffle over fingerprint rows."""
+    from ironman_medallion_lakehouse_spark.functions.text import (
+        winnowing_fingerprints,
+    )
+
+    fps = docs.select(
+        F.col(id_col),
+        F.explode(winnowing_fingerprints(text_col, k=k, window=window)).alias("fp"),
+    )
+    if max_doc_freq is not None:
+        keep = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("fp")
+        )
+        fps = fps.join(keep, "fp")
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 _SIMHASH_SCHEMA = StructType(
     [StructField("doc_id", LongType()), StructField("simhash", LongType())]
 )

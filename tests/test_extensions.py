@@ -217,6 +217,38 @@ def test_winnowing_fingerprints(spark):
     assert fps_re == fps
 
 
+def test_winnowing_candidate_pairs(spark):
+    """Partial-overlap detection: a doc embedding a long passage from
+    another pairs with it (shared substring ≥ k+w−1 ⟹ shared
+    fingerprint), a permuted bag does not, and the stop-fingerprint
+    cut removes boilerplate-driven pairs."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    boiler = "standard license header text appears identically everywhere"
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text="unrelated preamble. " + base + " trailing notes"),
+        Row(doc_id=3, text="bank river the near dog lazy the over jumps fox brown quick the today"),
+        Row(doc_id=4, text=boiler + " alpha document body one"),
+        Row(doc_id=5, text=boiler + " beta entirely different body"),
+        Row(doc_id=6, text=boiler + " gamma third distinct body"),
+        Row(doc_id=7, text=boiler + " delta fourth separate body"),
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in D.winnowing_candidate_pairs(df, min_shared=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert (1, 3) not in pairs  # permuted bag: rolling hashes differ
+    assert (4, 5) in pairs  # boilerplate (df=4) pairs them...
+    filtered = {
+        (r.id_a, r.id_b)
+        for r in D.winnowing_candidate_pairs(df, min_shared=2, max_doc_freq=2).collect()
+    }
+    assert (4, 5) not in filtered  # ...until the df ceiling drops it
+    assert (1, 2) in filtered  # the df-2 true overlap survives
+
+
 def test_multimodal_pipeline(spark):
     docs = _docs(spark).withColumnRenamed("src", "source")
     media = M.attach_binary_payload(docs)
