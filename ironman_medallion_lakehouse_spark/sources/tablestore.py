@@ -1040,6 +1040,49 @@ class TableStore:
                     removed += 1
         return removed
 
+    def restore(self, name: str, version: int) -> int:
+        """Delta ``RESTORE TABLE ... TO VERSION AS OF`` analogue: make
+        the CURRENT state equal the state at ``version`` by committing
+        a NEW version whose manifest (files, schema, partitioning,
+        stats) is the target's. No data is copied — the old files are
+        simply referenced again — and history is preserved: the restore
+        is itself a commit, so time travel to the pre-restore state
+        still works and the change feed sees the restore as adds of
+        the re-referenced files. Returns the new version number.
+
+        Raises FileNotFoundError when any needed data file was removed
+        by ``vacuum`` (Delta fails restores past the retention horizon
+        the same way), ValueError for an unknown table/version."""
+        latest = self._latest_manifest(name)
+        if latest is None:
+            raise ValueError(f"table {name} does not exist")
+        target = self._manifest_at(name, version)
+        if target is None:
+            raise ValueError(f"version {version} of {name} not found")
+        data_dir = self._data_dir(name)
+        missing = [
+            f for f in target.files if not os.path.exists(os.path.join(data_dir, f))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore {name} to version {version}: {len(missing)} data "
+                f"file(s) were removed by vacuum (e.g. {missing[0]}); restore is "
+                "only possible within the vacuum retention horizon"
+            )
+        new_version = latest.version + 1
+        self._commit(
+            name,
+            Manifest(
+                version=new_version,
+                schema_json=target.schema_json,
+                partition_by=list(target.partition_by),
+                files=list(target.files),
+                stats=dict(target.stats),
+            ),
+            prev=latest,
+        )
+        return new_version
+
     def table_changes(self, name: str, from_version: int, to_version: int | None = None) -> DataFrame:
         """Rows ADDED between two versions (change-data-feed analogue).
 

@@ -627,6 +627,36 @@ def test_vacuum_retention_horizon(spark, tmp_path):
     assert raised
 
 
+def test_restore_to_version(spark, tmp_path):
+    """RESTORE analogue: restoring commits a NEW version equal to the
+    target state (no data copied), preserves history (time travel to
+    the pre-restore state still works), surfaces in the change feed,
+    and refuses to restore past a vacuum."""
+    import pytest
+
+    st = _store(spark, tmp_path)
+    st.save_overwrite(spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")]), "db.t")  # v1
+    st.merge_insert_only(spark.createDataFrame([Row(k=3, v="c")]), "db.t", keys=["k"])  # v2
+    st.merge_scd1(
+        spark.createDataFrame([Row(k=1, v="A")]), "db.t", keys=["k"], update_cols=["v"]
+    )  # v3
+    new_v = st.restore("db.t", 2)  # v4 == state at v2
+    assert new_v == 4
+    assert {(r.k, r.v) for r in st.read("db.t").collect()} == {(1, "a"), (2, "b"), (3, "c")}
+    # history preserved: the pre-restore SCD-1 state is still travelable
+    assert {(r.k, r.v) for r in st.read("db.t", version=3).collect()} == {
+        (1, "A"), (2, "b"), (3, "c"),
+    }
+    # the restore is visible to CDC as adds of the re-referenced files
+    assert st.table_changes("db.t", 3, 4).count() > 0
+    with pytest.raises(ValueError):
+        st.restore("db.t", 99)
+    # vacuum away old files → restore past the horizon must refuse
+    st.vacuum("db.t")
+    with pytest.raises(FileNotFoundError):
+        st.restore("db.t", 3)
+
+
 def test_version_changes_single_walk_matches_per_version(spark, tmp_path):
     """The single-pass range walker (r3 ADVICE) must agree with the
     per-version added_files_in on every committed version."""
