@@ -908,6 +908,145 @@ class TableStore:
             prev=manifest,
         )
 
+    SCD2_COLS = ("valid_from", "valid_to", "is_current")
+
+    def merge_scd2(
+        self,
+        source: DataFrame,
+        name: str,
+        keys: list[str],
+        effective_ts: str,
+        track_cols: list[str] | None = None,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """SCD Type-2 history-tracking merge (the Kimball pattern Delta
+        users build with a two-branch MERGE): the target carries
+        ``valid_from``/``valid_to``/``is_current`` metadata; for each
+        source key whose tracked attributes changed, the CURRENT row is
+        closed (``valid_to = effective_ts``, ``is_current = false``)
+        and a new current version is inserted; unchanged keys are
+        untouched; new keys insert an open row. Historical rows are
+        never modified, so the full attribute timeline is queryable
+        (``WHERE ts >= valid_from AND (valid_to IS NULL OR ts <
+        valid_to)`` — the as-of lookup ``operators/asof.py`` serves at
+        scan time).
+
+        ``effective_ts`` is an explicit ``'yyyy-MM-dd[ HH:mm:ss]'``
+        literal, NOT now(): version boundaries must be deterministic
+        and replay-idempotent (re-running the same merge with the same
+        source and timestamp is a no-op — nothing is tracked-changed).
+
+        ``track_cols`` defaults to every natural (non-key, non-SCD2)
+        column; change detection is null-safe per column. Duplicate
+        source keys raise, matching Delta MERGE. Rewrite scope follows
+        ``merge_scd1``: partition ⊆ key layouts rewrite only
+        source-touched partitions (all versions of a key share its
+        partition values, so history rows never move), everything else
+        is O(table).
+        """
+        meta = list(self.SCD2_COLS)
+        ts = F.lit(effective_ts).cast("timestamp")
+        if not self.table_exists(name):
+            init = source.withColumn("valid_from", ts).withColumn(
+                "valid_to", F.lit(None).cast("timestamp")
+            ).withColumn("is_current", F.lit(True))
+            self.save_overwrite(init, name, partition_by=partition_by)
+            return
+        manifest = self._latest_manifest(name)
+        if partition_by is not None and partition_by != manifest.partition_by:
+            raise ValueError(
+                f"{name} is partitioned by {manifest.partition_by}; "
+                f"cannot merge with partition_by={partition_by}"
+            )
+        untouched: list[str] = []
+        if manifest.partition_by and set(manifest.partition_by) <= set(keys):
+            pvals = [
+                tuple(r)
+                for r in source.select(*manifest.partition_by).distinct().collect()
+            ]
+            touched, untouched = self._split_files_by_partitions(manifest, pvals)
+            target = self._read_file_subset(name, manifest, touched)
+        else:
+            target = self.read(name)
+        cols = [f.name for f in target.schema.fields]
+        missing = [c for c in meta if c not in cols]
+        if missing:
+            raise ValueError(
+                f"{name} lacks SCD-2 columns {missing}; create the table "
+                "through merge_scd2 (or add valid_from/valid_to/is_current)"
+            )
+        natural = [c for c in cols if c not in meta]
+        track_cols = track_cols or [c for c in natural if c not in keys]
+        src_extra = [c for c in source.columns if c not in natural]
+        if src_extra:
+            raise ValueError(
+                f"merge_scd2 source must carry only natural columns; "
+                f"unexpected {src_extra} (SCD-2 metadata is engine-managed)"
+            )
+        dup_keys = (
+            source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if dup_keys:
+            raise ValueError(
+                f"merge_scd2 source has duplicate rows per key {keys}; "
+                "deduplicate upstream (Delta MERGE semantics)"
+            )
+
+        src = source.select(*natural).alias("s")
+        # alias AFTER withColumn — withColumn drops a prior alias
+        src_m = source.select(*natural).withColumn("_m", F.lit(True)).alias("s")
+        cur = target.filter(F.col("is_current")).alias("t")
+        hist = target.filter(~F.col("is_current"))
+        match_cond = None
+        for k in keys:
+            e = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+            match_cond = e if match_cond is None else (match_cond & e)
+        changed = None
+        for c in track_cols:
+            e = ~F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
+            changed = e if changed is None else (changed | e)
+        changed = F.coalesce(changed, F.lit(False)) if changed is not None else F.lit(False)
+
+        # current rows: closed when a changed source row matches, else as-is
+        joined = cur.join(src_m, match_cond, "left")
+        close_now = F.coalesce(F.col("_m"), F.lit(False)) & changed
+        kept_current = joined.select(
+            *[F.col(f"t.{c}").alias(c) for c in natural],
+            F.col("t.valid_from").alias("valid_from"),
+            F.when(close_now, ts).otherwise(F.col("t.valid_to")).alias("valid_to"),
+            F.when(close_now, F.lit(False)).otherwise(F.col("t.is_current")).alias("is_current"),
+        )
+        # new current versions: changed matches + brand-new keys
+        new_changed = cur.join(src, match_cond).filter(changed).select(
+            *[F.col(f"s.{c}").alias(c) for c in natural]
+        )
+        new_keys = src.join(cur.select(*keys).alias("t"), match_cond, "left_anti").select(
+            *[F.col(f"s.{c}").alias(c) for c in natural]
+        )
+        openers = (
+            new_changed.unionByName(new_keys)
+            .withColumn("valid_from", ts)
+            .withColumn("valid_to", F.lit(None).cast("timestamp"))
+            .withColumn("is_current", F.lit(True))
+        )
+        result = hist.select(*cols).unionByName(
+            kept_current.select(*cols)
+        ).unionByName(openers.select(*cols))
+        files = self._write_files(result, name, manifest.partition_by)
+        stats = {f: manifest.stats[f] for f in untouched if f in manifest.stats}
+        stats.update(self._collect_file_stats(self._data_dir(name), files))
+        self._commit(
+            name,
+            Manifest(
+                version=manifest.version + 1,
+                schema_json=manifest.schema_json,
+                partition_by=manifest.partition_by,
+                files=untouched + files,
+                stats=stats,
+            ),
+            prev=manifest,
+        )
+
     def optimize(
         self,
         name: str,

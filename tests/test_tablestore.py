@@ -657,6 +657,109 @@ def test_restore_to_version(spark, tmp_path):
         st.restore("db.t", 3)
 
 
+def test_merge_scd2_history_tracking(spark, tmp_path):
+    """SCD Type-2: changed keys close the current row and open a new
+    version; unchanged keys are no-ops (replay-idempotent); new keys
+    insert an open row; history rows are never modified."""
+    import pytest
+
+    st = _store(spark, tmp_path)
+    st.merge_scd2(
+        spark.createDataFrame([Row(k=1, city="nyc"), Row(k=2, city="sf")]),
+        "db.dim",
+        keys=["k"],
+        effective_ts="2024-01-01",
+    )  # v1: creates with open rows
+    # k=1 moves, k=2 unchanged, k=3 new
+    st.merge_scd2(
+        spark.createDataFrame(
+            [Row(k=1, city="boston"), Row(k=2, city="sf"), Row(k=3, city="la")]
+        ),
+        "db.dim",
+        keys=["k"],
+        effective_ts="2024-06-01",
+    )  # v2
+    rows = {
+        (r.k, r.city, str(r.valid_from)[:10], r.valid_to and str(r.valid_to)[:10], r.is_current)
+        for r in st.read("db.dim").collect()
+    }
+    assert rows == {
+        (1, "nyc", "2024-01-01", "2024-06-01", False),   # closed
+        (1, "boston", "2024-06-01", None, True),          # new version
+        (2, "sf", "2024-01-01", None, True),              # untouched
+        (3, "la", "2024-06-01", None, True),              # new key
+    }
+    # replay the same merge: nothing is tracked-changed → same state
+    st.merge_scd2(
+        spark.createDataFrame(
+            [Row(k=1, city="boston"), Row(k=2, city="sf"), Row(k=3, city="la")]
+        ),
+        "db.dim",
+        keys=["k"],
+        effective_ts="2024-06-01",
+    )  # v3
+    assert st.read("db.dim").count() == 4
+    cur = {(r.k, r.city) for r in st.read("db.dim").filter("is_current").collect()}
+    assert cur == {(1, "boston"), (2, "sf"), (3, "la")}
+    # second change to k=1: full timeline retained
+    st.merge_scd2(
+        spark.createDataFrame([Row(k=1, city="chicago")]),
+        "db.dim",
+        keys=["k"],
+        effective_ts="2025-01-01",
+    )
+    timeline = sorted(
+        (str(r.valid_from)[:10], r.valid_to and str(r.valid_to)[:10], r.city)
+        for r in st.read("db.dim").filter("k = 1").collect()
+    )
+    assert timeline == [
+        ("2024-01-01", "2024-06-01", "nyc"),
+        ("2024-06-01", "2025-01-01", "boston"),
+        ("2025-01-01", None, "chicago"),
+    ]
+    # contract errors: duplicate source keys; source carrying meta cols
+    with pytest.raises(ValueError):
+        st.merge_scd2(
+            spark.createDataFrame([Row(k=1, city="x"), Row(k=1, city="y")]),
+            "db.dim", keys=["k"], effective_ts="2025-02-01",
+        )
+    with pytest.raises(ValueError):
+        st.merge_scd2(
+            spark.createDataFrame([Row(k=9, city="z", is_current=True)]),
+            "db.dim", keys=["k"], effective_ts="2025-02-01",
+        )
+
+
+def test_merge_scd2_partition_scoped_rewrite(spark, tmp_path):
+    """With partition ⊆ key, an SCD-2 merge touching one partition
+    carries the other partition's files forward byte-identical and the
+    change feed contains only touched-partition rows."""
+    st = _store(spark, tmp_path)
+    st.merge_scd2(
+        spark.createDataFrame(
+            [Row(region="east", k=1, v="a"), Row(region="west", k=2, v="b")]
+        ),
+        "db.p",
+        keys=["region", "k"],
+        effective_ts="2024-01-01",
+        partition_by=["region"],
+    )  # v1
+    m1 = st._latest_manifest("db.p")
+    west_files = [f for f in m1.files if "region=west" in f]
+    st.merge_scd2(
+        spark.createDataFrame([Row(region="east", k=1, v="a2")]),
+        "db.p",
+        keys=["region", "k"],
+        effective_ts="2024-02-01",
+    )  # v2: east only
+    m2 = st._latest_manifest("db.p")
+    assert [f for f in m2.files if "region=west" in f] == west_files
+    cdc = st.table_changes("db.p", 1, 2)
+    assert {r.region for r in cdc.collect()} == {"east"}
+    rows = {(r.k, r.v, r.is_current) for r in st.read("db.p").collect()}
+    assert rows == {(1, "a", False), (1, "a2", True), (2, "b", True)}
+
+
 def test_version_changes_single_walk_matches_per_version(spark, tmp_path):
     """The single-pass range walker (r3 ADVICE) must agree with the
     per-version added_files_in on every committed version."""
