@@ -502,10 +502,14 @@ class TableStore:
         if not manifest.files:
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(data_dir, f) for f in manifest.files]
-        reader = self.spark.read
+        reader = self.spark.read.schema(schema)
         if manifest.partition_by:
             reader = reader.option("basePath", data_dir)
-        # Columns order / partition-col types follow the recorded schema.
+        # The RECORDED schema is supplied explicitly (never inferred
+        # from footers): files written before a column existed read it
+        # as NULL — schema evolution without mergeSchema's
+        # every-footer scan — and column order / partition-col types
+        # follow the manifest.
         return reader.parquet(*paths).select(
             *[F.col(f.name).cast(f.dataType) for f in schema.fields]
         )
@@ -521,7 +525,7 @@ class TableStore:
         if not files:
             return self.spark.createDataFrame([], schema)
         data_dir = self._data_dir(name)
-        reader = self.spark.read
+        reader = self.spark.read.schema(schema)
         if manifest.partition_by:
             reader = reader.option("basePath", data_dir)
         return reader.parquet(*[os.path.join(data_dir, f) for f in files]).select(
@@ -735,12 +739,57 @@ class TableStore:
             prev=prev,
         )
 
+    @staticmethod
+    def _evolved_schema(base: StructType, incoming: StructType) -> StructType:
+        """Delta ``mergeSchema``/``autoMerge`` widening: base fields in
+        order, then incoming-only fields appended (nullable). Never
+        drops or retypes an existing column."""
+        names = {f.name for f in base.fields}
+        from pyspark.sql.types import StructField
+
+        return StructType(
+            list(base.fields)
+            + [
+                StructField(f.name, f.dataType, True)
+                for f in incoming.fields
+                if f.name not in names
+            ]
+        )
+
+    @staticmethod
+    def _reject_extra_columns(source: DataFrame, schema: StructType, name: str) -> None:
+        """Without merge_schema, a source column the table lacks is a
+        hard error — the old behavior silently DROPPED it (data loss);
+        Delta MERGE without autoMerge fails the same way."""
+        extra = [c for c in source.columns if c not in {f.name for f in schema.fields}]
+        if extra:
+            raise ValueError(
+                f"source carries columns {extra} that {name} lacks; pass "
+                "merge_schema=True to widen the table (Delta autoMerge) "
+                "or drop them upstream"
+            )
+
+    @staticmethod
+    def _project_to(df: DataFrame, schema: StructType) -> DataFrame:
+        """Project df to exactly ``schema``'s columns/order — present
+        columns cast, absent columns NULL."""
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+
     def merge_insert_only(
         self,
         source: DataFrame,
         name: str,
         keys: list[str],
         partition_by: list[str] | None = None,
+        merge_schema: bool = False,
     ) -> None:
         """whenNotMatchedInsertAll() merge (02_bronze.ipynb:311-318).
 
@@ -756,6 +805,16 @@ class TableStore:
         without it the table is born unpartitioned and every later
         batch inherits that layout (r2 ADVICE). For an existing table
         the recorded layout wins; a conflicting request raises.
+
+        ``merge_schema=True`` (Delta autoMerge analogue) lets the
+        source widen the table: source-only columns are appended to the
+        recorded schema and existing files read them as NULL (the read
+        path supplies the manifest schema explicitly, so no footer
+        rescans); source-missing columns insert as NULL. Earlier
+        versions keep their own schema_json, so time travel returns
+        the schema that version actually had. Without the flag, a
+        schema mismatch fails analysis — evolution must be opted into,
+        exactly as Delta requires.
         """
         if not self.table_exists(name):
             self.save_overwrite(source, name, partition_by=partition_by)
@@ -766,6 +825,11 @@ class TableStore:
                 f"{name} is partitioned by {manifest.partition_by}; "
                 f"cannot merge with partition_by={partition_by}"
             )
+        schema = StructType.fromJson(json.loads(manifest.schema_json))
+        if merge_schema:
+            schema = self._evolved_schema(schema, source.schema)
+        else:
+            self._reject_extra_columns(source, schema, name)
         target = self.read(name)
         # Pruning is sound only when the partition columns are part of
         # the merge keys: then equal keys imply equal partition values,
@@ -777,9 +841,12 @@ class TableStore:
             ]
             touched, _untouched = self._split_files_by_partitions(manifest, pvals)
             target = self._read_file_subset(name, manifest, touched)
-        new_rows = source.select(*[f.name for f in target.schema.fields]).join(
-            target.select(*keys), on=keys, how="left_anti"
+        src = (
+            self._project_to(source, schema)
+            if merge_schema
+            else source.select(*[f.name for f in schema.fields])
         )
+        new_rows = src.join(target.select(*keys), on=keys, how="left_anti")
         files = self._write_files(new_rows, name, manifest.partition_by)
         stats = dict(manifest.stats)
         stats.update(self._collect_file_stats(self._data_dir(name), files))
@@ -787,7 +854,7 @@ class TableStore:
             name,
             Manifest(
                 version=manifest.version + 1,
-                schema_json=manifest.schema_json,
+                schema_json=schema.json(),
                 partition_by=manifest.partition_by,
                 files=manifest.files + files,
                 stats=stats,
@@ -802,6 +869,7 @@ class TableStore:
         keys: list[str],
         update_cols: list[str] | None = None,
         partition_by: list[str] | None = None,
+        merge_schema: bool = False,
     ) -> None:
         """whenMatchedUpdate(set=update_cols).whenNotMatchedInsertAll()
         (04a_gold_dim_athletes.ipynb:311-328).
@@ -827,7 +895,12 @@ class TableStore:
         O(table); lay out SCD-1 targets with partition ⊆ key.
 
         ``partition_by`` applies only when the merge creates the table
-        (same contract as merge_insert_only).
+        (same contract as merge_insert_only). ``merge_schema=True``
+        widens the table with source-only columns (existing rows read
+        them as NULL); matched-row updates then assign only columns the
+        SOURCE carries — a target-only column keeps its value instead
+        of being clobbered to NULL, Delta's UPDATE SET * + autoMerge
+        semantics.
         """
         if not self.table_exists(name):
             self.save_overwrite(source, name, partition_by=partition_by)
@@ -838,6 +911,11 @@ class TableStore:
                 f"{name} is partitioned by {manifest.partition_by}; "
                 f"cannot merge with partition_by={partition_by}"
             )
+        schema = StructType.fromJson(json.loads(manifest.schema_json))
+        if merge_schema:
+            schema = self._evolved_schema(schema, source.schema)
+        else:
+            self._reject_extra_columns(source, schema, name)
         untouched: list[str] = []
         if manifest.partition_by and set(manifest.partition_by) <= set(keys):
             pvals = [
@@ -848,8 +926,13 @@ class TableStore:
             target = self._read_file_subset(name, manifest, touched)
         else:
             target = self.read(name)
-        cols = [f.name for f in target.schema.fields]
+        if merge_schema:
+            target = self._project_to(target, schema)
+        cols = [f.name for f in schema.fields]
         update_cols = update_cols or [c for c in cols if c not in keys]
+        if merge_schema:
+            # UPDATE SET assigns only source-carried columns
+            update_cols = [c for c in update_cols if c in set(source.columns)]
 
         # Delta MERGE raises on duplicate source matches; reproduce that
         # contract instead of silently fanning target rows out. One
@@ -866,7 +949,10 @@ class TableStore:
         # Explicit match indicator: keys[0] IS NOT NULL misreads a
         # NULL-keyed source row that eqNullSafe-matched a NULL-keyed
         # target row as unmatched (r2 ADVICE fix).
-        src = source.select(*cols).withColumn("_src_matched", F.lit(True)).alias("s")
+        src_proj = (
+            self._project_to(source, schema) if merge_schema else source.select(*cols)
+        )
+        src = src_proj.withColumn("_src_matched", F.lit(True)).alias("s")
         tgt = target.alias("t")
         match_cond = None
         for k in keys:
@@ -885,7 +971,7 @@ class TableStore:
         )
         # Null-safe anti-join so a NULL-keyed source row that matched a
         # NULL-keyed target row is not ALSO inserted as new.
-        anti_src = source.select(*cols).alias("s")
+        anti_src = src_proj.alias("s")
         inserts = anti_src.join(tgt.select(*keys).alias("t"), match_cond, "left_anti").select(
             *[F.col(f"s.{c}").alias(c) for c in cols]
         )
@@ -900,7 +986,7 @@ class TableStore:
             name,
             Manifest(
                 version=manifest.version + 1,
-                schema_json=manifest.schema_json,
+                schema_json=schema.json(),
                 partition_by=manifest.partition_by,
                 files=untouched + files,
                 stats=stats,

@@ -760,6 +760,48 @@ def test_merge_scd2_partition_scoped_rewrite(spark, tmp_path):
     assert rows == {(1, "a", False), (1, "a2", True), (2, "b", True)}
 
 
+def test_merge_schema_evolution(spark, tmp_path):
+    """Delta autoMerge analogue: merge_schema=True appends source-only
+    columns (old files read them as NULL via the explicit-schema read
+    path), source-missing columns insert as NULL, SCD-1 updates never
+    clobber target-only columns, and time travel returns each
+    version's own schema."""
+    import pytest
+
+    st = _store(spark, tmp_path)
+    st.save_overwrite(spark.createDataFrame([Row(k=1, v="a")]), "db.e")  # v1
+    # strict by default: widening without the flag fails analysis
+    with pytest.raises(Exception):
+        st.merge_insert_only(
+            spark.createDataFrame([Row(k=2, v="b", extra=10)]), "db.e", keys=["k"]
+        )
+    st.merge_insert_only(
+        spark.createDataFrame([Row(k=2, v="b", extra=10)]),
+        "db.e",
+        keys=["k"],
+        merge_schema=True,
+    )  # v2 widens
+    rows = {(r.k, r.v, r.extra) for r in st.read("db.e").collect()}
+    assert rows == {(1, "a", None), (2, "b", 10)}
+    # time travel: v1 keeps its own (narrow) schema
+    assert st.read("db.e", version=1).columns == ["k", "v"]
+    # SCD-1 with a source that widens AND lacks a target column: the
+    # update assigns only source-carried columns (v survives), the new
+    # column lands, inserts fill missing columns with NULL
+    st.merge_scd1(
+        spark.createDataFrame([Row(k=1, note="n1"), Row(k=3, note="n3")]),
+        "db.e",
+        keys=["k"],
+        merge_schema=True,
+    )  # v3
+    rows = {(r.k, r.v, r.extra, r.note) for r in st.read("db.e").collect()}
+    assert rows == {
+        (1, "a", None, "n1"),   # v kept (not clobbered), note updated
+        (2, "b", 10, None),
+        (3, None, None, "n3"),  # insert fills missing with NULL
+    }
+
+
 def test_version_changes_single_walk_matches_per_version(spark, tmp_path):
     """The single-pass range walker (r3 ADVICE) must agree with the
     per-version added_files_in on every committed version."""
