@@ -1133,6 +1133,215 @@ class TableStore:
             prev=manifest,
         )
 
+    # ------------------------------------------------------- predicate DML
+    def _touched_files_for(
+        self,
+        name: str,
+        manifest: Manifest,
+        cond,
+        prune_column: str | None = None,
+        prune_lo=None,
+        prune_hi=None,
+    ) -> tuple[list[str], list[str]]:
+        """(touched, untouched) relative file paths for a predicate DML.
+
+        Two-phase file discovery, exactly Delta's DELETE/UPDATE planning:
+
+        1. *Stats prune* (optional ``prune_column``/``lo``/``hi`` range
+           hint): drop files whose recorded footer [min, max] cannot
+           intersect the range — zero I/O, manifest-only. At 100 TB a
+           time-scoped delete on an ingest-clustered table eliminates
+           almost every file here.
+        2. *Discovery scan*: read the surviving candidates projecting
+           ONLY the predicate's columns plus ``input_file_name()`` and
+           collect the distinct files holding a matching row (bounded
+           by the file count, not the row count). A candidate file with
+           no matching row is carried forward untouched — its bytes are
+           never rewritten and it never appears in the change feed.
+        """
+        candidates: list[str] = []
+        pruned_out: list[str] = []
+        for f in manifest.files:
+            st = (
+                manifest.stats.get(f, {}).get(prune_column)
+                if prune_column is not None
+                else None
+            )
+            if st is not None and (
+                (prune_lo is not None and st[1] < prune_lo)
+                or (prune_hi is not None and st[0] > prune_hi)
+            ):
+                pruned_out.append(f)
+            else:
+                candidates.append(f)
+        if not candidates:
+            return [], list(manifest.files)
+        from urllib.parse import unquote, urlparse
+
+        scan = self._read_file_subset(name, manifest, candidates)
+        hit_uris = [
+            r[0]
+            for r in scan.filter(cond)
+            .select(F.input_file_name())
+            .distinct()
+            .collect()
+        ]
+        data_dir = os.path.realpath(self._data_dir(name))
+        hit = {
+            os.path.relpath(os.path.realpath(unquote(urlparse(u).path)), data_dir)
+            for u in hit_uris
+        }
+        touched = [f for f in candidates if f in hit]
+        untouched = pruned_out + [f for f in candidates if f not in hit]
+        # preserve manifest order for byte-identical carry-forward checks
+        untouched = [f for f in manifest.files if f in set(untouched)]
+        return touched, untouched
+
+    def delete_where(
+        self,
+        name: str,
+        condition,
+        prune_column: str | None = None,
+        prune_lo=None,
+        prune_hi=None,
+    ) -> dict:
+        """``DELETE FROM name WHERE condition`` — Delta-semantics
+        copy-on-write delete (the table op the reference's Delta layer
+        inherits; delta-io protocol, re-derived).
+
+        Rows where the condition is TRUE are deleted; FALSE and NULL
+        rows are kept (SQL three-valued DELETE). Only files that
+        actually hold a matching row are rewritten (see
+        ``_touched_files_for``); every other file — including files in
+        the same partition — carries forward byte-identical, so the
+        change feed reports O(matched files), not O(table). A delete
+        that matches nothing commits nothing and leaves the version
+        unchanged.
+
+        Returns metrics ``{"rows_deleted", "files_rewritten",
+        "files_total", "version"}`` (numDeletedRows analogue).
+        """
+        manifest = self._latest_manifest(name)
+        if manifest is None:
+            raise FileNotFoundError(f"table {name} does not exist in {self.root}")
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        touched, untouched = self._touched_files_for(
+            name, manifest, cond, prune_column, prune_lo, prune_hi
+        )
+        if not touched:
+            return {
+                "rows_deleted": 0,
+                "files_rewritten": 0,
+                "files_total": len(manifest.files),
+                "version": manifest.version,
+            }
+        subset = self._read_file_subset(name, manifest, touched)
+        # keep = NOT(cond IS TRUE); one pass counts both sides
+        counts = subset.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(cond, 1).otherwise(0)).alias("d"),
+        ).collect()[0]
+        kept = subset.filter(~F.coalesce(cond, F.lit(False)))
+        files = self._write_files(kept, name, manifest.partition_by)
+        stats = {f: manifest.stats[f] for f in untouched if f in manifest.stats}
+        stats.update(self._collect_file_stats(self._data_dir(name), files))
+        self._commit(
+            name,
+            Manifest(
+                version=manifest.version + 1,
+                schema_json=manifest.schema_json,
+                partition_by=manifest.partition_by,
+                files=untouched + files,
+                stats=stats,
+            ),
+            prev=manifest,
+        )
+        return {
+            "rows_deleted": int(counts["d"] or 0),
+            "files_rewritten": len(touched),
+            "files_total": len(manifest.files),
+            "version": manifest.version + 1,
+        }
+
+    def update_where(
+        self,
+        name: str,
+        condition,
+        set: dict,
+        prune_column: str | None = None,
+        prune_lo=None,
+        prune_hi=None,
+    ) -> dict:
+        """``UPDATE name SET col = expr, ... WHERE condition`` —
+        copy-on-write update with the same touched-file planning as
+        ``delete_where``. Rows where the condition is TRUE get each
+        ``set`` expression (a Column or SQL string, evaluated against
+        the pre-update row, cast to the column's recorded type); FALSE/
+        NULL rows — and every row in an untouched file — are byte-for-
+        byte preserved. Updating a partition column is allowed: rewritten
+        rows move to their new partition directory (Delta allows the
+        same; the untouched-file carry-forward is unaffected).
+
+        Returns ``{"rows_updated", "files_rewritten", "files_total",
+        "version"}``.
+        """
+        manifest = self._latest_manifest(name)
+        if manifest is None:
+            raise FileNotFoundError(f"table {name} does not exist in {self.root}")
+        schema = StructType.fromJson(json.loads(manifest.schema_json))
+        known = {f.name: f.dataType for f in schema.fields}
+        bad = [c for c in set if c not in known]
+        if bad:
+            raise ValueError(f"UPDATE SET targets unknown columns {bad} on {name}")
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        touched, untouched = self._touched_files_for(
+            name, manifest, cond, prune_column, prune_lo, prune_hi
+        )
+        if not touched:
+            return {
+                "rows_updated": 0,
+                "files_rewritten": 0,
+                "files_total": len(manifest.files),
+                "version": manifest.version,
+            }
+        subset = self._read_file_subset(name, manifest, touched)
+        n_updated = int(
+            subset.agg(F.sum(F.when(cond, 1).otherwise(0))).collect()[0][0] or 0
+        )
+        assigns = {
+            c: (F.expr(e) if isinstance(e, str) else e).cast(known[c])
+            for c, e in set.items()
+        }
+        is_hit = F.coalesce(cond, F.lit(False))
+        rewritten = subset.select(
+            *[
+                F.when(is_hit, assigns[f.name]).otherwise(F.col(f.name)).alias(f.name)
+                if f.name in assigns
+                else F.col(f.name)
+                for f in schema.fields
+            ]
+        )
+        files = self._write_files(rewritten, name, manifest.partition_by)
+        stats = {f: manifest.stats[f] for f in untouched if f in manifest.stats}
+        stats.update(self._collect_file_stats(self._data_dir(name), files))
+        self._commit(
+            name,
+            Manifest(
+                version=manifest.version + 1,
+                schema_json=manifest.schema_json,
+                partition_by=manifest.partition_by,
+                files=untouched + files,
+                stats=stats,
+            ),
+            prev=manifest,
+        )
+        return {
+            "rows_updated": n_updated,
+            "files_rewritten": len(touched),
+            "files_total": len(manifest.files),
+            "version": manifest.version + 1,
+        }
+
     def optimize(
         self,
         name: str,

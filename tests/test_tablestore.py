@@ -829,3 +829,100 @@ def test_version_changes_single_walk_matches_per_version(spark, tmp_path):
     for v, pb, added in walked:
         assert added == added_files_in(log_dir, v)
         assert pb == ["y"]
+
+
+def test_delete_where_rewrites_only_touched_files(spark, tmp_path):
+    """DELETE FROM ... WHERE: SQL three-valued semantics (NULL
+    condition keeps the row), untouched files — including files in the
+    same partition with no matching row — carry forward byte-identical,
+    and the change feed reports only touched-file rows."""
+    st = _store(spark, tmp_path)
+    st.save_overwrite(
+        spark.createDataFrame(
+            [
+                Row(k=1, y=1, v=5),
+                Row(k=2, y=1, v=50),
+                Row(k=3, y=2, v=5),
+                Row(k=4, y=2, v=None),
+            ]
+        ),
+        "db.d",
+        partition_by=["y"],
+    )
+    m1 = st._latest_manifest("db.d")
+    metrics = st.delete_where("db.d", "v > 10")
+    assert metrics["rows_deleted"] == 1 and metrics["version"] == 2
+    rows = {(r.k, r.v) for r in st.read("db.d").collect()}
+    # v=50 deleted; v=5 rows and the NULL-condition row kept
+    assert rows == {(1, 5), (3, 5), (4, None)}
+    m2 = st._latest_manifest("db.d")
+    # y=2 holds no matching row: its files carry forward path-identical
+    y2_files = [f for f in m1.files if "y=2" in f]
+    assert y2_files and set(y2_files) <= set(m2.files)
+    # CDC across the delete only reports touched-partition rows
+    changed = st.table_changes("db.d", 1, 2)
+    assert {r.y for r in changed.collect()} == {1}
+    # no-match delete commits nothing
+    again = st.delete_where("db.d", "v > 1000")
+    assert again["files_rewritten"] == 0 and again["version"] == 2
+    assert st._latest_manifest("db.d").version == 2
+
+
+def test_delete_where_stats_prune_skips_discovery(spark, tmp_path):
+    """The range hint prunes files by manifest min/max before any scan:
+    a file whose [min,max] excludes the range is untouched even though
+    the predicate would require reading it to prove that."""
+    st = _store(spark, tmp_path)
+    st.save_overwrite(
+        spark.createDataFrame([Row(k=i, v=i) for i in range(1, 11)]).repartition(1),
+        "db.p",
+    )
+    st.merge_insert_only(
+        spark.createDataFrame([Row(k=i, v=i) for i in range(100, 111)]).repartition(1),
+        "db.p",
+        keys=["k"],
+    )
+    m = st._latest_manifest("db.p")
+    assert len(m.files) == 2
+    metrics = st.delete_where(
+        "db.p", "v >= 100", prune_column="v", prune_lo=100
+    )
+    assert metrics["files_rewritten"] == 1
+    assert st.read("db.p").count() == 10
+    # the low-range file is path-identical in the new manifest
+    low_file = [f for f in m.files if m.stats[f]["v"][1] <= 10]
+    assert set(low_file) <= set(st._latest_manifest("db.p").files)
+
+
+def test_update_where(spark, tmp_path):
+    """UPDATE ... SET evaluates expressions against the pre-update row,
+    only TRUE-condition rows change, types are preserved, and updating
+    a partition column moves rows to their new partition directory."""
+    st = _store(spark, tmp_path)
+    st.save_overwrite(
+        spark.createDataFrame(
+            [Row(k=1, y=1, v=10), Row(k=2, y=1, v=20), Row(k=3, y=2, v=30)]
+        ),
+        "db.u",
+        partition_by=["y"],
+    )
+    metrics = st.update_where("db.u", "v >= 20", {"v": "v * 2 + k"})
+    assert metrics["rows_updated"] == 2
+    rows = {(r.k, r.v) for r in st.read("db.u").collect()}
+    assert rows == {(1, 10), (2, 42), (3, 63)}
+    # schema unchanged (v stayed its original type)
+    assert dict(st.read("db.u").dtypes)["v"] == "bigint"
+    # partition-column update moves the row's file to the new dir
+    st.update_where("db.u", "k = 3", {"y": F.lit(9)})
+    m = st._latest_manifest("db.u")
+    assert any("y=9" in f for f in m.files)
+    assert {(r.k, r.y) for r in st.read("db.u").collect()} == {
+        (1, 1),
+        (2, 1),
+        (3, 9),
+    }
+    # unknown SET column raises
+    import pytest
+
+    with pytest.raises(ValueError):
+        st.update_where("db.u", "k = 1", {"nope": "1"})
