@@ -37,7 +37,7 @@ HEADLINE = [
     "q12_argmax_latest",
     "q26_formatted_topk",
     "q66_shipping_priority",
-    "q55_minhash_signatures",
+    "q83_dedup_groups",
     "q45_cosine_topk",
     "q47_text_battery",
     "q52_sessionization",

@@ -102,6 +102,93 @@ def bag_fingerprint(text: Column | str) -> Column:
     return F.md5(F.concat_ws(" ", ws))
 
 
+def alpha_word_ratio(text: Column | str) -> Column:
+    """Fraction of whitespace tokens containing at least one ASCII
+    letter — the Gopher-rules alphabetic-word signal (documents of
+    mostly numbers/symbols are low-quality training text)."""
+    ws = word_array(text)
+    alpha = F.size(F.filter(ws, lambda w: w.rlike("[a-z]")))
+    return alpha.cast("double") / F.greatest(F.size(ws), F.lit(1)).cast("double")
+
+
+def symbol_word_ratio(text: Column | str) -> Column:
+    """(# of '#' chars + # of '...' runs) per whitespace token — the
+    Gopher symbol-to-word ratio (hash-mark/ellipsis spam signal).
+    Occurrence counts via length arithmetic (no regex engine in the
+    loop): n('#') = len − len(replace); n('...') = (len − len(replace))
+    / 3."""
+    t = F.col(text) if isinstance(text, str) else text
+    hashes = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    dots = (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / F.lit(3)
+    return (hashes + dots).cast("double") / F.greatest(
+        n_words(text), F.lit(1)
+    ).cast("double")
+
+
+def duplicate_line_fraction(text: Column | str) -> Column:
+    """Fraction of lines that are repeats of an earlier line
+    (1 − distinct/total over newline-split lines) — the Gopher
+    duplicate-line repetition filter. 0.0 for single-line documents."""
+    t = F.col(text) if isinstance(text, str) else text
+    lines = F.split(t, "\n")
+    n = F.size(lines)
+    return F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / F.greatest(
+        n, F.lit(1)
+    ).cast("double")
+
+
+def top_bigram_fraction(text: Column | str) -> Column:
+    """Fraction of tokens covered by the single most frequent word
+    bigram (2·count(top bigram) / n_words, the Gopher top-n-gram
+    repetition signal, simplified to coverage by token count).
+
+    Pure Column form: per row, count each DISTINCT bigram's occurrences
+    with a filter scan — O(distinct·len) per document, fine for
+    normal-length documents inside one codegen stage. For book-length
+    outliers use the explode → groupBy(doc, bigram) → max form instead
+    (one extra shuffle, strictly linear per row)."""
+    ws = word_array(text)
+    n = F.size(ws)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + F.lit(1))),
+    )
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda b: F.size(F.filter(grams, lambda x: x == b)),
+        )
+    )
+    return (
+        F.when(n < 2, F.lit(0.0))
+        .otherwise(F.lit(2.0) * top.cast("double") / n.cast("double"))
+    )
+
+
+# PII scrub patterns, applied in order (SSN before the phone pattern so
+# ddd-dd-dddd is never half-eaten as a phone number). Patterns are
+# written to the common Java-regex/RE2 subset (no lookaround) so the
+# DuckDB oracle replays them verbatim.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_scrub(text: Column | str) -> Column:
+    """Redact emails, SSN-shaped ids, IPv4 addresses and NANP-style
+    phone numbers with typed placeholder tokens — the standard
+    pre-training PII scrub pass. A chain of global regexp_replace
+    calls, entirely inside codegen; at 100 TB this is a narrow
+    map-only column rewrite with no shuffle."""
+    out = F.col(text) if isinstance(text, str) else text
+    for pat, rep in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
 def winnowing_fingerprints(
     text: Column | str, k: int = 8, window: int = 4
 ) -> Column:

@@ -115,9 +115,9 @@ def q43_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard-verify operator families (previously q42 + q43).
 
     Measured at sf0.01: 107k band candidates → 91k pairs ≥ 0.5 — an
-    85% pre-refine precision, confirming q55's note that this synthetic
-    corpus's tiny vocabulary makes TRUE near-dup pairs quadratically
-    dense; the r1 candidate count was data, not banding laxness. The
+    85% pre-refine precision — this synthetic corpus's tiny vocabulary
+    makes TRUE near-dup pairs quadratically dense, so the r1 candidate
+    count was data, not banding laxness. The
     r=4 banding + refine stage is what keeps the pair join bounded on a
     real corpus, where near-dup density is sparse."""
     t = load_tables(spark, sf_dir, "documents")
@@ -126,29 +126,86 @@ def q43_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_refine(cand, t["documents"], threshold=0.5)
 
 
+# q83 closes the near-dup pipeline end-to-end: pairs are only EDGES —
+# dedup needs transitive GROUPS (A~B, B~C ⟹ {A,B,C} one cluster).
+# Refine threshold 0.9 keeps the sf0.01 graph meaningful (265 paired
+# docs, 17 clusters) without the quadratic near-dup density this
+# synthetic corpus shows at 0.5. The oracle closes reachability with a
+# recursive CTE (min reachable id ≡ hash-min fixpoint by definition of
+# connectivity). Replaces q55_minhash_signatures in the 50-entry
+# window: the signature stage stays driver-attested inside this oracle
+# and q43's (both recompute signatures from scratch), and stays
+# unit-tested in tests/test_extensions.py.
+_Q83_THRESHOLD = 0.9
+
+
 @register(
-    "q55_minhash_signatures",
+    "q83_dedup_groups",
     oracle=f"""
-    WITH toks AS (
+    WITH RECURSIVE toks AS (
       SELECT doc_id, unnest({_WORDS}) AS tok FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id,
+        {_SIG_EXPRS}
+      FROM toks GROUP BY doc_id
+    ),
+    bands AS (
+      {_BAND_SELECTS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    ws AS (
+      SELECT doc_id, {_WORDS} AS w FROM documents
+    ),
+    refined AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN ws a ON a.doc_id = c.id_a JOIN ws b ON b.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+          / CAST(len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)) AS DOUBLE)
+          >= {_Q83_THRESHOLD}
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM refined
+      UNION SELECT id_b, id_a FROM refined
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.d, rr.r FROM reach rr JOIN edges e ON e.s = rr.node
+    ),
+    comp AS (SELECT node, MIN(r) AS group_id FROM reach GROUP BY node),
+    assigned AS (
+      SELECT d.doc_id, COALESCE(c.group_id, d.doc_id) AS group_id
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
     )
-    SELECT doc_id,
-      MIN(md5(tok || '#0')) AS sig_0, MIN(md5(tok || '#1')) AS sig_1,
-      MIN(md5(tok || '#2')) AS sig_2, MIN(md5(tok || '#3')) AS sig_3,
-      MIN(md5(tok || '#4')) AS sig_4, MIN(md5(tok || '#5')) AS sig_5,
-      MIN(md5(tok || '#6')) AS sig_6, MIN(md5(tok || '#7')) AS sig_7
-    FROM toks GROUP BY doc_id
+    SELECT doc_id, group_id,
+           COUNT(*) OVER (PARTITION BY group_id) AS group_size,
+           (doc_id = group_id) AS is_survivor
+    FROM assigned
     """,
 )
-def q55_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signature computation alone (the linear, scalable stage
-    of q43): array_min over per-row transforms — zero shuffles, one
-    codegen stage (see operators/dedup.minhash_signatures).
-    Benchmarked separately from pair generation because the synthetic
-    corpus's tiny vocabulary makes true near-dup pairs quadratically
-    dense — candidate explosion there is data, not plan."""
+def q83_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS, the stage after q43's pairs: MinHash → LSH →
+    Jaccard refine (0.9) → iterative hash-min connected components
+    (operators/graph.py) → full-corpus (doc_id, group_id, group_size,
+    is_survivor) with singletons as their own groups and the min-id
+    survivor policy. The label frame localCheckpoints per round so the
+    iterative plan never accumulates lineage; rounds = cluster
+    diameter (~1-2 for duplicate clusters)."""
+    from ironman_medallion_lakehouse_spark.operators.graph import (
+        dedup_groups_from_pairs,
+    )
+
     t = load_tables(spark, sf_dir, "documents")
-    return D.minhash_signatures(t["documents"], k=8)
+    sigs = D.minhash_signatures(t["documents"], k=_LSH_K)
+    cand = D.lsh_candidate_pairs(sigs, k=_LSH_K, bands=_LSH_BANDS)
+    pairs = D.jaccard_refine(cand, t["documents"], threshold=_Q83_THRESHOLD)
+    return dedup_groups_from_pairs(t["documents"], pairs)
 
 
 @register(
@@ -296,12 +353,18 @@ def _lang_score_sql(lang: str) -> str:
     oracle=f"""
     WITH scored AS (
       SELECT doc_id, lang AS actual_lang, text,
+        string_split_regex(lower(text), '\\s+') AS w,
         {_lang_score_sql('en')} AS score_en,
         {_lang_score_sql('de')} AS score_de,
         {_lang_score_sql('fr')} AS score_fr,
         {_lang_score_sql('es')} AS score_es,
         {_lang_score_sql('zh')} AS score_zh
       FROM documents
+    ),
+    grams AS (
+      SELECT *, list_transform(generate_series(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i + 1]) AS bg
+      FROM scored
     )
     SELECT doc_id, actual_lang, score_en, score_de, score_fr, score_es, score_zh,
       CASE
@@ -322,8 +385,31 @@ def _lang_score_sql(lang: str) -> str:
       CAST(score_en AS DOUBLE)
         / CAST(greatest(len({_WORDS}), 1) AS DOUBLE) AS stopword_ratio_en,
       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS regex_tokens,
-      md5(array_to_string(list_sort({_WORDS}), ' ')) AS fingerprint
-    FROM scored
+      md5(array_to_string(list_sort({_WORDS}), ' ')) AS fingerprint,
+      CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                           w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+        / CAST(greatest(len(string_split_regex(lower(text), '\\s+')), 1) AS DOUBLE)
+        AS alpha_word_ratio,
+      CAST((LENGTH(text) - LENGTH(replace(text, '#', '')))
+           + (LENGTH(text) - LENGTH(replace(text, '...', ''))) / 3 AS DOUBLE)
+        / CAST(greatest(len(string_split_regex(lower(text), '\\s+')), 1) AS DOUBLE)
+        AS symbol_word_ratio,
+      1.0 - CAST(len(list_distinct(string_split(text, chr(10)))) AS DOUBLE)
+        / CAST(greatest(len(string_split(text, chr(10))), 1) AS DOUBLE)
+        AS dup_line_fraction,
+      CASE WHEN len(w) < 2 THEN 0.0
+           ELSE 2.0 * CAST(list_max(list_transform(list_distinct(bg),
+                             b -> len(list_filter(bg, x -> x = b)))) AS DOUBLE)
+                    / CAST(len(w) AS DOUBLE)
+      END AS top_bigram_fraction,
+      md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            text || ' reach me: john.doe+spam@mail.example.org, 10.20.30.40, 555-123-4567, 123-45-6789',
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+            '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '<ID>', 'g'),
+            '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+            '\\+?\\b\\d{{3}}[-. ]\\d{{3}}[-. ]\\d{{4}}\\b', '<PHONE>', 'g'))
+        AS pii_scrub_fp
+    FROM grams
     """,
 )
 def q47_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -353,6 +439,25 @@ def q47_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.stopword_ratio("text", "en").alias("stopword_ratio_en"),
         T.regex_token_count("text").cast("bigint").alias("regex_tokens"),
         T.bag_fingerprint("text").alias("fingerprint"),
+        # Gopher-rules repetition/quality signals + PII scrub (r3): the
+        # scrub column appends a fixed PII suffix so every pattern class
+        # (email, SSN-shape, IPv4, phone) is exercised on every row even
+        # though the synthetic corpus itself carries no PII.
+        T.alpha_word_ratio("text").alias("alpha_word_ratio"),
+        T.symbol_word_ratio("text").alias("symbol_word_ratio"),
+        T.duplicate_line_fraction("text").alias("dup_line_fraction"),
+        T.top_bigram_fraction("text").alias("top_bigram_fraction"),
+        F.md5(
+            T.pii_scrub(
+                F.concat(
+                    F.col("text"),
+                    F.lit(
+                        " reach me: john.doe+spam@mail.example.org, "
+                        "10.20.30.40, 555-123-4567, 123-45-6789"
+                    ),
+                )
+            )
+        ).alias("pii_scrub_fp"),
     ]
     return d.select(*cols)
 

@@ -644,32 +644,12 @@ def q80_catalog_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q68_moving_average",
-    oracle="""
-    WITH daily AS (
-      SELECT
-        date_trunc('day', o_orderdate) AS order_date,
-        COUNT(*) AS n_orders,
-        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-      FROM orders GROUP BY 1
-    )
-    SELECT
-      order_date, n_orders, revenue,
-      CAST(SUM(CAST(revenue AS DECIMAL(18,4))) OVER (
-        ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
-      ) AS DOUBLE) AS revenue_7d,
-      CAST(SUM(n_orders) OVER (
-        ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
-      ) AS BIGINT) AS orders_7d
-    FROM daily
-    """,
-)
 def q68_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit window frame (rowsBetween) — absent from the reference
-    (SURVEY §2.5 'frames all default') but core serving-layer machinery:
-    7-row trailing totals over the daily aggregate. Frame sums go
-    through decimal so the sliding accumulation is order-exact."""
+    """Explicit window frame (rowsBetween): 7-row trailing totals over
+    the daily aggregate. Lost its driver slot to q84_sequence_packing
+    in round 3 (the ROWS-BETWEEN frame surface is exercised by the
+    packing prefix sum); the plan contract stays enforced in
+    tests/test_plans_round2.py."""
     from pyspark.sql import Window
 
     t = load_tables(spark, sf_dir, "orders")
@@ -686,6 +666,44 @@ def q68_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("revenue").cast("decimal(18,4)")).over(w).cast("double").alias("revenue_7d"),
         F.sum("n_orders").over(w).alias("orders_7d"),
     )
+
+
+@register(
+    "q84_sequence_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS excl
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(excl // 2048 AS BIGINT) AS start_pack,
+           CAST(excl % 2048 AS BIGINT) AS start_offset,
+           CAST((excl + greatest(n_tokens, 1) - 1) // 2048 AS BIGINT) AS end_pack,
+           CAST((excl + greatest(n_tokens, 1) - 1) // 2048
+                - excl // 2048 + 1 AS BIGINT) AS n_packs
+    FROM c
+    """,
+)
+def q84_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (operators/packing.py): every
+    document's coordinates in the 2048-token training-chunk stream,
+    ordered by doc_id. The Spark side runs the two-level distributed
+    prefix sum (range shuffle + range-local cumulative window + an
+    O(ranges) driver fold) — NOT a global orderBy window, which would
+    serialize the corpus through one task; the oracle states the same
+    arithmetic as one DuckDB window cumsum."""
+    from ironman_medallion_lakehouse_spark.operators.packing import pack_sequences
+
+    t = load_tables(spark, sf_dir, "documents")
+    return pack_sequences(t["documents"], budget=2048)
 
 
 # ===========================================================================

@@ -280,3 +280,111 @@ def test_multimodal_resize(spark):
     assert resized[1].payload == resized[2].payload
     # content still matters (not a constant payload)
     assert resized[1].payload != resized[4].payload
+
+
+def test_gopher_repetition_and_quality_signals(spark):
+    """Gopher-rules metrics on constructed documents with known values."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, 'dup' twice -> dup_line_fraction 0.25
+            Row(doc_id=1, text="dup\nuniq one\ndup\nother"),
+            # 'a b' bigram 3x out of 5 bigrams, 6 words -> top fraction 1.0
+            Row(doc_id=2, text="a b a b a b"),
+            # numbers + symbols: 1 of 4 tokens alphabetic; '#'x2 + '...'x1
+            Row(doc_id=3, text="### 123 4.5 ok..."),
+            Row(doc_id=4, text="solo"),
+        ]
+    )
+    from ironman_medallion_lakehouse_spark.functions import text as T
+
+    out = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id",
+            T.duplicate_line_fraction("text").alias("dlf"),
+            T.top_bigram_fraction("text").alias("tbf"),
+            T.alpha_word_ratio("text").alias("awr"),
+            T.symbol_word_ratio("text").alias("swr"),
+        ).collect()
+    }
+    assert abs(out[1].dlf - 0.25) < 1e-12
+    assert abs(out[2].tbf - 1.0) < 1e-12  # 2*3/6
+    assert abs(out[3].awr - 0.25) < 1e-12  # only 'ok...' has a letter
+    assert abs(out[3].swr - (3 + 1) / 4) < 1e-12  # 3 hashes + 1 ellipsis over 4 tokens
+    assert out[4].tbf == 0.0  # <2 words guard
+
+
+def test_pii_scrub(spark):
+    from pyspark.sql import Row
+
+    from ironman_medallion_lakehouse_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [
+            Row(
+                doc_id=1,
+                text=(
+                    "mail a.b-c_1@ex.co or x@y.io, ip 192.168.1.1, "
+                    "ssn 123-45-6789, call 555-123-4567 or +1 555 987 6543"
+                ),
+            ),
+            Row(doc_id=2, text="no pii here, just 3.14 and v1.2.3.4beta"),
+        ]
+    )
+    got = {r.doc_id: r.s for r in docs.select("doc_id", T.pii_scrub("text").alias("s")).collect()}
+    assert got[1] == (
+        "mail <EMAIL> or <EMAIL>, ip <IP>, ssn <ID>, call <PHONE> or +1 <PHONE>"
+    )
+    # \b protects embedded version strings: 'v1' is a word-word
+    # transition (no boundary), so 1.2.3.4 inside 'v1.2.3.4beta' never
+    # matches the IP shape; 3.14 is untouched too
+    assert got[2] == "no pii here, just 3.14 and v1.2.3.4beta"
+
+
+def test_pack_sequences_concat_then_chunk(spark):
+    """Hand-computed pack coordinates, straddling docs included."""
+    from pyspark.sql import Row
+
+    from ironman_medallion_lakehouse_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, n=n) for i, n in [(1, 4), (2, 9), (3, 2), (4, 10), (5, 1)]]
+    )
+    got = {
+        r.doc_id: (r.start_pack, r.start_offset, r.end_pack, r.n_packs)
+        for r in pack_sequences(
+            docs, budget=10, tokens=F.col("n"), num_ranges=2
+        ).collect()
+    }
+    # stream offsets: 0, 4, 13, 15, 25 (order by doc_id)
+    assert got == {
+        1: (0, 0, 0, 1),
+        2: (0, 4, 1, 2),   # straddles packs 0-1
+        3: (1, 3, 1, 1),
+        4: (1, 5, 2, 2),   # straddles packs 1-2
+        5: (2, 5, 2, 1),
+    }
+
+
+def test_pack_sequences_partition_count_invariant(spark):
+    """The two-level prefix sum must give identical coordinates for any
+    range count — the distributed decomposition is an implementation
+    detail, not a semantics knob."""
+    from pyspark.sql import Row
+
+    from ironman_medallion_lakehouse_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, n=(i * 7) % 13 + 1) for i in range(1, 101)]
+    )
+    a = {
+        r.doc_id: (r.start_pack, r.start_offset, r.end_pack)
+        for r in pack_sequences(docs, 32, tokens=F.col("n"), num_ranges=1).collect()
+    }
+    b = {
+        r.doc_id: (r.start_pack, r.start_offset, r.end_pack)
+        for r in pack_sequences(docs, 32, tokens=F.col("n"), num_ranges=8).collect()
+    }
+    assert a == b

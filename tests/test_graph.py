@@ -1,0 +1,55 @@
+"""Connected components + dedup grouping (operators/graph.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from ironman_medallion_lakehouse_spark.operators.graph import (
+    connected_components,
+    dedup_groups_from_pairs,
+)
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame([Row(id_a=a, id_b=b) for a, b in edges])
+
+
+def test_chain_converges_across_diameter(spark):
+    """Min label must cross a diameter-4 chain — multiple propagation
+    rounds, transitivity beyond any directly-scored pair."""
+    comp = connected_components(_pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]))
+    assert {(r.node, r.component) for r in comp.collect()} == {
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 1)
+    }
+
+
+def test_multiple_components_and_edge_direction(spark):
+    """Components stay separate; undirected semantics — the min id
+    propagates regardless of which pair side it appears on."""
+    comp = connected_components(_pairs(spark, [(7, 2), (2, 9), (11, 10)]))
+    got = {(r.node, r.component) for r in comp.collect()}
+    assert got == {(7, 2), (2, 2), (9, 2), (11, 10), (10, 10)}
+
+
+def test_dedup_groups_from_pairs(spark):
+    docs = spark.createDataFrame([Row(doc_id=i) for i in [1, 2, 3, 4, 5, 6]])
+    groups = dedup_groups_from_pairs(docs, _pairs(spark, [(2, 3), (3, 4)]))
+    got = {(r.doc_id, r.group_id, r.group_size, r.is_survivor) for r in groups.collect()}
+    assert got == {
+        (1, 1, 1, True),
+        (2, 2, 3, True),
+        (3, 2, 3, False),
+        (4, 2, 3, False),
+        (5, 5, 1, True),
+        (6, 6, 1, True),
+    }
+    # exactly one survivor per group
+    assert groups.filter("is_survivor").count() == 4
+
+
+def test_non_convergence_raises(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            _pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]), max_iterations=2
+        )

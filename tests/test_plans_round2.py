@@ -84,6 +84,22 @@ def test_grouping_battery_uses_expand(spark):
 def test_moving_average_single_window_sort(spark):
     # daily agg then one global-ordered frame window: exactly one
     # aggregate exchange + one window exchange (formatted plans list
-    # each node in both the tree and the detail section → ×2)
-    plan = _plan(spark, "q68_moving_average")
+    # each node in both the tree and the detail section → ×2).
+    # (q68 lost its driver slot to q84_sequence_packing in round 3 but
+    # the plan contract stays enforced here.)
+    from ironman_medallion_lakehouse_spark.suite_more import q68_moving_average
+
+    plan = _plan_of(q68_moving_average(spark, SF))
     assert plan.count("Exchange") <= 4
+
+
+def test_sequence_packing_no_global_sort_window(spark):
+    # the packing prefix sum must be range-partitioned + range-local
+    # window — a Window whose partition spec is empty (global orderBy)
+    # would serialize the corpus through one task
+    # (the range repartition itself is frozen behind the localCheckpoint,
+    # so the visible plan starts at the checkpointed RDD)
+    plan = _plan(spark, "q84_sequence_packing")
+    assert "hashpartitioning(_rid" in plan
+    # a partition-less window would require a SinglePartition exchange
+    assert "SinglePartition" not in plan
