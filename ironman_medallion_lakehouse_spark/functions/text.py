@@ -137,27 +137,69 @@ def duplicate_line_fraction(text: Column | str) -> Column:
     ).cast("double")
 
 
+def _let(value: Column, body) -> Column:
+    """Bind ``value`` once and use it many times inside ``body``.
+
+    Higher-order functions are evaluated *interpreted* (no codegen), and
+    any outer **expression** referenced inside a lambda is re-evaluated
+    per element — the r3 q47 regression (0.8 s → 394 s at sf0.1) was a
+    nested lambda re-running the full lower+regex-split of the document
+    for every distinct bigram × element. A lambda **variable**, by
+    contrast, is a bound value: O(1) to read. ``transform(array(v),
+    x -> body(x))[1]`` is therefore a pure-Column let-binding: ``v`` is
+    a direct child (evaluated exactly once per row) and every use inside
+    ``body`` is a cheap variable read."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def bigram_array(text: Column | str) -> Column:
+    """Adjacent word bigrams as ``"w1 w2"`` strings — zip of the word
+    array with its own shift. Both slice children and the zip lambda
+    touch only direct children / lambda args, so cost is O(len) per row
+    (the word split is evaluated a constant number of times)."""
+    ws = word_array(text)
+    n1 = F.greatest(F.size(ws) - F.lit(1), F.lit(0))
+    return F.zip_with(
+        F.slice(ws, 1, n1),
+        F.slice(ws, 2, n1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+
 def top_bigram_fraction(text: Column | str) -> Column:
     """Fraction of tokens covered by the single most frequent word
     bigram (2·count(top bigram) / n_words, the Gopher top-n-gram
     repetition signal, simplified to coverage by token count).
 
-    Pure Column form: per row, count each DISTINCT bigram's occurrences
-    with a filter scan — O(distinct·len) per document, fine for
-    normal-length documents inside one codegen stage. For book-length
-    outliers use the explode → groupBy(doc, bigram) → max form instead
-    (one extra shuffle, strictly linear per row)."""
-    ws = word_array(text)
-    n = F.size(ws)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - F.lit(1)),
-        lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + F.lit(1))),
+    Linear single-pass form: sort the bigram array, then fold it once
+    with ``aggregate`` tracking (prev, current run, best run) — the max
+    run length of a sorted array IS the max bigram multiplicity. The
+    array is a direct child of ``aggregate`` (evaluated once per row)
+    and the fold lambda reads only its own variables, so the whole
+    expression is O(len·log len) per document with no per-element
+    re-evaluation — the r3 version's nested filter-count was
+    O(distinct·len) with the full text re-split per inner element,
+    which at sf0.1 meant 394 s on one core. Stays one narrow scan with
+    zero shuffle (an explode→groupBy rewrite would add one); at 100 TB
+    this is a map-only column."""
+    n = F.size(word_array(text))
+    run = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
     )
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(grams),
-            lambda b: F.size(F.filter(grams, lambda x: x == b)),
-        )
+    top = F.aggregate(
+        F.array_sort(bigram_array(text)),
+        run,
+        lambda acc, x: _let(
+            F.when(x == acc["prev"], acc["run"] + F.lit(1)).otherwise(F.lit(1)),
+            lambda r: F.struct(
+                x.alias("prev"),
+                r.alias("run"),
+                F.greatest(acc["best"], r).alias("best"),
+            ),
+        ),
+        lambda acc: acc["best"],
     )
     return (
         F.when(n < 2, F.lit(0.0))
@@ -206,25 +248,36 @@ def winnowing_fingerprints(
     sketches whole-set resemblance).
 
     Pure Column composition — k-grams via substring over a sequence,
-    window minima via array_min over slices — one codegen stage, no
-    UDF, no shuffle. Texts shorter than k characters yield an empty
-    array (CASE-guarded: Spark's ``sequence(1, 0)`` descends rather
-    than being empty). Join fingerprints to pair documents:
+    window minima via array_min over slices — one stage, no UDF, no
+    shuffle. The normalized text and the gram array are let-bound
+    (``_let``) so the per-element lambdas read bound variables instead
+    of re-evaluating the normalize/hash subtrees — interpreted HOF
+    evaluation re-runs any outer *expression* per element (the r3 q47
+    lesson), which here would be O(len²) regexp work per document.
+    Texts shorter than k characters yield an empty array
+    (CASE-guarded: Spark's ``sequence(1, 0)`` descends rather than
+    being empty). Join fingerprints to pair documents:
     ``explode → equi-join on the hash → group pairs`` — same bucketed
     shape as LSH banding, never all-pairs."""
     t = F.col(text) if isinstance(text, str) else text
-    norm = F.regexp_replace(F.trim(F.lower(t)), r"\s+", " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.length(norm) - F.lit(k - 1)),
-        lambda i: F.md5(F.substring(norm, i, k)),
-    )
-    mins = F.transform(
-        F.sequence(F.lit(1), F.size(grams) - F.lit(window - 1)),
-        lambda j: F.array_min(F.slice(grams, j, window)),
-    )
     empty = F.expr("cast(array() as array<string>)")
-    return (
-        F.when(F.length(norm) < k, empty)
-        .when(F.size(grams) < window, F.array_distinct(F.array(F.array_min(grams))))
-        .otherwise(F.array_distinct(mins))
-    )
+
+    def _mins(grams: Column) -> Column:
+        windows = F.transform(
+            F.sequence(F.lit(1), F.size(grams) - F.lit(window - 1)),
+            lambda j: F.array_min(F.slice(grams, j, window)),
+        )
+        return (
+            F.when(F.size(grams) < 1, empty)
+            .when(F.size(grams) < window, F.array_distinct(F.array(F.array_min(grams))))
+            .otherwise(F.array_distinct(windows))
+        )
+
+    def _fingerprints(norm: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.length(norm) - F.lit(k - 1)),
+            lambda i: F.md5(F.substring(norm, i, k)),
+        )
+        return F.when(F.length(norm) < k, empty).otherwise(_let(grams, _mins))
+
+    return _let(F.regexp_replace(F.trim(F.lower(t)), r"\s+", " "), _fingerprints)

@@ -85,6 +85,43 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+# Carter-Wegman permutation family for MinHash: permutation j orders
+# tokens by (a_j·h + b_j) mod p over a single 60-bit md5-derived token
+# hash h. p = 2^31−1 (Mersenne prime) keeps every product under 2^62 —
+# exact in BIGINT on both Spark and the DuckDB oracle (no unsigned
+# overflow games). Coefficients are md5-derived from j, so both engines
+# can re-derive the identical family from public constants.
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) pairs for the k permutations; a_j ≠ 0."""
+    import hashlib
+
+    out = []
+    for j in range(k):
+        a = int.from_bytes(hashlib.md5(f"minhash-a#{j}".encode()).digest()[:8], "big")
+        b = int.from_bytes(hashlib.md5(f"minhash-b#{j}".encode()).digest()[:8], "big")
+        out.append((a % (MINHASH_P - 1) + 1, b % MINHASH_P))
+    return out
+
+
+def token_hash_raw(tok: Column) -> Column:
+    """60-bit token hash: first 15 hex chars of md5 as BIGINT.
+    Collision probability ~|vocab|²/2⁶¹ — negligible, and in any case
+    deterministic and engine-identical (the DuckDB replay is
+    ``('0x' || substr(md5(tok), 1, 15))::UBIGINT``)."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("bigint")
+
+
+def token_hash(tok: Column) -> Column:
+    """``token_hash_raw`` reduced mod p for the Carter-Wegman family.
+    One md5 per token TOTAL — the r3 form hashed md5(tok||'#j') per
+    permutation, 128× the string-hash work for the same Jaccard
+    estimator quality."""
+    return token_hash_raw(tok) % MINHASH_P
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -99,32 +136,42 @@ def minhash_signatures(
     looking like near-dups — the standard shingle→minhash→band
     pipeline).
 
-    Permutation j is the order of md5(word || '#' || j); the signature
-    element is the minimum hash — computed as array_min over a
-    per-row transform of the distinct-word array: **zero shuffles**
-    (the r1 explode + k min-aggregations form shuffled every token;
-    this computes all k mins map-side inside one codegen stage, ~2.7×
-    faster at sf0.1 and embarrassingly parallel at any scale).
-    Documents with no tokens are excluded, matching the
-    explode/GROUP BY semantics the DuckDB oracle states.
+    Signature element j = min over tokens of (a_j·h(tok) + b_j) mod p
+    (see ``minhash_coeffs``/``token_hash``): **zero shuffles** — all k
+    mins are computed map-side in one stage. The token-hash array is
+    let-bound (functions/text._let) so the md5 pass runs ONCE per row
+    and each of the k permutation scans is pure BIGINT arithmetic over
+    a bound lambda variable — interpreted HOFs re-evaluate outer
+    *expressions* per element (the r3 q47 lesson), which here would
+    re-split and re-hash the document k times. Documents with no tokens
+    are excluded, matching the explode/GROUP BY semantics the DuckDB
+    oracle states.
 
     The k=128 default matches ``lsh_candidate_pairs`` (32 bands × r=4),
     so the documented two-call pipeline works with defaults end-to-end.
-
-    NB the per-permutation closure: the transform lambda must take ONE
-    argument — a two-arg lambda would receive the element index as its
-    second parameter (PySpark arity dispatch), silently shadowing a
-    default-argument ``j``.
     """
+    from ironman_medallion_lakehouse_spark.functions.text import _let
+
     ws = word_set(text_col) if tokens is None else tokens
+    coeffs = minhash_coeffs(k)
 
-    def sig(j: int):
-        return F.array_min(
-            F.transform(ws, lambda tok: F.md5(F.concat(tok, F.lit(f"#{j}"))))
-        ).alias(f"sig_{j}")
+    def perm(a: int, b: int):
+        # NB: a one-arg lambda is required — PySpark dispatches HOF
+        # arity on the FULL parameter list, so default-arg capture
+        # (lambda h, a=a: ...) would be treated as a 3-arg lambda
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
 
-    return docs.filter(F.size(ws) > 0).select(
-        F.col(id_col), *[sig(j) for j in range(k)]
+    def sigs(hashes: Column) -> Column:
+        return F.array(
+            *[F.array_min(F.transform(hashes, perm(a, b))) for (a, b) in coeffs]
+        )
+
+    with_sigs = docs.filter(F.size(ws) > 0).select(
+        F.col(id_col),
+        _let(F.transform(ws, token_hash), sigs).alias("_sigs"),
+    )
+    return with_sigs.select(
+        F.col(id_col), *[F.col("_sigs")[j].alias(f"sig_{j}") for j in range(k)]
     )
 
 
@@ -226,6 +273,50 @@ def jaccard_pairs(
     )
 
 
+def sig_agreement_filter(
+    candidates: DataFrame,
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    min_fraction: float = 0.75,
+    components: int | None = None,
+) -> DataFrame:
+    """Cheap MinHash pre-verify: keep only candidate pairs whose
+    signatures agree on ≥ ``min_fraction`` of the first ``components``
+    signature components (all of them by default). The agreeing
+    fraction is an unbiased Jaccard estimator with σ = √(J(1−J)/m), so
+    a bar several σ below the exact-refine threshold (e.g. 0.72 on
+    m=32 components is 3.4σ under a 0.9 bar) rejects the
+    mid-similarity candidate bulk for the price of m integer equality
+    checks inside whole-stage codegen — per pair, instead of the
+    O(|A|+|B|) interpreted set intersection the exact stage pays.
+    Deterministic (same signatures ⇒ same verdict), so an oracle
+    replays it exactly; the two signature joins broadcast (one row per
+    doc, m small ints)."""
+    sig_cols = sorted(
+        (f.name for f in signatures.schema.fields if f.name.startswith("sig_")),
+        key=lambda n: int(n.split("_")[1]),
+    )
+    if components is not None:
+        sig_cols = sig_cols[:components]
+    k = len(sig_cols)
+    need = int(min_fraction * k)
+    a = signatures.select(
+        F.col(id_col).alias("id_a"), *[F.col(c).alias(f"_a{c}") for c in sig_cols]
+    )
+    b = signatures.select(
+        F.col(id_col).alias("id_b"), *[F.col(c).alias(f"_b{c}") for c in sig_cols]
+    )
+    agree = sum(
+        F.when(F.col(f"_a{c}") == F.col(f"_b{c}"), 1).otherwise(0) for c in sig_cols
+    )
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(agree >= F.lit(need))
+        .select("id_a", "id_b")
+    )
+
+
 def jaccard_refine(
     candidates: DataFrame,
     docs: DataFrame,
@@ -233,6 +324,7 @@ def jaccard_refine(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     tokens: Column | None = None,
+    hashed_tokens: bool = False,
 ) -> DataFrame:
     """Exact token-set Jaccard over an LSH candidate-pair set — the
     verify stage after ``lsh_candidate_pairs``. Two broadcast-or-shuffle
@@ -241,10 +333,19 @@ def jaccard_refine(
     above ``threshold`` with their exact score. ``tokens`` swaps the
     default word set for any distinct-token expression (pass the SAME
     expression used for the signatures — e.g. ``shingles(text_col, 3)``
-    for the n-gram Jaccard family)."""
-    ws = docs.select(
-        F.col(id_col), (word_set(text_col) if tokens is None else tokens).alias("ws")
-    )
+    for the n-gram Jaccard family). For high thresholds put
+    ``sig_agreement_filter`` in front so the interpreted set
+    intersection only runs on near-certain pairs, and set
+    ``hashed_tokens`` to intersect 60-bit BIGINT token hashes
+    (``token_hash_raw``) instead of strings — the interpreted
+    ``array_intersect`` hash-set is several× cheaper on longs, and the
+    count is identical up to a ~2⁻⁶¹-probability hash collision (an
+    oracle replays the same hashes, so results stay engine-exact
+    either way)."""
+    tok_expr = word_set(text_col) if tokens is None else tokens
+    if hashed_tokens:
+        tok_expr = F.transform(tok_expr, token_hash_raw)
+    ws = docs.select(F.col(id_col), tok_expr.alias("ws"))
     a = ws.select(F.col(id_col).alias("id_a"), F.col("ws").alias("ws_a"))
     b = ws.select(F.col(id_col).alias("id_b"), F.col("ws").alias("ws_b"))
     inter = F.size(F.array_intersect(F.col("ws_a"), F.col("ws_b")))

@@ -8,23 +8,29 @@ one duplicate cluster even though (A, C) was never scored. Connected
 components closes that transitivity gap and yields one canonical
 survivor per cluster.
 
-Algorithm: iterative hash-min label propagation — every node starts
-labeled with its own id; each round a node takes the minimum label
-among itself and its neighbors; at fixpoint every node carries the
-minimum id of its component. Each round is two skew-tolerant shuffles
-(edge⋈label hash join + min-aggregation), and the label frame is
-localCheckpoint-ed per round so the plan never accumulates iterations
-(lineage growth is the classic iterative-Spark failure mode). Rounds
-needed = graph diameter, which for duplicate clusters is small (dense
-clusters have diameter ~1-2); for adversarially-chained graphs the
-large-star/small-star scheme (Kiveris et al., "Connected Components in
-MapReduce and Beyond") converges in O(log n) rounds — hash-min is
-chosen here because dedup graphs are shallow and it needs no
-re-keyed edge rewriting per round.
+Algorithm: min-neighbor star contraction with pointer doubling (the
+Borůvka/Kiveris family — "Connected Components in MapReduce and
+Beyond"). Each round: (1) every current super-node adopts the minimum
+of itself and its neighbors, (2) the node→root mapping composes
+through that adoption and then jumps one extra pointer
+(root ← root(root)), (3) the edge set is rebuilt as the image of the
+ORIGINAL edges under the composed mapping, dropping self-loops.
+Dense duplicate clusters (near-cliques) collapse to a single
+super-node in ONE round, so the contracted edge frame all but
+vanishes after the first iteration — hash-min label propagation (the
+r3 implementation) kept re-joining the full edge set for
+diameter-many rounds instead (measured 8+ rounds × ~0.6 s at sf0.1).
+Pointer doubling squares the mapped depth per round, so even
+adversarial chains converge in O(log diameter) rounds. Per-round
+frames are localCheckpoint-ed so the iterative plan never accumulates
+lineage (the classic iterative-Spark failure mode).
 
-At 100 TB scale the label frame is one row per *paired* document (far
-smaller than the corpus — most documents share no pair) and the edge
-frame is the refined pair set; both shuffle on uniformly-hashed ids.
+At 100 TB scale the mapping frame is one row per *paired* document
+(far smaller than the corpus — most documents share no pair), the
+original edge frame is the refined pair set (materialized once), and
+every per-round join shuffles on uniformly-hashed ids — or broadcasts
+outright once contraction shrinks a side under the broadcast
+threshold, which AQE decides at runtime.
 """
 
 from __future__ import annotations
@@ -49,44 +55,78 @@ def connected_components(
     appear in no pair are absent (callers keep unpaired docs as
     implicit singleton groups — see ``dedup_groups_from_pairs``).
 
+    Invariant: after round t, ``mapping`` sends every original node to
+    its super-node in the t-times-contracted graph; the component
+    minimum maps to itself forever (it is the min of any neighborhood
+    containing it), so at fixpoint (no surviving edges) every node's
+    root IS its component minimum.
+
     Raises after ``max_iterations`` non-converged rounds rather than
     returning a silently-partial labeling.
     """
-    e = pairs.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
-    edges = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
-    # cache: re-joined every round
-    edges = edges.distinct().localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("s").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+    # materialize the INPUT pairs once, before building the symmetric
+    # union: the union's two branches each re-read their child, so an
+    # unmaterialized `pairs` (typically an expensive LSH→refine
+    # lineage) would be computed twice here and once more per round
+    e = (
+        pairs.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .filter(F.col("s") != F.col("d"))
         .localCheckpoint(eager=True)
     )
+    # cheap view over the checkpoint — no second materialization needed
+    edges = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    mapping = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("root", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    cur = edges
     for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges["d"] == labels["node"])
-            .groupBy(F.col("s").alias("node2"))
-            .agg(F.min("label").alias("nmin"))
+        # (1) star step: each super-node adopts min(self, neighbors).
+        # groupBy has map-side partial aggregation, so duplicate edges
+        # never inflate the shuffle.
+        m = (
+            cur.groupBy("s")
+            .agg(F.min("d").alias("_md"))
+            .select(F.col("s").alias("_n"), F.least(F.col("s"), F.col("_md")).alias("_m"))
         )
+        # (2) compose the mapping through the adoption, then jump one
+        # extra pointer (root ← root(root)) — squares the mapped depth.
+        # stepped is checkpointed (one small frame) because BOTH sides
+        # of the doubling self-join read it — unmaterialized, the
+        # min-aggregation over the full edge frame would run twice.
         stepped = (
-            labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
-            .select(
-                "node",
-                F.col("label").alias("old"),
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
-                    "label"
-                ),
-            )
-            .localCheckpoint(eager=True)  # one materialization per round
+            mapping.join(m, mapping["root"] == m["_n"], "left")
+            .select("node", F.coalesce(F.col("_m"), F.col("root")).alias("root"))
+            .localCheckpoint(eager=True)
         )
-        changed = stepped.filter(F.col("label") < F.col("old")).limit(1).count()
-        labels = stepped.select("node", "label")
-        if changed == 0:
-            return labels.select("node", F.col("label").alias("component"))
+        mapping = (
+            stepped.alias("x")
+            .join(stepped.alias("y"), F.col("x.root") == F.col("y.node"), "left")
+            .select(
+                F.col("x.node").alias("node"),
+                F.coalesce(F.col("y.root"), F.col("x.root")).alias("root"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # (3) contract: image of the ORIGINAL edges under the composed
+        # mapping; self-loops (intra-component edges) drop out, so
+        # dense clusters vanish after one round
+        cur = (
+            edges.join(mapping.select(F.col("node").alias("s"), F.col("root").alias("_rs")), "s")
+            .join(mapping.select(F.col("node").alias("d"), F.col("root").alias("_rd")), "d")
+            .select(F.col("_rs").alias("s"), F.col("_rd").alias("d"))
+            .filter(F.col("s") != F.col("d"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if cur.isEmpty():
+            return mapping.select("node", F.col("root").alias("component"))
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds; "
-        "the graph diameter exceeds the budget — raise max_iterations or "
-        "use a star-contraction scheme for chain-shaped graphs"
+        "the contracted graph still has edges — raise max_iterations "
+        "(rounds needed is O(log diameter) under pointer doubling)"
     )
 
 

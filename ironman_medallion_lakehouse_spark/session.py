@@ -151,20 +151,40 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     mix the DataFrame API with ``spark.sql`` exactly as the reference does
     (notebook ``%sql`` cells vs PySpark cells).
     """
+    from pyspark.sql import functions as F
+
     out = {}
     for name in names:
         if name == "events":
-            # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+            # Older testdata stores TIMESTAMP(NANOS) which Spark's vectorized
             # reader rejects; read nanos as long and truncate to micros —
             # identical to DuckDB's ns→µs truncation, so oracle-safe.
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
-
-            # integer division — `/` would go through double and lose
-            # precision at epoch-nanos magnitude (>2^53)
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if name == "events":
+            # Normalize `ts` to a session-UTC TIMESTAMP (LTZ) whatever the
+            # physical parquet type, so no downstream operator ever sees the
+            # driver's writer choice (TIMESTAMP_NANOS one round, naive
+            # timestamp[us] → TIMESTAMP_NTZ the next — the latter made
+            # `cast(ts as long)` an AnalysisException everywhere).
+            dt = dict(df.dtypes).get("ts")
+            if dt == "bigint":
+                # nanos-as-long shim output; integer division — `/` would go
+                # through double and lose precision at epoch-nanos magnitude
+                # (>2^53)
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif dt == "timestamp_ntz":
+                # NTZ→LTZ is a reinterpretation in the session zone; pinned
+                # UTC makes it the identity the oracle expects.
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        if name == "documents":
+            # Expression-heavy text work (language ID, dedup shingling,
+            # fingerprinting) is CPU-bound per row, but the documents file is
+            # small enough that byte-based splitting yields 1-2 scan tasks.
+            # Repartition so per-row-expensive operators never inherit their
+            # parallelism from input file sizes (at 100 TB the files split
+            # fine; the operator still shouldn't depend on that).
+            df = df.repartition(spark.sparkContext.defaultParallelism)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

@@ -64,16 +64,30 @@ def q40_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LSH_K, _LSH_BANDS = 128, 32
 _LSH_R = _LSH_K // _LSH_BANDS
 
+# DuckDB replay of the Carter-Wegman MinHash family
+# (operators/dedup.minhash_coeffs / token_hash): one md5 per token →
+# 60-bit hash → per-permutation (a_j·h + b_j) mod p, all exact integer
+# arithmetic on both engines. The coefficients come from the SAME
+# python helper the Spark operator uses — one source of truth.
+_TOKEN_HASH = f"(('0x' || substr(md5(tok), 1, 15))::UBIGINT % {D.MINHASH_P})"
 _SIG_EXPRS = ",\n        ".join(
-    f"MIN(md5(tok || '#{j}')) AS sig_{j}" for j in range(_LSH_K)
+    f"MIN(({a}::UBIGINT * {_TOKEN_HASH} + {b}) % {D.MINHASH_P}) AS sig_{j}"
+    for j, (a, b) in enumerate(D.minhash_coeffs(_LSH_K))
 )
-_BAND_SELECTS = "\n      UNION ALL ".join(
-    "SELECT doc_id, {b} AS band_id, md5({cat}) AS bucket FROM sigs".format(
-        b=b,
-        cat=" || '|' || ".join(f"sig_{b * _LSH_R + j}" for j in range(_LSH_R)),
+
+
+def _band_selects(bands: int) -> str:
+    r = _LSH_K // bands
+    return "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, md5({cat}) AS bucket FROM sigs".format(
+            b=b,
+            cat=" || '|' || ".join(f"sig_{b * r + j}" for j in range(r)),
+        )
+        for b in range(bands)
     )
-    for b in range(_LSH_BANDS)
-)
+
+
+_BAND_SELECTS = _band_selects(_LSH_BANDS)
 
 
 @register(
@@ -137,6 +151,34 @@ def q43_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and q43's (both recompute signatures from scratch), and stays
 # unit-tested in tests/test_extensions.py.
 _Q83_THRESHOLD = 0.9
+# Banding matched to the 0.9 refine threshold: 16 bands × r=8 puts the
+# LSH s-curve threshold near (1/16)^(1/8) ≈ 0.71 — pairs at the 0.9
+# refine bar still band together with probability 1−(1−0.9⁸)^16 ≈
+# 0.9999, while the sub-threshold candidate flood q43's 0.42-threshold
+# banding admits (10.5M candidates at sf0.1, 84% of ALL pairs on this
+# dup-dense synthetic corpus) never reaches the exact-Jaccard join.
+# Precision knob, not a semantics change — the oracle replays the same
+# banding, and refine keeps only ≥0.9 pairs either way.
+_Q83_BANDS = 16
+# Signature-agreement pre-verify before the exact-Jaccard join
+# (operators/dedup.sig_agreement_filter): ≥72% of the first 32 MinHash
+# components must agree — 3.4σ below the 0.9 exact bar
+# (σ = √(0.9·0.1/32) ≈ 0.053), so true pairs pass with probability
+# ~1−3e−4 while the mid-similarity candidate bulk never reaches the
+# O(|A|+|B|) set intersection, at a quarter of the full-width compare
+# cost. Deterministic and replayed verbatim by the oracle below.
+_Q83_MIN_AGREE = 0.72
+_Q83_AGREE_COMPONENTS = 32
+# flat list_filter form — a long `+` chain is a deep binder recursion
+# in DuckDB (hard limit 128); a list literal binds flat
+_Q83_AGREE_TERMS = "len(list_filter([{}], x -> x))".format(
+    ", ".join(f"sa.sig_{j} = sb.sig_{j}" for j in range(_Q83_AGREE_COMPONENTS))
+)
+# hashed-token word sets for the exact-Jaccard stage
+# (operators/dedup.token_hash_raw): BIGINT intersection, same counts
+_HASHED_WORDS = (
+    "list_transform({}, tok -> (('0x' || substr(md5(tok), 1, 15))::UBIGINT)::BIGINT)"
+).format(_WORDS)
 
 
 @register(
@@ -151,19 +193,25 @@ _Q83_THRESHOLD = 0.9
       FROM toks GROUP BY doc_id
     ),
     bands AS (
-      {_BAND_SELECTS}
+      {_band_selects(_Q83_BANDS)}
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b
         ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     ),
+    cand_f AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN sigs sa ON sa.doc_id = c.id_a
+                  JOIN sigs sb ON sb.doc_id = c.id_b
+      WHERE {_Q83_AGREE_TERMS} >= {int(_Q83_MIN_AGREE * _Q83_AGREE_COMPONENTS)}
+    ),
     ws AS (
-      SELECT doc_id, {_WORDS} AS w FROM documents
+      SELECT doc_id, {_HASHED_WORDS} AS w FROM documents
     ),
     refined AS (
       SELECT c.id_a, c.id_b
-      FROM cand c JOIN ws a ON a.doc_id = c.id_a JOIN ws b ON b.doc_id = c.id_b
+      FROM cand_f c JOIN ws a ON a.doc_id = c.id_a JOIN ws b ON b.doc_id = c.id_b
       WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
           / CAST(len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)) AS DOUBLE)
           >= {_Q83_THRESHOLD}
@@ -190,22 +238,103 @@ _Q83_THRESHOLD = 0.9
     """,
 )
 def q83_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup GROUPS, the stage after q43's pairs: MinHash → LSH →
-    Jaccard refine (0.9) → iterative hash-min connected components
-    (operators/graph.py) → full-corpus (doc_id, group_id, group_size,
-    is_survivor) with singletons as their own groups and the min-id
-    survivor policy. The label frame localCheckpoints per round so the
-    iterative plan never accumulates lineage; rounds = cluster
-    diameter (~1-2 for duplicate clusters)."""
+    """Near-dup GROUPS, the stage after q43's pairs: MinHash → LSH
+    (16 bands × r=8, matched to the 0.9 bar — see _Q83_BANDS) →
+    signature-agreement pre-verify (≥72% of 32 components, codegen
+    integer compares) → exact Jaccard refine (0.9, hashed-token BIGINT
+    intersection on the survivors only) → star-contraction connected
+    components with pointer doubling (operators/graph.py) →
+    full-corpus (doc_id, group_id, group_size, is_survivor) with
+    singletons as their own groups and the min-id survivor policy.
+    Dense duplicate clusters contract to one super-node in a single
+    round; per-round frames localCheckpoint so the iterative plan
+    never accumulates lineage."""
     from ironman_medallion_lakehouse_spark.operators.graph import (
         dedup_groups_from_pairs,
     )
 
     t = load_tables(spark, sf_dir, "documents")
-    sigs = D.minhash_signatures(t["documents"], k=_LSH_K)
-    cand = D.lsh_candidate_pairs(sigs, k=_LSH_K, bands=_LSH_BANDS)
-    pairs = D.jaccard_refine(cand, t["documents"], threshold=_Q83_THRESHOLD)
+    # materialize the signature frame ONCE (5k rows × 128 longs): it
+    # feeds BOTH sides of the band self-join and BOTH sides of the
+    # agreement join, and Spark re-computes an unmaterialized lineage
+    # per use — 4× the minhash work for nothing
+    sigs = D.minhash_signatures(t["documents"], k=_LSH_K).localCheckpoint(eager=True)
+    cand = D.lsh_candidate_pairs(sigs, k=_LSH_K, bands=_Q83_BANDS)
+    cand = D.sig_agreement_filter(
+        cand, sigs, min_fraction=_Q83_MIN_AGREE, components=_Q83_AGREE_COMPONENTS
+    )
+    pairs = D.jaccard_refine(
+        cand, t["documents"], threshold=_Q83_THRESHOLD, hashed_tokens=True
+    )
     return dedup_groups_from_pairs(t["documents"], pairs)
+
+
+# q85 winnowing params: character-8-gram rolling hashes, window 4
+# (guarantee: any shared substring ≥ 11 chars yields a shared
+# fingerprint), pairs must share ≥2 selected fingerprints, and
+# fingerprints appearing in >50 documents are dropped BEFORE the join
+# (the IDF-style stop-fingerprint cut — boilerplate shared by hundreds
+# of docs would contribute O(df²) join pairs).
+_Q85_K, _Q85_WINDOW, _Q85_MIN_SHARED, _Q85_MAX_DF = 8, 4, 2, 50
+
+
+@register(
+    "q85_winnowing_pairs",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, len(t) AS L,
+        list_transform(generate_series(1, len(t) - {_Q85_K - 1}),
+                       i -> md5(substr(t, i, {_Q85_K}))) AS g
+      FROM norm
+    ),
+    fps AS (
+      SELECT doc_id,
+        CASE
+          WHEN L < {_Q85_K} THEN CAST([] AS VARCHAR[])
+          WHEN len(g) < {_Q85_WINDOW} THEN list_distinct([list_min(g)])
+          ELSE list_distinct(list_transform(
+                 generate_series(1, len(g) - {_Q85_WINDOW - 1}),
+                 j -> list_min(g[j:j + {_Q85_WINDOW - 1}])))
+        END AS fp
+      FROM grams
+    ),
+    ex AS (SELECT doc_id, unnest(fp) AS f FROM fps),
+    keep AS (
+      SELECT f FROM ex GROUP BY f HAVING COUNT(*) <= {_Q85_MAX_DF}
+    ),
+    exf AS (SELECT ex.doc_id, ex.f FROM ex JOIN keep USING (f))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+    FROM exf a JOIN exf b ON a.f = b.f AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_Q85_MIN_SHARED}
+    """,
+)
+def q85_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-overlap candidate pairs by winnowing (the MOSS
+    fingerprinting scheme, Schleimer et al. 2003 — functions/
+    text.winnowing_fingerprints + operators/dedup.
+    winnowing_candidate_pairs): rolling char-8-gram md5 hashes,
+    window-4 minima, distinct fingerprints → explode → document-
+    frequency stop-cut (df ≤ 50) → self equi-join on the fingerprint →
+    pairs sharing ≥2. Order-sensitive and substring-local — catches a
+    long passage copied into an otherwise-different document, which
+    whole-set MinHash resemblance dilutes away (the complementary
+    near-dup family to q43/q83). Same bucketed join discipline as LSH
+    banding: only docs sharing a fingerprint are ever paired, never
+    all-pairs; the df cut bounds the hottest bucket at 50 docs.
+    Promoted from pytest-only to a driver row per VERDICT r3 item 6."""
+    t = load_tables(spark, sf_dir, "documents")
+    return D.winnowing_candidate_pairs(
+        t["documents"],
+        k=_Q85_K,
+        window=_Q85_WINDOW,
+        min_shared=_Q85_MIN_SHARED,
+        max_doc_freq=_Q85_MAX_DF,
+    )
 
 
 @register(

@@ -137,3 +137,46 @@ def test_stream_changes_schema_evolution(spark, tmp_path):
         assert got == {(1, None), (2, "x")}
     finally:
         q.stop()
+
+
+def test_catch_up_reads_each_log_entry_once(spark, tmp_path, monkeypatch):
+    """VERDICT r3 item 8 (regression guard for the r2 fix): a stream
+    catching up over a 10-commit backlog must walk the delta log ONCE —
+    one JSON read per version, and zero full manifest_at replays (the
+    pre-fix shape was O(backlog × replay))."""
+    from pyspark.sql import Row
+
+    from ironman_medallion_lakehouse_spark.sources import tablestore as TS
+    from ironman_medallion_lakehouse_spark.streaming import cdc_source as CS
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.save_overwrite(spark.createDataFrame([Row(k=0, v="seed")]), "db.cu")
+    for i in range(1, 10):
+        store.merge_insert_only(
+            spark.createDataFrame([Row(k=i, v=f"v{i}")]), "db.cu", keys=["k"]
+        )
+
+    schema = store.read("db.cu").schema  # resolved before counting
+
+    replays = {"n": 0}
+    orig_manifest_at = TS.manifest_at
+
+    def counting_manifest_at(log_dir, version):
+        replays["n"] += 1
+        return orig_manifest_at(log_dir, version)
+
+    # patch where version_changes resolves it (module global)
+    monkeypatch.setattr(TS, "manifest_at", counting_manifest_at)
+
+    log_dir = str(tmp_path / "wh" / "db" / "cu" / "_log")
+    changes = TS.version_changes(log_dir, 0, 10)
+    assert [v for v, _pb, _a in changes] == list(range(1, 11))
+    assert sum(len(a) for _v, _pb, a in changes) >= 10
+    assert replays["n"] == 0, "catch-up must not replay manifests per version"
+
+    # and the streaming reader's planner goes through the same one-walk
+    # path: 10 pending versions -> one partitions() call, no replays
+    reader = CS.ChangeFeedStreamReader(schema, store._table_dir("db.cu"), 1)
+    parts = reader.partitions({"version": 0}, {"version": 10})
+    assert len(parts) >= 10
+    assert replays["n"] == 0

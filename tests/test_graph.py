@@ -49,7 +49,18 @@ def test_dedup_groups_from_pairs(spark):
 
 
 def test_non_convergence_raises(spark):
+    # star contraction + pointer doubling collapses short chains in 1-2
+    # rounds, so the budget-exceeded path needs a long chain and a
+    # 1-round budget
+    chain = [(i, i + 1) for i in range(1, 40)]
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(
-            _pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]), max_iterations=2
-        )
+        connected_components(_pairs(spark, chain), max_iterations=1)
+
+
+def test_long_chain_converges_logarithmically(spark):
+    # 40-node chain: hash-min would need ~40 rounds; contraction with
+    # doubling must finish well inside 10
+    chain = [(i, i + 1) for i in range(1, 40)]
+    comp = connected_components(_pairs(spark, chain), max_iterations=10)
+    got = {(r.node, r.component) for r in comp.collect()}
+    assert got == {(i, 1) for i in range(1, 41)}
