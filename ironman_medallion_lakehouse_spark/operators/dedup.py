@@ -154,17 +154,31 @@ def minhash_signatures(
 
     ws = word_set(text_col) if tokens is None else tokens
     coeffs = minhash_coeffs(k)
-
-    def perm(a: int, b: int):
-        # NB: a one-arg lambda is required — PySpark dispatches HOF
-        # arity on the FULL parameter list, so default-arg capture
-        # (lambda h, a=a: ...) would be treated as a 3-arg lambda
-        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
+    # coefficient ARRAY LITERALS + a transform over permutation index,
+    # not k per-coefficient subtrees: the unrolled form was a ~k·|doc
+    # expr| analysis tree that cost several seconds of driver-side
+    # plan processing on first run (measured: 7.6 s cold vs 2.8 s warm
+    # at sf0.1, most of it pre-execution). Values are identical — the
+    # same (a_j, b_j) land via element_at instead of literals.
+    a_arr = F.array(*[F.lit(a) for a, _ in coeffs])
+    b_arr = F.array(*[F.lit(b) for _, b in coeffs])
 
     def sigs(hashes: Column) -> Column:
-        return F.array(
-            *[F.array_min(F.transform(hashes, perm(a, b))) for (a, b) in coeffs]
-        )
+        def one_sig(j: Column) -> Column:
+            # NB one-arg lambdas throughout — PySpark dispatches HOF
+            # arity on the FULL parameter list, so default-arg capture
+            # (lambda h, a=a: ...) would be treated as a 3-arg lambda
+            return _let(
+                F.struct(
+                    F.element_at(a_arr, j + 1).alias("a"),
+                    F.element_at(b_arr, j + 1).alias("b"),
+                ),
+                lambda ab: F.array_min(
+                    F.transform(hashes, lambda h: (ab["a"] * h + ab["b"]) % MINHASH_P)
+                ),
+            )
+
+        return F.transform(F.sequence(F.lit(0), F.lit(k - 1)), one_sig)
 
     with_sigs = docs.filter(F.size(ws) > 0).select(
         F.col(id_col),
