@@ -260,67 +260,132 @@ def _blocking_directions(
     vec_col: str,
     max_axes: int,
     min_bins: float,
-    sample_cap: int,
 ) -> list[list[float]]:
     """Choose the unit directions the near-dup blocker bins on — FROM
-    THE DATA, not the first coordinates.
+    THE DATA, not the first coordinates — with NO corpus-size-bounded
+    sampling anywhere (the r3 form collected a ≤1024-vector sample to
+    the driver; fine, but a cap is a cap).
 
-    Why: coordinates of unit vectors concentrate as ~N(0, 1/dim), so at
-    dim ≥ 64 a raw coordinate spans only 2-4 bins of width w≈0.14 and
-    per-block products approach n² (the r2 scale finding). Projections
-    onto the top PRINCIPAL directions don't concentrate — for any
-    corpus with structure (clusters, topics) their spread is O(1)
-    regardless of dim, because that's where the variance lives.
+    Why principal directions: coordinates of unit vectors concentrate
+    as ~N(0, 1/dim), so at dim ≥ 64 a raw coordinate spans only 2-4
+    bins of width w≈0.14 and per-block products approach n² (the r2
+    scale finding). Projections onto the top principal directions
+    don't concentrate — for any corpus with structure (clusters,
+    topics) their spread is O(1) regardless of dim, because that's
+    where the variance lives.
 
-    Method: take a deterministic pseudo-random sample (order by
-    xxhash64(id), bounded by ``sample_cap`` — a TakeOrdered, never a
-    full collect), run an SVD of the centered unit vectors on the
-    driver (numpy, O(sample·dim²) — bounded, off the data path), and
-    keep the principal directions whose sampled p02–p98 projection
-    spread covers at least ``min_bins`` bins of width w — each kept
-    axis multiplies candidate pruning by ~spread/w while costing 3× in
-    replication, so an axis is only worth keeping when spread/w ≥ 3.
-    At most ``max_axes`` are kept; if none qualify (an isotropic corpus
-    where NO direction separates — nothing prunes that), the single
-    widest direction is kept so the plan stays an equi-join.
+    Method, fully distributed:
+    1. split rows by id-hash parity into FIT and EVAL halves
+       (deterministic, exchangeable);
+    2. exact covariance of the FIT half's unit vectors in one
+       mapInPandas pass — each Arrow batch reduces to (count, Σv,
+       Σvvᵀ) with numpy, so driver state is O(batches·dim²), the
+       treeAggregate shape, never O(rows);
+    3. eigendecomposition of the dim×dim covariance on the driver
+       (O(dim³), data-independent);
+    4. candidate-direction projection spread (p02–p98) measured on the
+       HELD-OUT half with one percentile_approx aggregation — the
+       eigenbasis maximizes its own half's variance, so in-sample
+       spread is biased high and an isotropic corpus would look
+       separable.
+    Axes are kept while spread/w ≥ ``min_bins`` (each kept axis
+    multiplies pruning by ~spread/w but costs 3× replication), at most
+    ``max_axes``; if none qualify (isotropic corpus — nothing prunes
+    that), the single widest direction keeps the plan an equi-join.
 
     Exactness never depends on this choice: the per-direction bound
     |⟨a,u⟩ − ⟨b,u⟩| = |⟨a−b, u⟩| ≤ ‖a−b‖ ≤ w holds for EVERY unit
     direction u, so any selection here only changes speed, not the
     pair set."""
     import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
 
-    sample = [
-        r[0]
-        for r in embeddings.select(F.col(vec_col))
-        .filter(F.col(vec_col).isNotNull())
-        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
-        .limit(sample_cap)
-        .collect()
-    ]
-    if not sample:
+    from ironman_medallion_lakehouse_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(embeddings.sparkSession)
+
+    first = embeddings.select(F.col(vec_col)).filter(F.col(vec_col).isNotNull()).first()
+    if first is None:
         return [[1.0]]
-    M = np.asarray(sample, dtype=np.float64)
-    nrm = np.linalg.norm(M, axis=1, keepdims=True)
-    M = M[nrm[:, 0] > 0.0] / np.maximum(nrm[nrm[:, 0] > 0.0], 1e-300)
-    dim = M.shape[1]
-    if M.shape[0] < 2:
-        return [[1.0] + [0.0] * (dim - 1)]
-    # Fit directions on one half of the (hash-ordered, hence
-    # exchangeable) sample, measure spread on the held-out half: the
-    # SVD maximizes ITS OWN sample's variance, so in-sample spread is
-    # biased high and an isotropic corpus would look separable. Tiny
-    # samples (<20 eval rows) skip the split — overfitting is harmless
-    # when n itself is small.
-    half = M.shape[0] // 2
-    fit, ev = (M[:half], M[half:]) if half >= 20 else (M, M)
+    dim = len(first[0])
+    e1 = [1.0] + [0.0] * (dim - 1)
+
+    base = (
+        embeddings.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_n", F.nullif(norm(F.col("_v")), F.lit(0.0)))
+        .filter(F.col("_n").isNotNull())
+        .select(
+            "_id",
+            F.transform("_v", lambda x: x.cast("double") / F.col("_n")).alias("_u"),
+        )
+    )
+    fit = base.filter(F.pmod(F.xxhash64(F.col("_id")), F.lit(2)) == 0)
+    ev = base.filter(F.pmod(F.xxhash64(F.col("_id")), F.lit(2)) == 1)
+    # tiny corpora: halving leaves too little signal on either side —
+    # fit and evaluate on everything (overfit is harmless at small n,
+    # the same rationale the sampled version used)
+    n_fit, n_ev = fit.limit(40).count(), ev.limit(40).count()
+    if n_fit < 20 or n_ev < 20:
+        fit = ev = base
+        if fit.limit(2).count() < 2:
+            return [e1]
+
+    partial_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("s", ArrayType(DoubleType())),
+            StructField("o", ArrayType(DoubleType())),
+        ]
+    )
+
+    def cov_partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(u, dtype=np.float64) for u in pdf["_u"]])
+            yield pd.DataFrame(
+                {
+                    "n": [len(V)],
+                    "s": [V.sum(axis=0).tolist()],
+                    "o": [(V.T @ V).ravel().tolist()],
+                }
+            )
+
+    parts = fit.select("_u").mapInPandas(cov_partials, partial_schema).collect()
+    if not parts:
+        return [e1]
+    n = sum(p["n"] for p in parts)
+    s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
+    o = np.sum([np.asarray(p["o"]) for p in parts], axis=0).reshape(dim, dim)
+    mu = s / n
+    cov = o / n - np.outer(mu, mu)
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
     # a few spare candidates beyond max_axes so a low-spread top PC can
     # be passed over in favor of a wider lower one
-    n_cand = min(dim, max(max_axes * 2, max_axes + 2), fit.shape[0])
-    _, _, Vt = np.linalg.svd(fit - fit.mean(axis=0), full_matrices=False)
-    cand = Vt[:n_cand]
-    proj = ev @ cand.T
-    spread = np.percentile(proj, 98, axis=0) - np.percentile(proj, 2, axis=0)
+    n_cand = min(dim, max(max_axes * 2, max_axes + 2))
+    cand = eigvecs[:, ::-1][:, :n_cand].T  # rows = directions, by eigenvalue desc
+
+    proj_cols = [
+        dot(F.col("_u"), F.array(*[F.lit(float(x)) for x in u])).alias(f"_p{i}")
+        for i, u in enumerate(cand)
+    ]
+    spread_row = (
+        ev.select(*proj_cols)
+        .agg(
+            *[
+                F.percentile_approx(f"_p{i}", F.array(F.lit(0.02), F.lit(0.98)), 10000).alias(
+                    f"_q{i}"
+                )
+                for i in range(len(cand))
+            ]
+        )
+        .collect()[0]
+    )
+    spread = np.array(
+        [float(spread_row[f"_q{i}"][1] - spread_row[f"_q{i}"][0]) for i in range(len(cand))]
+    )
     order = np.argsort(-spread)
     keep = [i for i in order if spread[i] / w >= min_bins][:max_axes]
     if not keep:
@@ -385,7 +450,6 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
     max_axes: int = 3,
     min_bins: float = 3.0,
-    sample_cap: int = 1024,
 ) -> DataFrame:
     """Exact cosine near-duplicate pairs as a blocked EQUI-join —
     recall 1.0, never an all-pairs θ-join, dimension-robust.
@@ -402,12 +466,13 @@ def cosine_neardup_pairs(
     is needed. The exact cosine filter then drops false candidates.
 
     The directions and their count are chosen FROM THE DATA
-    (``_blocking_directions``): top principal directions of a bounded
-    deterministic sample, keeping only axes whose projection spread
-    covers ≥ ``min_bins`` bins — raw first-coordinates binning (the r2
-    design) degenerates at dim ≥ 64 because unit-vector coordinates
-    concentrate as ~N(0, 1/dim), while principal projections keep O(1)
-    spread on any structured corpus at any dim.
+    (``_blocking_directions``): top principal directions of the FULL
+    corpus via a distributed covariance pass (driver state O(dim²),
+    never a row sample), keeping only axes whose held-out projection
+    spread covers ≥ ``min_bins`` bins — raw first-coordinates binning
+    (the r2 design) degenerates at dim ≥ 64 because unit-vector
+    coordinates concentrate as ~N(0, 1/dim), while principal
+    projections keep O(1) spread on any structured corpus at any dim.
 
     Scale: shuffle keys are bin tuples; cost is sum of per-block
     products instead of n². Unlike sign-LSH banding, recall is
@@ -422,7 +487,7 @@ def cosine_neardup_pairs(
     """
     w = max(float((2.0 - 2.0 * threshold) ** 0.5), 1e-9)
     directions = _blocking_directions(
-        embeddings, w, id_col, vec_col, max_axes, min_bins, sample_cap
+        embeddings, w, id_col, vec_col, max_axes, min_bins
     )
     return (
         _neardup_candidates(embeddings, threshold, id_col, vec_col, directions)

@@ -670,6 +670,109 @@ class TableStore:
             kept += 1
         return kept, len(manifest.files)
 
+    # --------------------------------------------------------------- analyze
+    #
+    # Table-level statistics (ANALYZE TABLE analogue): row count, total
+    # data bytes, and per-column approx-NDV / null counts, computed in
+    # ONE Spark aggregation pass and stored as a version-keyed sidecar
+    # (`_log/<v>.analyze.json`) — not a commit, so the change feed and
+    # time travel see no phantom version, and a reader always knows
+    # which table version the stats describe (staleness is explicit).
+    # At 100 TB: one scan with map-side partial HLL aggregation; bytes
+    # come from file metadata, not data.
+    def analyze(self, name: str, columns: list[str] | None = None) -> dict:
+        """Compute and persist table statistics for the CURRENT version;
+        returns the stats dict. ``columns`` defaults to every primitive
+        (atomic-typed) column."""
+        manifest = self._latest_manifest(name)
+        if manifest is None:
+            raise FileNotFoundError(f"table {name} does not exist in {self.root}")
+        schema = StructType.fromJson(json.loads(manifest.schema_json))
+        atomic = [
+            f.name
+            for f in schema.fields
+            if f.dataType.typeName()
+            not in ("array", "map", "struct", "binary")
+        ]
+        cols = [c for c in (columns or atomic) if c in atomic]
+        df = self.read(name)
+        aggs = [F.count(F.lit(1)).alias("_rows")]
+        for c in cols:
+            aggs.append(F.approx_count_distinct(c).alias(f"_ndv_{c}"))
+            aggs.append(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nulls_{c}")
+            )
+        row = df.agg(*aggs).collect()[0]
+        data_dir = self._data_dir(name)
+        size_bytes = 0
+        for rel in manifest.files:
+            try:
+                size_bytes += os.path.getsize(os.path.join(data_dir, rel))
+            except OSError:
+                pass
+        stats = {
+            "version": manifest.version,
+            "row_count": int(row["_rows"]),
+            "size_bytes": size_bytes,
+            "ndv": {c: int(row[f"_ndv_{c}"]) for c in cols},
+            "null_count": {c: int(row[f"_nulls_{c}"] or 0) for c in cols},
+        }
+        path = os.path.join(
+            self._log_dir(name), f"{manifest.version:08d}.analyze.json"
+        )
+        tmp = os.path.join(self._log_dir(name), f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            fh.write(json.dumps(stats))
+        os.replace(tmp, path)
+        return stats
+
+    def table_stats(self, name: str) -> dict | None:
+        """Latest recorded statistics at or below the current version,
+        with ``stale_versions`` = commits since they were computed (0 =
+        exactly current). None if the table was never analyzed."""
+        versions = self._log_versions(name)
+        if not versions:
+            raise FileNotFoundError(f"table {name} does not exist in {self.root}")
+        log_dir = self._log_dir(name)
+        for v in reversed(versions):
+            path = os.path.join(log_dir, f"{v:08d}.analyze.json")
+            if os.path.exists(path):
+                with open(path) as fh:
+                    stats = json.loads(fh.read())
+                stats["stale_versions"] = versions[-1] - stats["version"]
+                return stats
+        return None
+
+    def read_hinted(self, name: str, version: int | None = None) -> DataFrame:
+        """``read`` + a broadcast hint when recorded statistics say the
+        table fits under spark.sql.autoBroadcastJoinThreshold.
+
+        Spark's own size estimate is compressed-file bytes, which
+        under-represents in-memory width on wide compressed tables and
+        is unavailable after non-trivial sub-plans; recorded ANALYZE
+        stats make the decision explicit and version-auditable. With no
+        stats (or a too-big table) this is exactly ``read``."""
+        df = self.read(name, version)
+        stats = self.table_stats(name)
+        if stats is None:
+            return df
+        raw = str(
+            self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        ).strip().lower()
+        mult = 1
+        for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                       ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+            if raw.endswith(suf):
+                raw, mult = raw[: -len(suf)], m
+                break
+        try:
+            threshold = int(raw) * mult
+        except ValueError:
+            return df
+        if threshold > 0 and stats["size_bytes"] <= threshold:
+            return df.hint("broadcast")
+        return df
+
     def save_overwrite(
         self,
         df: DataFrame,

@@ -337,6 +337,76 @@ def q85_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q86_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+@register(
+    "q86_table_stats",
+    oracle="\n    UNION ALL ".join(
+        f"""SELECT '{c}' AS col_name, COUNT(*) AS row_count,
+      COUNT(*) - COUNT({c}) AS null_count, TRUE AS ndv_within_15pct
+    FROM documents"""
+        for c in _Q86_COLS
+    ),
+)
+def q86_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE end-to-end (sources/tablestore.analyze): the
+    documents table lands in a TableStore, one aggregation pass
+    records row count / per-column approx-NDV / null counts as a
+    version-keyed sidecar, and the suite row replays the recorded
+    stats per column. Exact columns (row_count, null_count) are
+    hash-matched against DuckDB; the HLL NDV is engine-specific, so it
+    uses the q82 tolerance-boolean protocol — compared Spark-side
+    against hash-matched exact countDistinct, 15% ≈ 3σ of
+    approx_count_distinct's default 5% rsd, and deterministic for a
+    given dataset (HLL has no RNG). At 100 TB the stats pass is one
+    scan with map-side partial HLL merge; readers get explicit,
+    version-auditable size/NDV for broadcast and join-order decisions
+    (read_hinted) instead of compressed-bytes guesses."""
+    import tempfile as _tempfile
+
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ironman_medallion_lakehouse_spark.session import staging_dir
+    from ironman_medallion_lakehouse_spark.sources.tablestore import TableStore
+
+    t = load_tables(spark, sf_dir, "documents")
+    root = _tempfile.mkdtemp(prefix="stats_", dir=staging_dir(spark, "tablestore"))
+    store = TableStore(spark, root)
+    store.save_overwrite(t["documents"], "meta.documents")
+    stats = store.analyze("meta.documents", columns=_Q86_COLS)
+
+    exact = (
+        t["documents"]
+        .agg(*[F.countDistinct(c).alias(c) for c in _Q86_COLS])
+        .collect()[0]
+    )
+    rows = [
+        (
+            c,
+            stats["row_count"],
+            stats["null_count"][c],
+            abs(stats["ndv"][c] - exact[c]) <= 0.15 * exact[c],
+        )
+        for c in _Q86_COLS
+    ]
+    schema = StructType(
+        [
+            StructField("col_name", StringType()),
+            StructField("row_count", LongType()),
+            StructField("null_count", LongType()),
+            StructField("ndv_within_15pct", BooleanType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 @register(
     "q44_simhash",
     oracle=f"""

@@ -95,7 +95,7 @@ def test_high_dim_candidates_are_pruned(spark):
     )
     w = float((2.0 - 2.0 * threshold) ** 0.5)
     dirs = _blocking_directions(
-        df, w, "vec_id", "embedding", max_axes=3, min_bins=3.0, sample_cap=1024
+        df, w, "vec_id", "embedding", max_axes=3, min_bins=3.0
     )
     assert len(dirs) == 3  # a clustered corpus has ≥3 wide directions
     candidates = _neardup_candidates(df, threshold, "vec_id", "embedding", dirs).count()
@@ -125,7 +125,7 @@ def test_isotropic_corpus_falls_back_to_one_axis(spark):
     )
     w = float((2.0 - 2.0 * 0.99) ** 0.5)
     dirs = _blocking_directions(
-        df, w, "vec_id", "embedding", max_axes=3, min_bins=3.0, sample_cap=1024
+        df, w, "vec_id", "embedding", max_axes=3, min_bins=3.0
     )
     assert len(dirs) == 1
     got = {(r.id_a, r.id_b) for r in cosine_neardup_pairs(df, threshold=0.3).collect()}
