@@ -6,12 +6,17 @@ metadata; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages so the payload never round-trips
 through Python row-by-row.
 
-The decode step itself is **stubbed** — image/audio codecs are not in
-this container — behind ``decoder=`` hooks: the default
-``deterministic_fake_decoder`` produces stable pseudo-features (so the
-plumbing is fully testable end-to-end); passing a real decoder (e.g.
-PIL/ffmpeg-based) is a drop-in change. Everything Spark-side — schema,
-partitioning, batch iteration, UDF signatures — is real and tested.
+Decode support (r4): UNCOMPRESSED formats are decoded for REAL with
+stdlib + numpy — binary PPM (P6) images (``ppm_decode`` /
+``ppm_resize``: header parse, pixel-stat features, nearest-neighbor
+resize + re-encode) and PCM WAV audio (``wav_decode``: stdlib ``wave``
++ numpy → duration / RMS / zero-crossing features). Only COMPRESSED
+codecs (JPEG/PNG/MP3/H.264 …) remain behind
+``deterministic_fake_decoder`` / NotImplementedError — those libraries
+are genuinely absent from this container; a PIL/ffmpeg-backed decoder
+is a drop-in ``decoder=`` swap. Everything Spark-side — schema,
+partitioning, batch iteration, UDF signatures — is identical between
+the real and stub paths.
 """
 
 from __future__ import annotations
@@ -65,6 +70,243 @@ def deterministic_fake_decoder(payload: bytes) -> dict:
         "height": 64 + digest[1] % 192,
         "feature": [b / 255.0 for b in digest[:8]],
     }
+
+
+# ------------------------------------------------------------ real codecs
+#
+# Binary PPM (P6) and PCM WAV are fully decodable with stdlib + numpy —
+# no external codec library involved. These are the real paths.
+
+def encode_ppm(pixels) -> bytes:
+    """numpy (h, w, 3) uint8 → binary PPM (P6) bytes."""
+    import numpy as np
+
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def ppm_decode(payload: bytes) -> dict:
+    """REAL image decode for binary PPM (P6): parse the header, load
+    the pixel matrix, return dimensions + an 8-dim feature
+    [mean R,G,B, std R,G,B, aspect, brightness] — all numpy-vectorized
+    per payload."""
+    import numpy as np
+
+    if not payload or not payload.startswith(b"P6"):
+        raise NotImplementedError(
+            "only binary PPM (P6) images decode in-container; compressed "
+            "codecs (JPEG/PNG/...) need PIL/ffmpeg — pass a codec-backed "
+            "decoder="
+        )
+    # header = 4 whitespace-separated tokens: magic, width, height,
+    # maxval; pixel bytes start right after the single whitespace
+    # following maxval
+    tokens, pos = [], 2
+    while len(tokens) < 3 and pos < len(payload):
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(payload[start:pos])
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit PPM supported")
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos).reshape(
+        h, w, 3
+    )
+    means = px.mean(axis=(0, 1)) / 255.0
+    stds = px.std(axis=(0, 1)) / 255.0
+    return {
+        "width": w,
+        "height": h,
+        "feature": [
+            float(means[0]), float(means[1]), float(means[2]),
+            float(stds[0]), float(stds[1]), float(stds[2]),
+            float(w) / float(h), float(means.mean()),
+        ],
+    }
+
+
+def ppm_resize(payload: bytes, width: int, height: int) -> bytes:
+    """REAL resize for binary PPM: decode → nearest-neighbor index →
+    re-encode. Pure numpy fancy indexing, no codec library."""
+    import numpy as np
+
+    meta = ppm_decode(payload)  # validates format
+    w0, h0 = meta["width"], meta["height"]
+    header_len = payload.index(b"255\n") + 4  # re-locate pixel start
+    px = np.frombuffer(
+        payload, dtype=np.uint8, count=w0 * h0 * 3, offset=header_len
+    ).reshape(h0, w0, 3)
+    yi = (np.arange(height) * h0 // height).clip(0, h0 - 1)
+    xi = (np.arange(width) * w0 // width).clip(0, w0 - 1)
+    return encode_ppm(px[yi][:, xi])
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_s", FloatType()),
+        StructField("rms", FloatType()),
+        StructField("zero_crossing_rate", FloatType()),
+    ]
+)
+
+
+def wav_decode(payload: bytes) -> dict:
+    """REAL audio decode for PCM WAV via stdlib ``wave`` + numpy:
+    sample rate / channels / duration plus RMS (normalized to [0, 1])
+    and zero-crossing rate — the standard cheap audio-quality signals
+    for a training-data pipeline."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise NotImplementedError("only 16-bit PCM WAV supported")
+        rate, channels, n = wf.getframerate(), wf.getnchannels(), wf.getnframes()
+        samples = np.frombuffer(wf.readframes(n), dtype="<i2").astype(np.float64)
+    if channels > 1:
+        samples = samples.reshape(-1, channels).mean(axis=1)
+    x = samples / 32768.0
+    zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
+    return {
+        "sample_rate": rate,
+        "n_channels": channels,
+        "n_samples": len(x),
+        "duration_s": len(x) / float(rate),
+        "rms": float(np.sqrt(np.mean(x * x))) if len(x) else 0.0,
+        "zero_crossing_rate": zc,
+    }
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched mapInPandas over WAV payloads → AUDIO_SCHEMA —
+    same batching contract as ``extract_features``, real decode."""
+    from ironman_medallion_lakehouse_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(media.sparkSession)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [wav_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    **{
+                        k: [f[k] for f in feats]
+                        for k in (
+                            "sample_rate",
+                            "n_channels",
+                            "n_samples",
+                            "duration_s",
+                            "rms",
+                            "zero_crossing_rate",
+                        )
+                    },
+                }
+            )
+
+    return media.mapInPandas(_batches, AUDIO_SCHEMA)
+
+
+def synthesize_ppm_payloads(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """A REAL image corpus from the documents fixture: each row becomes
+    a small binary-PPM gradient image whose dimensions and colors
+    derive deterministically from the text's md5 — so the decode stage
+    exercises an actual codec path end-to-end in-container, and any
+    engine re-deriving the same bytes gets identical features."""
+    from ironman_medallion_lakehouse_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(docs.sparkSession)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            payloads = []
+            for text in pdf[text_col]:
+                d = hashlib.md5(str(text).encode()).digest()
+                w, h = 8 + d[0] % 9, 8 + d[1] % 9
+                yy, xx = np.mgrid[0:h, 0:w]
+                px = np.stack(
+                    [
+                        (xx * 255 // max(w - 1, 1)).astype(np.uint8),
+                        (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+                        np.full((h, w), d[2], dtype=np.uint8),
+                    ],
+                    axis=-1,
+                )
+                payloads.append(encode_ppm(px))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].values,
+                    "payload": payloads,
+                    "media_type": ["image/x-portable-pixmap"] * len(payloads),
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _batches, MEDIA_SCHEMA
+    )
+
+
+def synthesize_wav_payloads(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """A REAL audio corpus from the documents fixture: one mono 16-bit
+    PCM WAV per row (stdlib ``wave`` writer), length and tone derived
+    from the text's md5 — the decode stage reads real RIFF headers and
+    real samples."""
+    from ironman_medallion_lakehouse_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(docs.sparkSession)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in it:
+            payloads = []
+            for text in pdf[text_col]:
+                d = hashlib.md5(str(text).encode()).digest()
+                rate = 8000
+                n = 400 + (d[0] + 256 * d[1]) % 1200
+                freq = 100.0 + d[2] * 4.0
+                tt = np.arange(n, dtype=np.float64) / rate
+                x = (0.5 * np.sin(2 * np.pi * freq * tt) * 32767).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(rate)
+                    wf.writeframes(x.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].values,
+                    "payload": payloads,
+                    "media_type": ["audio/wav"] * len(payloads),
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _batches, MEDIA_SCHEMA
+    )
 
 
 def attach_binary_payload(

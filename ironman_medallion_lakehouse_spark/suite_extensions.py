@@ -8,8 +8,9 @@ Oracle notes:
 - Embedding math is double-precision ordered folds on both sides
   (Spark F.aggregate ≡ DuckDB list_dot_product over DOUBLE[] casts).
 - simhash is hash-oracled since r3 (DuckDB replays the md5 token hash
-  and per-bit majority exactly); only the multimodal decode stub
-  (q54) remains rows-only — its codec is engine-specific by nature.
+  and per-bit majority exactly); since r4 EVERY entry is oracled —
+  q54 decodes a real binary-PPM corpus whose aggregate the oracle
+  re-derives from the generative md5 + PPM byte-layout formula.
 """
 
 from __future__ import annotations
@@ -903,16 +904,41 @@ def q81_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------------------- multimodal
 
-@register("q54_multimodal_features", oracle=None)
+@register(
+    "q54_multimodal_features",
+    oracle="""
+    WITH m AS (
+      SELECT ('0x' || substr(md5(text), 1, 2))::INT % 9 + 8 AS w,
+             ('0x' || substr(md5(text), 3, 2))::INT % 9 + 8 AS h
+      FROM documents
+    )
+    SELECT 'image/x-portable-pixmap' AS media_type,
+      COUNT(*) AS n_media,
+      CAST(SUM(3 + LENGTH(CAST(w AS VARCHAR)) + 1
+               + LENGTH(CAST(h AS VARCHAR)) + 5 + w * h * 3) AS BIGINT)
+        AS total_bytes,
+      CAST(SUM(w) AS DOUBLE) / COUNT(*) AS avg_width,
+      CAST(SUM(h) AS DOUBLE) / COUNT(*) AS avg_height
+    FROM m
+    """,
+)
 def q54_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing (operators/multimodal.py): binary payload
-    column → Arrow-batched mapInPandas decode (deterministic stub) →
-    typed feature schema → aggregate. Rows-only: the decode stub is
-    engine-specific by nature; schema/partitioning/batching are the
-    contract under test (also unit-tested)."""
+    """Multimodal pipeline with a REAL in-container codec (r4 — this
+    row was rows-only while the decoder was a stub): each document
+    becomes an actual binary-PPM image (dimensions and colors derived
+    from md5(text) — operators/multimodal.synthesize_ppm_payloads),
+    the Arrow-batched mapInPandas decode stage parses the real PPM
+    headers and pixels (ppm_decode), and the aggregate is checked
+    against a DuckDB oracle that derives the same dimensions from the
+    generative md5 formula and the PPM byte-layout arithmetic
+    (header + w·h·3). Spark's numbers come from DECODING BYTES, the
+    oracle's from the formula — agreement attests the codec round
+    trip, not just the plumbing. Compressed codecs (JPEG/PNG) remain
+    behind a decoder= hook; PCM WAV decode is unit-tested alongside
+    (tests/test_multimodal_real.py)."""
     t = load_tables(spark, sf_dir, "documents")
-    media = M.attach_binary_payload(t["documents"])
-    feats = M.extract_features(media)
+    media = M.synthesize_ppm_payloads(t["documents"])
+    feats = M.extract_features(media, decoder=M.ppm_decode)
     return feats.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("n_media"),
         F.sum("n_bytes").alias("total_bytes"),
