@@ -194,6 +194,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     k: int | None = None,
     bands: int = 32,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: hash each band of r = k/bands signature elements to
     a bucket; documents sharing any band bucket become candidate pairs.
@@ -213,7 +214,15 @@ def lsh_candidate_pairs(
     banding floods the pair join with low-similarity candidates
     (superlinear output growth at corpus scale). ALWAYS follow with
     ``jaccard_refine`` — banding is a recall filter, not a verdict.
-    """
+
+    Skew control: a band bucket holding m documents contributes
+    O(m²) join output; boilerplate-dominated corpora produce a few
+    enormous buckets (the join-side twin of winnowing's hot
+    fingerprints). ``max_bucket_size`` drops (band, bucket) groups
+    above the ceiling BEFORE the self-join — one extra skew-free
+    aggregation over band rows. Off by default (it trades recall
+    inside mega-clusters for bounded join cost; the dropped documents
+    usually still pair through their other b−1 bands)."""
     if k is None:
         k = sum(1 for f in signatures.schema.fields if f.name.startswith("sig_"))
     r = k // bands
@@ -240,6 +249,14 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
     ).select(id_col, "band.band_id", "band.bucket")
+    if max_bucket_size is not None:
+        keep = (
+            banded.groupBy("band_id", "bucket")
+            .agg(F.count(F.lit(1)).alias("_sz"))
+            .filter(F.col("_sz") <= max_bucket_size)
+            .select("band_id", "bucket")
+        )
+        banded = banded.join(keep, ["band_id", "bucket"])
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -143,3 +143,29 @@ def test_threshold_one_and_zero_norm_vectors(spark):
     got = {(r.id_a, r.id_b) for r in cosine_neardup_pairs(df, threshold=1.0).collect()}
     assert (0, 100) in got
     assert all(101 not in p for p in got)
+
+
+def test_lsh_max_bucket_size_caps_hot_buckets(spark):
+    """Skew control for banding: a clique of identical docs forms one
+    mega-bucket per band; the cap drops those groups before the
+    self-join while distinct docs keep pairing normally."""
+    from pyspark.sql import Row
+
+    from ironman_medallion_lakehouse_spark.operators import dedup as D
+
+    rows = [Row(doc_id=i, text="common boilerplate text repeated") for i in range(30)]
+    rows += [Row(doc_id=100 + i, text=f"unique doc {i} alpha beta gamma") for i in range(3)]
+    # two near-identical docs that must still pair under the cap
+    rows += [
+        Row(doc_id=200, text="rare pair one two three four five six"),
+        Row(doc_id=201, text="rare pair one two three four five six seven"),
+    ]
+    docs = spark.createDataFrame(rows)
+    sigs = D.minhash_signatures(docs, k=8)
+    uncapped = D.lsh_candidate_pairs(sigs, k=8, bands=4).count()
+    capped_df = D.lsh_candidate_pairs(sigs, k=8, bands=4, max_bucket_size=10)
+    capped_pairs = {(r.id_a, r.id_b) for r in capped_df.collect()}
+    # the 30-doc clique contributes 435 pairs uncapped; capped drops them
+    assert uncapped >= 435
+    assert len(capped_pairs) < 50
+    assert (200, 201) in capped_pairs  # small buckets unaffected
