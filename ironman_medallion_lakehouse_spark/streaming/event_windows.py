@@ -76,6 +76,67 @@ def session_stats(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     )
 
 
+def session_counts_native(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Sessionization via Spark's NATIVE ``session_window`` — the
+    engine-managed gap-merge (one aggregate, no explicit lag/sum
+    window composition). Output grain is (user_id, session): start =
+    first event time, end = last event time + gap, n_events.
+
+    Exactly the same session semantics as ``sessionize``'s two-window
+    form — an oracle replays it with the lag → flag → running-sum
+    construction and ``max(ts) + gap`` — but this form also runs
+    UNCHANGED under Structured Streaming with a watermark (session
+    windows are a native streaming state format; the lag/sum form is
+    batch-only because arbitrary window functions aren't supported on
+    streams). Batch plan: one shuffle on user_id, sessions merged
+    inside the aggregation."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_session_counts(
+    spark,
+    source_path: str,
+    schema,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    sink_name: str = "session_counts_sink",
+):
+    """``session_counts_native`` as a Structured Streaming query:
+    readStream → watermark → session_window aggregate → memory sink.
+    Session state is bounded by the watermark horizon — late events
+    beyond it can no longer extend a session, so state for closed
+    sessions is dropped (the production semantics for infinite
+    streams)."""
+    stream = spark.readStream.schema(schema).format("parquet").load(source_path)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .start()
+    )
+    return query, sink_name
+
+
 def streaming_tumbling_counts(
     spark,
     source_path: str,

@@ -725,6 +725,53 @@ def q52_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EW.sessionize(t["events"], gap_seconds=1800)
 
 
+@register(
+    "q87_session_window_native",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+        lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN prev IS NULL
+                  OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+             THEN 1 ELSE 0 END AS ns
+      FROM seq
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+        SUM(ns) OVER (
+          PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+      MIN(ts) AS session_start,
+      MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def q87_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE session_window (r4) — the
+    engine-managed gap merge, session grain: one aggregate on
+    (session_window(ts), user_id), no explicit lag/sum composition.
+    Session semantics are interval-merge with half-open windows
+    ([first, last+gap)): a new session starts exactly when the gap to
+    the previous event is ≥ the 30-minute gap, which the DuckDB oracle
+    replays with the lag → flag → running-sum construction in exact
+    microseconds plus max(ts)+gap for the window end. The SAME
+    aggregate runs unchanged under Structured Streaming with a
+    watermark (tests/test_streaming.py asserts batch ≡ streaming) —
+    native session state is watermark-bounded, which the batch-only
+    lag/sum form (q52) cannot do on a stream."""
+    t = load_tables(spark, sf_dir, "events")
+    return EW.session_counts_native(t["events"], gap="30 minutes")
+
+
 def q53_event_pivot_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional-sum pivot over event types (the reference's A2 idiom)
     + JSON property extraction from the props column

@@ -45,3 +45,50 @@ def test_streaming_matches_batch(spark, tmp_path):
 
     assert streamed == batch
     assert len(batch) > 0
+
+
+def test_native_session_window_streaming_matches_batch(spark, tmp_path):
+    """session_window sessionization: the streaming query (watermark +
+    native session state) must produce exactly the batch sessions."""
+    from ironman_medallion_lakehouse_spark.streaming.event_windows import (
+        session_counts_native,
+        streaming_session_counts,
+    )
+
+    rows = [
+        # user 1: two sessions (events 3 min apart, then a 2 h jump)
+        Row(event_id=1, ts="2024-01-01 00:00:00", user_id=1, event_type="a", value=1.0),
+        Row(event_id=2, ts="2024-01-01 00:03:00", user_id=1, event_type="a", value=1.0),
+        Row(event_id=3, ts="2024-01-01 02:10:00", user_id=1, event_type="a", value=1.0),
+        # user 2: one long chained session crossing multiple gaps
+        Row(event_id=4, ts="2024-01-01 00:00:00", user_id=2, event_type="b", value=1.0),
+        Row(event_id=5, ts="2024-01-01 00:25:00", user_id=2, event_type="b", value=1.0),
+        Row(event_id=6, ts="2024-01-01 00:50:00", user_id=2, event_type="b", value=1.0),
+    ]
+    events = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "sess_src")
+    events.write.mode("overwrite").parquet(src)
+
+    batch = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in session_counts_native(events, "30 minutes").collect()
+    }
+    # sanity: user 1 has 2 sessions, user 2's chain merged into 1
+    assert len([k for k in batch if k[0] == 1]) == 2
+    assert len([k for k in batch if k[0] == 2]) == 1
+    assert batch[[k for k in batch if k[0] == 2][0]] == 3
+
+    stored = spark.read.parquet(src)
+    query, sink = streaming_session_counts(
+        spark, src, stored.schema, gap="30 minutes", sink_name="s_sink"
+    )
+    try:
+        query.processAllAvailable()
+        streamed = {
+            (r.user_id, r.session_start, r.session_end): r.n_events
+            for r in spark.table(sink).collect()
+        }
+    finally:
+        query.stop()
+
+    assert streamed == batch
