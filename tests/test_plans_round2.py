@@ -103,3 +103,19 @@ def test_sequence_packing_no_global_sort_window(spark):
     assert "hashpartitioning(_rid" in plan
     # a partition-less window would require a SinglePartition exchange
     assert "SinglePartition" not in plan
+
+
+def test_winnowing_pairs_are_equi_join(spark):
+    # r4 q85: fingerprint explode → df-cut → self equi-join on the
+    # hash; never an all-pairs nested-loop
+    plan = _plan(spark, "q85_winnowing_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_session_window_native_single_shuffle(spark):
+    # r4 q87: the engine-managed session merge is one aggregate over
+    # one user_id exchange — no window-function sort stage, no join
+    plan = _plan(spark, "q87_session_window_native")
+    assert "SessionWindow" in plan or "session_window" in plan
+    assert "Join" not in plan
