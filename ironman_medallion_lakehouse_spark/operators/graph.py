@@ -75,12 +75,7 @@ def connected_components(
     )
     # cheap view over the checkpoint — no second materialization needed
     edges = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
-    mapping = (
-        edges.select(F.col("s").alias("node"))
-        .distinct()
-        .withColumn("root", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
+    mapping = None
     cur = edges
     for _ in range(max_iterations):
         # (1) star step: each super-node adopts min(self, neighbors).
@@ -93,14 +88,22 @@ def connected_components(
         )
         # (2) compose the mapping through the adoption, then jump one
         # extra pointer (root ← root(root)) — squares the mapped depth.
-        # stepped is checkpointed (one small frame) because BOTH sides
-        # of the doubling self-join read it — unmaterialized, the
-        # min-aggregation over the full edge frame would run twice.
-        stepped = (
-            mapping.join(m, mapping["root"] == m["_n"], "left")
-            .select("node", F.coalesce(F.col("_m"), F.col("root")).alias("root"))
-            .localCheckpoint(eager=True)
-        )
+        # Round 0 needs no identity-mapping materialization: every node
+        # appears as an edge source (symmetric union), so m IS the
+        # round-0 mapping. stepped is checkpointed (one small frame)
+        # because BOTH sides of the doubling self-join read it —
+        # unmaterialized, the min-aggregation over the full edge frame
+        # would run twice.
+        if mapping is None:
+            stepped = m.select(
+                F.col("_n").alias("node"), F.col("_m").alias("root")
+            ).localCheckpoint(eager=True)
+        else:
+            stepped = (
+                mapping.join(m, mapping["root"] == m["_n"], "left")
+                .select("node", F.coalesce(F.col("_m"), F.col("root")).alias("root"))
+                .localCheckpoint(eager=True)
+            )
         mapping = (
             stepped.alias("x")
             .join(stepped.alias("y"), F.col("x.root") == F.col("y.node"), "left")

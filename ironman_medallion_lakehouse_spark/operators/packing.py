@@ -31,6 +31,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Above this many ranges the per-range base offsets are attached via a
+# broadcast join against a tiny (rid, base) frame instead of a
+# create_map literal — a literal map is embedded in the plan tree, and
+# a plan with O(10⁴⁺) literals costs real analysis/codegen time (and
+# ultimately hits JVM constant-pool limits). O(10³) is comfortably
+# inside literal territory.
+MAP_LITERAL_MAX_RANGES = 1024
+
 
 def pack_sequences(
     docs: DataFrame,
@@ -92,15 +100,30 @@ def pack_sequences(
     for rid in sorted(per_range):  # ranges are ordered by key range
         prefix[rid] = acc
         acc += per_range[rid] or 0
-    offset = (
-        F.create_map(*[F.lit(x) for kv in sorted(prefix.items()) for x in kv])
-        if prefix
-        else F.create_map()
-    )
-    excl = (
-        F.sum("n_tokens").over(w) - F.col("n_tokens") + offset[F.col("_rid")]
-    ).alias("_excl")
-    out = d.select(F.col(id_col), "n_tokens", excl)
+    if len(prefix) <= MAP_LITERAL_MAX_RANGES:
+        offset = (
+            F.create_map(*[F.lit(x) for kv in sorted(prefix.items()) for x in kv])
+            if prefix
+            else F.create_map()
+        )
+        excl = (
+            F.sum("n_tokens").over(w) - F.col("n_tokens") + offset[F.col("_rid")]
+        ).alias("_excl")
+        out = d.select(F.col(id_col), "n_tokens", excl)
+    else:
+        # join-based fallback for very high range counts: same values,
+        # the base offsets travel as a broadcast dim instead of plan
+        # literals
+        base_df = docs.sparkSession.createDataFrame(
+            [(int(k), int(v)) for k, v in sorted(prefix.items())],
+            "_rid int, _base bigint",
+        )
+        excl = (F.sum("n_tokens").over(w) - F.col("n_tokens") + F.col("_base")).alias(
+            "_excl"
+        )
+        out = d.join(F.broadcast(base_df), "_rid").select(
+            F.col(id_col), "n_tokens", excl
+        )
     # integer `div`, not floor(double /): token offsets pass 2^53 at
     # corpus scale, where double floor division silently rounds
     start = F.expr(f"_excl div {budget}")

@@ -388,3 +388,27 @@ def test_pack_sequences_partition_count_invariant(spark):
         for r in pack_sequences(docs, 32, tokens=F.col("n"), num_ranges=8).collect()
     }
     assert a == b
+
+
+def test_pack_sequences_join_fallback_matches_map_literal(spark, monkeypatch):
+    """Above MAP_LITERAL_MAX_RANGES the per-range base offsets travel
+    as a broadcast join instead of plan literals — identical output."""
+    from pyspark.sql import Row
+
+    from ironman_medallion_lakehouse_spark.operators import packing as P
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(["tok"] * (1 + i % 7))) for i in range(60)]
+    )
+
+    def run():
+        return sorted(
+            (r.doc_id, r.n_tokens, r.start_pack, r.start_offset, r.end_pack, r.n_packs)
+            for r in P.pack_sequences(docs, budget=10, num_ranges=6).collect()
+        )
+
+    via_map = run()
+    monkeypatch.setattr(P, "MAP_LITERAL_MAX_RANGES", 2)
+    via_join = run()
+    assert via_join == via_map
+    assert len(via_map) == 60
