@@ -21,9 +21,12 @@ refresh. Sketches change the shape of the problem:
 This is the precomputed-rollup companion to the serving catalog: store
 per-(day, country) sketches in a TableStore table, answer per-day /
 per-country / global distinct users by union — never touching the
-fact table again. Kept out of the 50-entry oracle suite by design
-(estimates are engine-specific); correctness is pytest-asserted as
-relative-error and merge-consistency bounds.
+fact table again. DataSketches estimates are engine-specific, so their
+driver row (q82) uses the tolerance-boolean protocol beside
+hash-matched exact columns; the Count-Min family below is
+deterministic md5 arithmetic, so its row (q88) hash-matches estimates
+outright. Merge-consistency and error bounds are pytest-asserted for
+all four families.
 """
 
 from __future__ import annotations
@@ -140,3 +143,109 @@ def rollup_theta(
         sketches.groupBy(*rollup_cols) if rollup_cols else sketches.groupBy()
     )
     return grouped.agg(F.theta_sketch_estimate(agg).alias("approx_distinct"))
+
+
+# --------------------------------------------------------- count-min (r4)
+#
+# Frequency estimation — the fourth sketch family (HLL/Theta = distinct,
+# KLL = quantiles, CMS = per-item counts). Unlike Misra-Gries /
+# SpaceSaving heavy-hitter summaries, a Count-Min Sketch is
+# ORDER-INDEPENDENT (pure hashed sums), so it is deterministic under any
+# partitioning — replayable by a SQL oracle and safe under this repo's
+# bit-determinism policy. Stored long-form as (group..., depth, cell,
+# cnt) rows, a CMS is mergeable by plain GROUP BY + SUM: store the fine
+# grain once, answer coarser frequency questions from sketch rows.
+
+CMS_DEPTH, CMS_WIDTH = 4, 256
+
+
+def _cms_cell(item, j: int, width: int):
+    """Row j's hash cell for an item: first 15 md5 hex chars of
+    (item ‖ '#cms' ‖ j) as BIGINT, mod width — engine-portable."""
+    tagged = F.concat(item.cast("string"), F.lit(f"#cms{j}"))
+    return (
+        F.conv(F.substring(F.md5(tagged), 1, 15), 16, 10).cast("bigint")
+        % F.lit(width)
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Per-group Count-Min Sketch of item frequencies, long form:
+    (group_cols..., depth, cell, cnt). One explode to depth rows per
+    item + one skew-free aggregation; each group reduces to ≤
+    depth·width counter rows regardless of item cardinality — the
+    bounded-state property that makes token-frequency questions
+    answerable at corpus scale without shuffling every distinct token."""
+    rows = df.select(
+        *group_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("depth"),
+                        _cms_cell(F.col(item_col), j, width).alias("cell"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("_dc"),
+    )
+    return rows.groupBy(*group_cols, "_dc.depth", "_dc.cell").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_rollup(sketch: DataFrame, rollup_cols: list[str]) -> DataFrame:
+    """Coarser-grain CMS by summing counter rows — sketch-algebra
+    merge, never touches raw data. Error bound (≤ N·e/width over-count
+    with prob 1−e^−depth) carries over because merged counters equal
+    the counters of a direct build on the union."""
+    return sketch.groupBy(*rollup_cols, "depth", "cell").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: list[str],
+    group_cols: list[str] | None = None,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Frequency estimates for a probe item list from a (rolled-up)
+    sketch: (group_cols..., item, est_count) with est = min over depth
+    rows of the item's hashed cell — the classic CMS point query;
+    always ≥ the true count, over by at most ~N/width in expectation.
+    Probe cells are computed driver-side (items are literals), so the
+    lookup is one filtered aggregation over counter rows."""
+    import hashlib
+
+    probes = []
+    for it in items:
+        for j in range(depth):
+            h = hashlib.md5(f"{it}#cms{j}".encode()).hexdigest()[:15]
+            probes.append((it, j, int(h, 16) % width))
+    probe_df = sketch.sparkSession.createDataFrame(
+        probes, "item string, depth int, cell bigint"
+    )
+    gcols = group_cols or []
+    joined = sketch.join(F.broadcast(probe_df), ["depth", "cell"])
+    # a probe row missing from the sketch means its cell count is 0 →
+    # the min is 0; re-attach absent (item, depth) pairs via the full
+    # probe grid before taking the min
+    per_depth = joined.groupBy(*gcols, "item", "depth").agg(
+        F.sum("cnt").alias("c")
+    )
+    grid = probe_df.select("item", "depth").distinct()
+    if gcols:
+        grid = per_depth.select(*gcols).distinct().crossJoin(grid)
+    full = grid.join(per_depth, [*gcols, "item", "depth"], "left").select(
+        *gcols, "item", "depth", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    return full.groupBy(*gcols, "item").agg(F.min("c").alias("est_count"))

@@ -338,6 +338,84 @@ def q85_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q88 CMS params mirror operators/sketches.CMS_DEPTH/CMS_WIDTH; probes
+# are the fixed English stopword list (shared literal on both engines)
+_Q88_PROBES = T.STOPWORDS["en"]
+_Q88_PROBE_LIST = ", ".join(f"'{p}'" for p in _Q88_PROBES)
+
+
+@register(
+    "q88_cms_frequency",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    depths AS (SELECT unnest(range(4)) AS j),
+    cells AS (
+      SELECT j,
+        (('0x' || substr(md5(tok || '#cms' || j), 1, 15))::UBIGINT % 256) AS cell,
+        COUNT(*) AS cnt
+      FROM toks CROSS JOIN depths
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT tok AS item, j,
+        (('0x' || substr(md5(tok || '#cms' || j), 1, 15))::UBIGINT % 256) AS cell
+      FROM (SELECT unnest([{_Q88_PROBE_LIST}]) AS tok) CROSS JOIN depths
+    ),
+    per_depth AS (
+      SELECT p.item, p.j, COALESCE(c.cnt, 0) AS c
+      FROM probes p LEFT JOIN cells c ON c.j = p.j AND c.cell = p.cell
+    ),
+    est AS (
+      SELECT item, CAST(MIN(c) AS BIGINT) AS est_count
+      FROM per_depth GROUP BY item
+    ),
+    exact AS (
+      SELECT tok AS item, COUNT(*) AS exact_count FROM toks
+      WHERE tok IN ({_Q88_PROBE_LIST}) GROUP BY 1
+    )
+    SELECT e.item, e.est_count,
+           COALESCE(x.exact_count, 0) AS exact_count
+    FROM est e LEFT JOIN exact x USING (item)
+    """,
+)
+def q88_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch frequency estimation end-to-end
+    (operators/sketches.cms_sketch/cms_rollup/cms_estimate — the
+    fourth sketch family: HLL/Theta distinct, KLL quantiles, CMS item
+    counts): token frequencies sketched at the per-lang fine grain
+    (bounded depth×width counter rows per group, whatever the
+    vocabulary size), rolled up to a global sketch by GROUP BY + SUM
+    over COUNTER ROWS (sketch algebra, raw data read once), then point
+    queries for the English stopword probes. CMS is order-independent
+    (pure hashed sums) so the DuckDB oracle replays the ENTIRE sketch
+    — estimates hash-match exactly, alongside the exact counts they
+    must dominate. At 100 TB: one explode+aggregation over tokens,
+    ever; every coarser frequency question is counter-row algebra."""
+    from ironman_medallion_lakehouse_spark.functions.text import word_array
+    from ironman_medallion_lakehouse_spark.operators import sketches as SK
+
+    t = load_tables(spark, sf_dir, "documents")
+    toks = t["documents"].select(
+        "lang", F.explode(word_array("text")).alias("tok")
+    )
+    fine = SK.cms_sketch(toks, ["lang"], "tok")
+    glob = SK.cms_rollup(fine, [])
+    est = SK.cms_estimate(glob, list(_Q88_PROBES))
+    exact = (
+        toks.filter(F.col("tok").isin(list(_Q88_PROBES)))
+        .groupBy(F.col("tok").alias("item"))
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return est.join(exact, "item", "left").select(
+        "item",
+        "est_count",
+        F.coalesce(F.col("exact_count"), F.lit(0)).alias("exact_count"),
+    )
+
+
 _Q86_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
 

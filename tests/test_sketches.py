@@ -122,3 +122,67 @@ def test_theta_union_and_intersection_rollups(spark):
     ]
     exact_inter = len(set.intersection(*per_day))
     assert abs(inter_est - exact_inter) <= max(0.06 * exact_inter, 3.0)
+
+
+def test_cms_estimate_dominates_and_bounds_error(spark):
+    """CMS point queries: est >= exact always; error bounded by the
+    corpus size over the width (collision overflow only)."""
+    from pyspark.sql import Row
+
+    from ironman_medallion_lakehouse_spark.operators import sketches as SK
+
+    rows = []
+    for i in range(200):
+        rows.append(Row(grp="a" if i % 2 else "b", item=f"tok{i % 17}"))
+    rows += [Row(grp="a", item="hot")] * 300
+    df = spark.createDataFrame(rows)
+    fine = SK.cms_sketch(df, ["grp"], "item")
+    glob = SK.cms_rollup(fine, [])
+    est = {r.item: r.est_count for r in SK.cms_estimate(glob, ["hot", "tok3", "absent"]).collect()}
+    exact = {"hot": 300, "tok3": 200 // 17 + (1 if 3 < 200 % 17 else 0), "absent": 0}
+    n_total = 500
+    for item, ex in exact.items():
+        assert est[item] >= ex, (item, est[item], ex)
+        assert est[item] <= ex + (4 * n_total) // 256 + 1, (item, est[item], ex)
+
+
+def test_cms_rollup_equals_direct_build(spark):
+    """Merged counters must equal a direct global build — the
+    mergeability property that makes store-fine/answer-coarse exact
+    sketch algebra."""
+    from pyspark.sql import Row
+
+    from ironman_medallion_lakehouse_spark.operators import sketches as SK
+
+    df = spark.createDataFrame(
+        [Row(grp=f"g{i % 3}", item=f"w{i % 11}") for i in range(120)]
+    )
+    via_rollup = {
+        (r.depth, r.cell): r.cnt
+        for r in SK.cms_rollup(SK.cms_sketch(df, ["grp"], "item"), []).collect()
+    }
+    direct = {
+        (r.depth, r.cell): r.cnt
+        for r in SK.cms_sketch(df.withColumn("_g", F.lit(1)), ["_g"], "item")
+        .drop("_g")
+        .collect()
+    }
+    assert via_rollup == direct
+
+
+def test_cms_grouped_estimates(spark):
+    """Per-group point queries via the group_cols path."""
+    from pyspark.sql import Row
+
+    from ironman_medallion_lakehouse_spark.operators import sketches as SK
+
+    df = spark.createDataFrame(
+        [Row(grp="x", item="a")] * 10 + [Row(grp="y", item="a")] * 3
+    )
+    fine = SK.cms_sketch(df, ["grp"], "item")
+    got = {
+        (r.grp, r.item): r.est_count
+        for r in SK.cms_estimate(fine, ["a"], group_cols=["grp"]).collect()
+    }
+    assert got[("x", "a")] >= 10 and got[("y", "a")] >= 3
+    assert got[("x", "a")] <= 10 + 1 and got[("y", "a")] <= 3 + 1
