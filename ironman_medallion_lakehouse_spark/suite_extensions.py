@@ -338,6 +338,78 @@ def q85_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q89 quality gates — thresholds sit inside the sf0.01 corpus's actual
+# signal ranges (n_words 10-99 med 56; top-bigram 0.02-0.31;
+# en-stopword-ratio 0-0.18) so the filter makes a REAL split, not a
+# vacuous all-pass.
+_Q89_MIN_WORDS, _Q89_MAX_TBF, _Q89_MIN_SWR = 30, 0.15, 0.02
+_Q89_EN = ", ".join(f"'{w}'" for w in T.STOPWORDS["en"])
+
+
+@register(
+    "q89_quality_filter",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+        string_split_regex(lower(text), '\\s+') AS w,
+        len(list_intersect({_WORDS}, [{_Q89_EN}])) AS score_en
+      FROM documents
+    ),
+    grams AS (
+      SELECT *, list_transform(generate_series(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i + 1]) AS bg
+      FROM scored
+    ),
+    sig AS (
+      SELECT doc_id,
+        CAST(len(w) AS BIGINT) AS n_words,
+        CASE WHEN len(w) < 2 THEN 0.0
+             ELSE 2.0 * CAST(list_max(list_transform(list_distinct(bg),
+                               b -> len(list_filter(bg, x -> x = b)))) AS DOUBLE)
+                      / CAST(len(w) AS DOUBLE)
+        END AS top_bigram_fraction,
+        CAST(score_en AS DOUBLE)
+          / CAST(greatest(len(list_distinct(w)), 1) AS DOUBLE) AS stopword_ratio_en
+      FROM grams
+    )
+    SELECT doc_id, n_words, top_bigram_fraction, stopword_ratio_en,
+      (n_words >= {_Q89_MIN_WORDS}
+       AND top_bigram_fraction < {_Q89_MAX_TBF}
+       AND stopword_ratio_en >= {_Q89_MIN_SWR}) AS kept
+    FROM sig
+    """,
+)
+def q89_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data CLEANING step end-to-end: every document
+    scored on the Gopher-style signals (functions/text.py — token
+    count, top-bigram repetition, English stopword ratio) and gated
+    into kept/dropped in one narrow map-only pass, zero shuffles —
+    the q47 battery computes signals, this row applies the decision
+    the pipeline actually acts on. At 100 TB this is the pass that
+    runs in front of dedup: a pure Column filter at scan speed, with
+    the boolean emitted (rather than rows dropped) so the oracle
+    checks BOTH sides of every gate."""
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"]
+    sig = d.select(
+        "doc_id",
+        T.n_words("text").cast("bigint").alias("n_words"),
+        T.top_bigram_fraction("text").alias("top_bigram_fraction"),
+        T.stopword_ratio("text", "en").alias("stopword_ratio_en"),
+    )
+    return sig.select(
+        "doc_id",
+        "n_words",
+        "top_bigram_fraction",
+        "stopword_ratio_en",
+        (
+            (F.col("n_words") >= _Q89_MIN_WORDS)
+            & (F.col("top_bigram_fraction") < _Q89_MAX_TBF)
+            & (F.col("stopword_ratio_en") >= _Q89_MIN_SWR)
+        ).alias("kept"),
+    )
+
+
 # q88 CMS params mirror operators/sketches.CMS_DEPTH/CMS_WIDTH; probes
 # are the fixed English stopword list (shared literal on both engines)
 _Q88_PROBES = T.STOPWORDS["en"]
