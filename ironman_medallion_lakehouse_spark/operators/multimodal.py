@@ -86,13 +86,12 @@ def encode_ppm(pixels) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
 
 
-def ppm_decode(payload: bytes) -> dict:
-    """REAL image decode for binary PPM (P6): parse the header, load
-    the pixel matrix, return dimensions + an 8-dim feature
-    [mean R,G,B, std R,G,B, aspect, brightness] — all numpy-vectorized
-    per payload."""
-    import numpy as np
-
+def _ppm_header(payload: bytes) -> tuple[int, int, int]:
+    """Parse a binary-PPM (P6) header; returns (width, height,
+    pixel_offset). The single source of truth for where pixel bytes
+    start — a substring search for b"255\\n" is wrong whenever a
+    dimension token itself ends in 255 (e.g. header ``P6\\n300 255\\n
+    255\\n``)."""
     if not payload or not payload.startswith(b"P6"):
         raise NotImplementedError(
             "only binary PPM (P6) images decode in-container; compressed "
@@ -114,6 +113,17 @@ def ppm_decode(payload: bytes) -> dict:
     w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
     if maxval != 255:
         raise NotImplementedError("only 8-bit PPM supported")
+    return w, h, pos
+
+
+def ppm_decode(payload: bytes) -> dict:
+    """REAL image decode for binary PPM (P6): parse the header, load
+    the pixel matrix, return dimensions + an 8-dim feature
+    [mean R,G,B, std R,G,B, aspect, brightness] — all numpy-vectorized
+    per payload."""
+    import numpy as np
+
+    w, h, pos = _ppm_header(payload)
     px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos).reshape(
         h, w, 3
     )
@@ -135,11 +145,9 @@ def ppm_resize(payload: bytes, width: int, height: int) -> bytes:
     re-encode. Pure numpy fancy indexing, no codec library."""
     import numpy as np
 
-    meta = ppm_decode(payload)  # validates format
-    w0, h0 = meta["width"], meta["height"]
-    header_len = payload.index(b"255\n") + 4  # re-locate pixel start
+    w0, h0, pixel_off = _ppm_header(payload)
     px = np.frombuffer(
-        payload, dtype=np.uint8, count=w0 * h0 * 3, offset=header_len
+        payload, dtype=np.uint8, count=w0 * h0 * 3, offset=pixel_off
     ).reshape(h0, w0, 3)
     yi = (np.arange(height) * h0 // height).clip(0, h0 - 1)
     xi = (np.arange(width) * w0 // width).clip(0, w0 - 1)

@@ -244,7 +244,10 @@ def cms_estimate(
     )
     grid = probe_df.select("item", "depth").distinct()
     if gcols:
-        grid = per_depth.select(*gcols).distinct().crossJoin(grid)
+        # group half of the grid comes from the SKETCH, not per_depth:
+        # a group whose counters match no probe cell at any depth must
+        # still report est_count=0 per item, not vanish (ADVICE r4)
+        grid = sketch.select(*gcols).distinct().crossJoin(grid)
     full = grid.join(per_depth, [*gcols, "item", "depth"], "left").select(
         *gcols, "item", "depth", F.coalesce(F.col("c"), F.lit(0)).alias("c")
     )

@@ -50,7 +50,15 @@ def jdbc_extract(
 
     When ``partition_column`` is given and bounds are not, the bounds
     come from one MIN/MAX aggregate pushed to the database (a
-    one-row result — not a table scan)."""
+    one-row result — not a table scan). The probe applies the same
+    ``predicate`` as the extract, so bounds are tight on the filtered
+    rows — unfiltered bounds would yield skewed or empty range
+    partitions (ADVICE r4).
+
+    ``table``, ``predicate``, and ``partition_column`` are interpolated
+    into SQL pushed to the database; they are pipeline-config literals
+    (sources.yml), NEVER end-user input — callers exposing this surface
+    must validate identifiers first."""
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if driver:
         reader = reader.option("driver", driver)
@@ -67,7 +75,9 @@ def jdbc_extract(
                     # rules (Derby, Postgres) must see the exact stored
                     # name, which Spark's JDBC writer quotes on create
                     f'(SELECT MIN("{partition_column}") mn, '
-                    f'MAX("{partition_column}") mx FROM {table}) b',
+                    f'MAX("{partition_column}") mx FROM {table}'
+                    + (f" WHERE {predicate}" if predicate else "")
+                    + ") b",
                 )
             )
             if driver:

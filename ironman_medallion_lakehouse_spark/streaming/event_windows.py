@@ -111,11 +111,12 @@ def streaming_session_counts(
     sink_name: str = "session_counts_sink",
 ):
     """``session_counts_native`` as a Structured Streaming query:
-    readStream → watermark → session_window aggregate → memory sink.
-    Session state is bounded by the watermark horizon — late events
-    beyond it can no longer extend a session, so state for closed
-    sessions is dropped (the production semantics for infinite
-    streams)."""
+    readStream → watermark → session_window aggregate → memory sink,
+    in **append** mode: a session row is emitted exactly once, when the
+    watermark passes its end, and its state is then dropped. That is
+    the production semantics for infinite streams — state is bounded
+    by the watermark horizon, unlike ``complete`` mode, which would
+    retain (and re-emit) every session forever (ADVICE r4)."""
     stream = spark.readStream.schema(schema).format("parquet").load(source_path)
     agg = (
         stream.withWatermark("ts", watermark)
@@ -131,7 +132,7 @@ def streaming_session_counts(
     query = (
         agg.writeStream.format("memory")
         .queryName(sink_name)
-        .outputMode("complete")
+        .outputMode("append")
         .start()
     )
     return query, sink_name

@@ -73,6 +73,28 @@ def test_jdbc_predicate_pushdown_shape(spark, derby_url):
     assert df.count() == 25
 
 
+def test_jdbc_predicate_applies_to_partition_bounds_probe(spark, derby_url):
+    """ADVICE r4: the MIN/MAX bounds probe must run over the FILTERED
+    rows. id >= 81 leaves ids 81..100; with predicate-applied bounds a
+    4-way split is [81,85),[85,90),[90,95),[95,...] — every partition
+    non-empty. With the old raw-table bounds (1..100, stride 24) the
+    first three partitions are EMPTY and partition 4 carries all 20
+    rows — exactly the skew the fix removes, and what this asserts."""
+    df = jdbc_extract(
+        spark,
+        derby_url,
+        "results",
+        driver=DERBY_DRIVER,
+        predicate='"id" >= 81',
+        partition_column="id",
+        num_partitions=4,
+    )
+    assert df.count() == 20
+    sizes = [len(p) for p in df.rdd.glom().collect()]
+    assert len(sizes) == 4
+    assert all(s > 0 for s in sizes), f"empty range partition: {sizes}"
+
+
 def test_jdbc_lands_with_bronze_metadata(spark, derby_url):
     landed = jdbc_land_to_bronze(spark, derby_url, "results", driver=DERBY_DRIVER)
     cols = set(landed.columns)

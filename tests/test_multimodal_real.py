@@ -47,6 +47,29 @@ def test_ppm_resize_is_a_real_resize():
     assert (opx[3, 3] == (255, 255, 255)).all()
 
 
+def test_ppm_resize_dimension_token_ending_in_255():
+    # ADVICE r4: a height of 255 makes the header contain "255\n" twice
+    # (`P6\n8 255\n255\n`); a substring search for the maxval line finds
+    # the FIRST occurrence inside the dimensions and reads pixels 4
+    # bytes off. The header tokenizer must be the source of the offset.
+    h, w = 255, 8
+    px = (np.arange(h * w * 3, dtype=np.int64) % 251).astype(np.uint8).reshape(h, w, 3)
+    payload = M.encode_ppm(px)
+    assert payload.count(b"255\n") == 2  # the trap is actually present
+    meta = M.ppm_decode(payload)
+    assert (meta["width"], meta["height"]) == (w, h)
+    # identity resize must round-trip the exact pixel bytes
+    out = M.ppm_resize(payload, w, h)
+    assert out == payload
+    # and a real downscale must sample from correctly-offset rows
+    small = M.ppm_resize(payload, 4, 5)
+    w2, h2, off = M._ppm_header(small)
+    opx = np.frombuffer(small, dtype=np.uint8, offset=off).reshape(5, 4, 3)
+    yi = (np.arange(5) * h // 5).clip(0, h - 1)
+    xi = (np.arange(4) * w // 4).clip(0, w - 1)
+    assert (opx == px[yi][:, xi]).all()
+
+
 def test_wav_decode_recovers_synthesis_parameters():
     import io
     import wave

@@ -83,10 +83,28 @@ def test_native_session_window_streaming_matches_batch(spark, tmp_path):
         spark, src, stored.schema, gap="30 minutes", sink_name="s_sink"
     )
     try:
+        # append mode: nothing emits until the watermark passes a
+        # session's end — after batch 1 the watermark is still behind
+        # every session (max ts 02:10 − 2 h horizon), so the sink must
+        # be EMPTY (this is the state-bounding semantics; complete
+        # mode would have shown everything immediately).
+        query.processAllAvailable()
+        assert spark.table(sink).count() == 0
+        # a late "ticker" event a day ahead pushes the watermark past
+        # all session ends; the no-data flush then emits each closed
+        # session exactly once and drops its state
+        ticker = [
+            Row(event_id=99, ts="2024-01-02 12:00:00", user_id=99,
+                event_type="t", value=0.0),
+        ]
+        spark.createDataFrame(ticker).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).write.mode("append").parquet(src)
         query.processAllAvailable()
         streamed = {
             (r.user_id, r.session_start, r.session_end): r.n_events
             for r in spark.table(sink).collect()
+            if r.user_id != 99  # ticker's own session is still open
         }
     finally:
         query.stop()
