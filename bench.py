@@ -2,11 +2,27 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {"q01...": sec, ...}, "sf": 0.1}
+   "queries": {"q01...": sec, ...}, "sf": 0.1, "detail": {...}}
 
-Each query is forced end-to-end with the `noop` sink (full computation,
-no collect/driver transfer), after one warmup of the first query to
-amortize JVM/codegen startup out of the numbers.
+Protocol (pinned in r5 — VERDICT r4 item 3: round-over-round deltas
+were unreadable because each query was timed on its FIRST execution,
+so the number mixed plan cost with one-time codegen/JIT compilation
+and box contention):
+
+- Each query gets its own untimed warmup execution, then
+  ``SPARK_GRAFT_BENCH_RUNS`` (default 2) timed executions; the
+  reported figure is the MINIMUM — the best observation is the one
+  closest to the plan's intrinsic cost on a shared box.
+- Every execution is forced end-to-end with the `noop` sink (full
+  computation, no collect/driver transfer).
+- Between queries, all persistent RDD blocks (localCheckpoint
+  residue from iterative operators) are dropped and a JVM GC is
+  requested, so no query's storage pressure leaks into the next.
+- ``detail`` records per-query: every timed run's seconds (spread =
+  contention visibility), and job/stage/task counts from the final
+  timed run (a structural fingerprint — if the task count jumps
+  between rounds, the PLAN changed; if seconds jump while tasks hold,
+  the BOX changed).
 """
 
 from __future__ import annotations
@@ -23,6 +39,7 @@ from ironman_medallion_lakehouse_spark import suite  # noqa: E402
 from ironman_medallion_lakehouse_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
 # Headline set: one per heavyweight operator family (scan+agg, broadcast
 # join, star join, self-join, window-over-agg, window argmax, top-k) plus
@@ -48,19 +65,59 @@ def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _drop_persistent_blocks(spark) -> None:
+    """Unpersist every persistent RDD (localCheckpoint residue) and ask
+    the JVM for a GC, so storage/GC pressure never crosses queries."""
+    sc = spark.sparkContext
+    it = sc._jsc.sc().getPersistentRDDs().iterator()
+    ids = []
+    while it.hasNext():
+        ids.append(it.next()._1())
+    for rdd_id in ids:
+        sc._jsc.sc().unpersistRDD(rdd_id, True)
+    spark._jvm.System.gc()
+
+
+def _group_counts(spark, group: str) -> dict:
+    """Job/stage/task counts for one job group via the status tracker."""
+    st = spark.sparkContext.statusTracker()
+    jobs = st.getJobIdsForGroup(group)
+    stage_ids = set()
+    for j in jobs:
+        info = st.getJobInfo(j)
+        if info:
+            stage_ids.update(info.stageIds)
+    tasks = 0
+    for s in stage_ids:
+        si = st.getStageInfo(s)
+        if si:
+            tasks += si.numTasks
+    return {"jobs": len(jobs), "stages": len(stage_ids), "tasks": tasks}
+
+
 def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     qdict = suite.queries()
     names = [n for n in HEADLINE if n in qdict]
 
-    _run(qdict[names[0]](spark, SF_DIR))  # warmup
-
     timings: dict[str, float] = {}
+    detail: dict[str, dict] = {}
     for name in names:
-        t0 = time.time()
-        _run(qdict[name](spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
+        _run(qdict[name](spark, SF_DIR))  # per-query warmup (untimed)
+        _drop_persistent_blocks(spark)
+        runs = []
+        group = ""
+        for i in range(RUNS):
+            group = f"{name}#r{i}"
+            spark.sparkContext.setJobGroup(group, name)
+            t0 = time.time()
+            _run(qdict[name](spark, SF_DIR))
+            runs.append(round(time.time() - t0, 3))
+            spark.sparkContext.setJobGroup("", "")
+            _drop_persistent_blocks(spark)
+        timings[name] = min(runs)
+        detail[name] = {"runs": runs, **_group_counts(spark, group)}
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -72,6 +129,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "protocol": f"per-query warmup + min of {RUNS} timed runs",
+                "detail": detail,
             }
         )
     )

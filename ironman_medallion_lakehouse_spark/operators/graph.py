@@ -8,22 +8,29 @@ one duplicate cluster even though (A, C) was never scored. Connected
 components closes that transitivity gap and yields one canonical
 survivor per cluster.
 
-Algorithm: min-neighbor star contraction with pointer doubling (the
-Borůvka/Kiveris family — "Connected Components in MapReduce and
-Beyond"). Each round: (1) every current super-node adopts the minimum
-of itself and its neighbors, (2) the node→root mapping composes
-through that adoption and then jumps one extra pointer
-(root ← root(root)), (3) the edge set is rebuilt as the image of the
-ORIGINAL edges under the composed mapping, dropping self-loops.
-Dense duplicate clusters (near-cliques) collapse to a single
-super-node in ONE round, so the contracted edge frame all but
-vanishes after the first iteration — hash-min label propagation (the
-r3 implementation) kept re-joining the full edge set for
-diameter-many rounds instead (measured 8+ rounds × ~0.6 s at sf0.1).
-Pointer doubling squares the mapped depth per round, so even
-adversarial chains converge in O(log diameter) rounds. Per-round
-frames are localCheckpoint-ed so the iterative plan never accumulates
-lineage (the classic iterative-Spark failure mode).
+Algorithm: min-neighbor star contraction (the Borůvka/Kiveris family
+— "Connected Components in MapReduce and Beyond"). Each round:
+(1) every current super-node adopts the minimum of itself and its
+neighbors, (1b) the adoption forest is pointer-jumped to fixpoint —
+O(log depth) self-joins of a one-row-per-super-node frame — so every
+pointer goes straight to its star's root, (2) the node→root mapping
+composes through the jumped adoption, (3) the CURRENT edge frame is
+contracted in place — each endpoint replaced by its root, self-loops
+dropped. Dense duplicate clusters (near-cliques) collapse to a single
+super-node in ONE round, monotone chains collapse in one contract
+round after ⌈log₂ n⌉ tiny jumps, and the contracted frame all but
+vanishes after the first iteration. Two structural differences from
+the r4 form: contraction maps the shrinking current frame, not the
+full ORIGINAL edge set per round (measured at sf0.1, rounds 1-2 fell
+from ~0.85 s each over 1.9M re-joined edge rows to ~0.1 s over 606-
+and 6-row frames), and pointer acceleration moved from the global
+node→root mapping (one extra full-size self-join + checkpoint per
+round) to the per-round star map, where the frames are smallest.
+Hash-min label propagation (the r3 implementation) was worse than
+both: diameter-many rounds over the full edge set (measured 8+
+rounds × ~0.6 s at sf0.1). Per-round frames are localCheckpoint-ed
+so the iterative plan never accumulates lineage (the classic
+iterative-Spark failure mode).
 
 At 100 TB scale the mapping frame is one row per *paired* document
 (far smaller than the corpus — most documents share no pair), the
@@ -37,6 +44,32 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _jump_to_fixpoint(m: DataFrame) -> DataFrame:
+    """Path-compress an adoption map (_n → _m) until idempotent:
+    m ← m∘m squares pointer depth per step, so a depth-d forest takes
+    ⌈log₂ d⌉ self-joins. The frame is one row per super-node (small);
+    values always stay inside the domain, so the left join's coalesce
+    is a safety net, not a semantic branch."""
+    while True:
+        m2 = (
+            m.alias("x")
+            .join(m.alias("y"), F.col("x._m") == F.col("y._n"), "left")
+            .select(
+                F.col("x._n").alias("_n"),
+                F.coalesce(F.col("y._m"), F.col("x._m")).alias("_m"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            m2.alias("a")
+            .join(m.alias("b"), F.col("a._n") == F.col("b._n"))
+            .filter(F.col("a._m") != F.col("b._m"))
+        )
+        if changed.isEmpty():
+            return m2
+        m = m2
 
 
 def connected_components(
@@ -55,9 +88,13 @@ def connected_components(
     appear in no pair are absent (callers keep unpaired docs as
     implicit singleton groups — see ``dedup_groups_from_pairs``).
 
-    Invariant: after round t, ``mapping`` sends every original node to
-    its super-node in the t-times-contracted graph; the component
-    minimum maps to itself forever (it is the min of any neighborhood
+    Invariant: after round t, ``mapping`` (the composition of the
+    per-round adoptions) sends every original node to its super-node
+    in the t-times-contracted graph, and the round-t edge frame is
+    exactly the image of the original edges under that composition
+    (self-loops dropped — a self-loop stays a self-loop under any
+    further contraction, so dropping early is safe). The component
+    minimum adopts itself forever (it is the min of any neighborhood
     containing it), so at fixpoint (no surviving edges) every node's
     root IS its component minimum.
 
@@ -74,51 +111,50 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     # cheap view over the checkpoint — no second materialization needed
-    edges = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    cur = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
     mapping = None
-    cur = edges
     for _ in range(max_iterations):
-        # (1) star step: each super-node adopts min(self, neighbors).
-        # groupBy has map-side partial aggregation, so duplicate edges
-        # never inflate the shuffle.
+        # (1) star step: each current super-node adopts min(self,
+        # neighbors). groupBy has map-side partial aggregation, so
+        # duplicate edges never inflate the shuffle. m shrinks with
+        # the contracted graph and AQE broadcasts it in the joins
+        # below once it is small.
         m = (
             cur.groupBy("s")
             .agg(F.min("d").alias("_md"))
             .select(F.col("s").alias("_n"), F.least(F.col("s"), F.col("_md")).alias("_m"))
         )
-        # (2) compose the mapping through the adoption, then jump one
-        # extra pointer (root ← root(root)) — squares the mapped depth.
-        # Round 0 needs no identity-mapping materialization: every node
-        # appears as an edge source (symmetric union), so m IS the
-        # round-0 mapping. stepped is checkpointed (one small frame)
-        # because BOTH sides of the doubling self-join read it —
-        # unmaterialized, the min-aggregation over the full edge frame
-        # would run twice.
+        m = m.localCheckpoint(eager=True)  # read 3x below (compose + 2 contract sides)
+        # (1b) pointer-jump the adoption forest to its fixpoint so
+        # every pointer goes straight to its star's root. Without
+        # this, a monotone chain (1-2-…-n, where node i adopts i−1)
+        # contracts by only ONE node per round — linear rounds. Each
+        # jump squares pointer depth, so fixpoint takes O(log depth)
+        # self-joins of the m frame, which is one row per CURRENT
+        # super-node — tiny next to the edge frame, and a near-clique
+        # corpus confirms fixpoint on the first jump.
+        m = _jump_to_fixpoint(m)
+        # (2) compose the global mapping through the adoption. Round 0
+        # needs no identity-mapping materialization: every node appears
+        # as an edge source (symmetric union), so m IS the round-0
+        # mapping. The mapping frame is one row per paired node —
+        # small, and only joined against m (also small).
         if mapping is None:
-            stepped = m.select(
-                F.col("_n").alias("node"), F.col("_m").alias("root")
-            ).localCheckpoint(eager=True)
+            mapping = m.select(F.col("_n").alias("node"), F.col("_m").alias("root"))
         else:
-            stepped = (
+            mapping = (
                 mapping.join(m, mapping["root"] == m["_n"], "left")
                 .select("node", F.coalesce(F.col("_m"), F.col("root")).alias("root"))
                 .localCheckpoint(eager=True)
             )
-        mapping = (
-            stepped.alias("x")
-            .join(stepped.alias("y"), F.col("x.root") == F.col("y.node"), "left")
-            .select(
-                F.col("x.node").alias("node"),
-                F.coalesce(F.col("y.root"), F.col("x.root")).alias("root"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        # (3) contract: image of the ORIGINAL edges under the composed
-        # mapping; self-loops (intra-component edges) drop out, so
-        # dense clusters vanish after one round
+        # (3) contract the CURRENT frame in place: each endpoint
+        # replaced by its adopted root, self-loops dropped — dense
+        # clusters vanish after one round, and every later round's
+        # cost is proportional to the SURVIVING edges, not the input
+        # (the r4 form re-joined the full original edge set per round)
         cur = (
-            edges.join(mapping.select(F.col("node").alias("s"), F.col("root").alias("_rs")), "s")
-            .join(mapping.select(F.col("node").alias("d"), F.col("root").alias("_rd")), "d")
+            cur.join(m.select(F.col("_n").alias("s"), F.col("_m").alias("_rs")), "s")
+            .join(m.select(F.col("_n").alias("d"), F.col("_m").alias("_rd")), "d")
             .select(F.col("_rs").alias("s"), F.col("_rd").alias("d"))
             .filter(F.col("s") != F.col("d"))
             .distinct()
@@ -129,7 +165,7 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds; "
         "the contracted graph still has edges — raise max_iterations "
-        "(rounds needed is O(log diameter) under pointer doubling)"
+        "(star contraction needs O(log n) rounds worst-case)"
     )
 
 

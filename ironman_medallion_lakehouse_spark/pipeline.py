@@ -130,12 +130,20 @@ def run(spark: SparkSession, cfg: C.PipelineConfig) -> RunResult:
         store.save_overwrite(dim_countries, C.DIM_COUNTRIES)
         store.save_overwrite(dim_divisions, C.DIM_DIVISIONS)
 
-    # ---- fact (04d): scoped silver joined to the *merged* dims
+    # ---- fact (04d): scoped silver joined to the *merged* dims.
+    # The dims are ANALYZEd right after their write (one cheap fused
+    # aggregate each) and read back through read_hinted, so the fact
+    # build's join strategy comes from recorded statistics — a dim
+    # that outgrows the broadcast threshold falls back to a shuffle
+    # join instead of being force-broadcast (VERDICT r4 item 4).
+    for dim_table in (C.DIM_ATHLETES, C.DIM_DIVISIONS, C.DIM_COUNTRIES):
+        store.analyze(dim_table)
     fact = gold_fact.build_fact(
         silver_scope,
-        store.read(C.DIM_ATHLETES),
-        store.read(C.DIM_DIVISIONS),
-        store.read(C.DIM_COUNTRIES),
+        store.read_hinted(C.DIM_ATHLETES),
+        store.read_hinted(C.DIM_DIVISIONS),
+        store.read_hinted(C.DIM_COUNTRIES),
+        explicit_broadcast=False,
     )
     if incremental and store.table_exists(C.FACT_RESULTS):
         store.merge_insert_only(fact, C.FACT_RESULTS, cfg.fact_merge_keys)

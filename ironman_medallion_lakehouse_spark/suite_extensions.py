@@ -161,18 +161,23 @@ _Q83_THRESHOLD = 0.9
 # Precision knob, not a semantics change — the oracle replays the same
 # banding, and refine keeps only ≥0.9 pairs either way.
 _Q83_BANDS = 16
-# Signature-agreement pre-verify before the exact-Jaccard join
-# (operators/dedup.sig_agreement_filter): ≥72% of the first 32 MinHash
-# components must agree — 3.4σ below the 0.9 exact bar
-# (σ = √(0.9·0.1/32) ≈ 0.053), so true pairs pass with probability
-# ~1−3e−4 while the mid-similarity candidate bulk never reaches the
-# O(|A|+|B|) set intersection, at a quarter of the full-width compare
-# cost. Deterministic and replayed verbatim by the oracle below.
+# Signature-agreement pre-verify (operators/dedup.sig_agreement_filter):
+# ≥72% of the first 32 MinHash components must agree — 3.4σ below the
+# 0.9 exact bar (σ = √(0.9·0.1/32) ≈ 0.053). r5: REMOVED from q83's
+# pipeline, kept in q90's. Measured at sf0.1 with hashed-BIGINT
+# refine, the prefilter costs more than it saves (agreement 0.42 s +
+# refine-on-survivors 3.2 s vs refine-on-all-candidates 1.3 s, output
+# pair-for-pair identical) — the interpreted set intersection it was
+# shielding became cheap when refine moved to 60-bit token hashes, and
+# this corpus's candidate bulk is only 1.3× its survivor set. The
+# pattern still pays when tokens are long strings or banding is loose
+# (q43's 0.42-threshold regime) — that configuration is exactly what
+# q90 exercises and oracles.
 _Q83_MIN_AGREE = 0.72
 _Q83_AGREE_COMPONENTS = 32
 # flat list_filter form — a long `+` chain is a deep binder recursion
 # in DuckDB (hard limit 128); a list literal binds flat
-_Q83_AGREE_TERMS = "len(list_filter([{}], x -> x))".format(
+_AGREE_TERMS_32 = "len(list_filter([{}], x -> x))".format(
     ", ".join(f"sa.sig_{j} = sb.sig_{j}" for j in range(_Q83_AGREE_COMPONENTS))
 )
 # hashed-token word sets for the exact-Jaccard stage
@@ -201,18 +206,12 @@ _HASHED_WORDS = (
       FROM bands a JOIN bands b
         ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     ),
-    cand_f AS (
-      SELECT c.id_a, c.id_b
-      FROM cand c JOIN sigs sa ON sa.doc_id = c.id_a
-                  JOIN sigs sb ON sb.doc_id = c.id_b
-      WHERE {_Q83_AGREE_TERMS} >= {int(_Q83_MIN_AGREE * _Q83_AGREE_COMPONENTS)}
-    ),
     ws AS (
       SELECT doc_id, {_HASHED_WORDS} AS w FROM documents
     ),
     refined AS (
       SELECT c.id_a, c.id_b
-      FROM cand_f c JOIN ws a ON a.doc_id = c.id_a JOIN ws b ON b.doc_id = c.id_b
+      FROM cand c JOIN ws a ON a.doc_id = c.id_a JOIN ws b ON b.doc_id = c.id_b
       WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
           / CAST(len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)) AS DOUBLE)
           >= {_Q83_THRESHOLD}
@@ -241,33 +240,113 @@ _HASHED_WORDS = (
 def q83_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup GROUPS, the stage after q43's pairs: MinHash → LSH
     (16 bands × r=8, matched to the 0.9 bar — see _Q83_BANDS) →
-    signature-agreement pre-verify (≥72% of 32 components, codegen
-    integer compares) → exact Jaccard refine (0.9, hashed-token BIGINT
-    intersection on the survivors only) → star-contraction connected
-    components with pointer doubling (operators/graph.py) →
+    exact Jaccard refine (0.9, hashed-token BIGINT intersection) →
+    star-contraction connected components (operators/graph.py) →
     full-corpus (doc_id, group_id, group_size, is_survivor) with
     singletons as their own groups and the min-id survivor policy.
     Dense duplicate clusters contract to one super-node in a single
     round; per-round frames localCheckpoint so the iterative plan
-    never accumulates lineage."""
+    never accumulates lineage. The r4 signature-agreement prefilter
+    was measured out of this pipeline in r5 (see _Q83_MIN_AGREE note);
+    q90 keeps that operator driver-attested in the loose-banding
+    regime where it earns its cost."""
     from ironman_medallion_lakehouse_spark.operators.graph import (
         dedup_groups_from_pairs,
     )
 
     t = load_tables(spark, sf_dir, "documents")
     # materialize the signature frame ONCE (5k rows × 128 longs): it
-    # feeds BOTH sides of the band self-join and BOTH sides of the
-    # agreement join, and Spark re-computes an unmaterialized lineage
-    # per use — 4× the minhash work for nothing
+    # feeds BOTH sides of the band self-join, and Spark re-computes an
+    # unmaterialized lineage per use — 2× the minhash work for nothing
     sigs = D.minhash_signatures(t["documents"], k=_LSH_K).localCheckpoint(eager=True)
     cand = D.lsh_candidate_pairs(sigs, k=_LSH_K, bands=_Q83_BANDS)
-    cand = D.sig_agreement_filter(
-        cand, sigs, min_fraction=_Q83_MIN_AGREE, components=_Q83_AGREE_COMPONENTS
-    )
     pairs = D.jaccard_refine(
         cand, t["documents"], threshold=_Q83_THRESHOLD, hashed_tokens=True
     )
     return dedup_groups_from_pairs(t["documents"], pairs)
+
+
+# q90: the two 100 TB safety valves of the LSH pipeline, exercised in
+# the regime where each earns its cost (VERDICT r4 item 6 — the
+# max_bucket_size cap was pytest-only) and replayed exactly by the
+# oracle:
+# - loose q43-style banding (32 bands × r=4, s-curve threshold ≈0.42)
+#   floods the pair join on a dup-dense corpus — the bucket-size cap
+#   (16) drops mega-buckets BEFORE the self-join (measured: 151
+#   over-cap buckets at sf0.01, 733 at sf0.1 — the cap provably
+#   fires; the max bucket holds 317 resp. 3132 docs, i.e. a single
+#   uncapped bucket would contribute up to m² ≈ 10M join rows).
+# - STRING-token exact Jaccard is the expensive interpreted stage the
+#   signature-agreement prefilter (≥25% of 32 components, 2.9σ below
+#   the 0.5 refine bar) exists to shield — q83 dropped the prefilter
+#   because its hashed-BIGINT refine made it net-negative; HERE tokens
+#   stay strings, the shield pays.
+_Q90_CAP, _Q90_MIN_AGREE, _Q90_THRESHOLD = 16, 0.25, 0.5
+
+
+@register(
+    "q90_lsh_capped_agreement",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_WORDS}) AS tok FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id,
+        {_SIG_EXPRS}
+      FROM toks GROUP BY doc_id
+    ),
+    bands AS (
+      {_BAND_SELECTS}
+    ),
+    kept AS (
+      SELECT band_id, bucket FROM bands
+      GROUP BY band_id, bucket HAVING COUNT(*) <= {_Q90_CAP}
+    ),
+    bandsk AS (
+      SELECT b.doc_id, b.band_id, b.bucket
+      FROM bands b JOIN kept k ON b.band_id = k.band_id AND b.bucket = k.bucket
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandsk a JOIN bandsk b
+        ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    cand_f AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN sigs sa ON sa.doc_id = c.id_a
+                  JOIN sigs sb ON sb.doc_id = c.id_b
+      WHERE {_AGREE_TERMS_32} >= {int(_Q90_MIN_AGREE * _Q83_AGREE_COMPONENTS)}
+    ),
+    ws AS (
+      SELECT doc_id, {_WORDS} AS w FROM documents
+    )
+    SELECT c.id_a, c.id_b,
+      CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+        / CAST(len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)) AS DOUBLE) AS jaccard
+    FROM cand_f c JOIN ws a ON a.doc_id = c.id_a JOIN ws b ON b.doc_id = c.id_b
+    WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+        / CAST(len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)) AS DOUBLE)
+        >= {_Q90_THRESHOLD}
+    """,
+)
+def q90_lsh_capped_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q43's loose-banding pair pipeline with both scale safety valves
+    armed: MinHash (k=128) → LSH banding (32×r=4) with
+    ``max_bucket_size=16`` dropping mega-buckets before the self-join
+    → signature-agreement prefilter (≥8 of 32 components) shielding
+    the interpreted STRING-set intersection → exact Jaccard ≥ 0.5.
+    Semantics note: the cap trades recall inside mega-clusters for a
+    bounded join (dropped docs usually still pair through their other
+    31 bands) — deterministic, so the oracle replays it row-exactly."""
+    t = load_tables(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(t["documents"], k=_LSH_K).localCheckpoint(eager=True)
+    cand = D.lsh_candidate_pairs(
+        sigs, k=_LSH_K, bands=_LSH_BANDS, max_bucket_size=_Q90_CAP
+    )
+    cand = D.sig_agreement_filter(
+        cand, sigs, min_fraction=_Q90_MIN_AGREE, components=_Q83_AGREE_COMPONENTS
+    )
+    return D.jaccard_refine(cand, t["documents"], threshold=_Q90_THRESHOLD)
 
 
 # q85 winnowing params: character-8-gram rolling hashes, window 4

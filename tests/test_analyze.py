@@ -77,6 +77,100 @@ def test_read_hinted_without_stats_is_plain_read(spark, tmp_path):
     assert "ResolvedHint" not in df._jdf.queryExecution().logical().toString()
 
 
+def test_fact_build_broadcast_decision_is_stats_driven(spark, tmp_path):
+    """VERDICT r4 item 4 end-to-end: the fact build's join strategy
+    must FLIP with the recorded statistics, not a hard-coded
+    F.broadcast. Same code path, same threshold: a dim whose ANALYZE
+    sidecar fits the broadcast threshold joins as BroadcastHashJoin;
+    after the dim outgrows the threshold and is re-analyzed, the same
+    read_hinted + build_fact(explicit_broadcast=False) path falls back
+    to a shuffle join."""
+    from ironman_medallion_lakehouse_spark.plans import gold_fact
+
+    store = _store(spark, tmp_path)
+    # silver must be estimated LARGER than the threshold, or Spark
+    # auto-broadcasts the silver side and the dim-side assertion is
+    # vacuous; 50k rows x 34 columns estimates in the MBs
+    silver = spark.range(0, 50000).select(
+        F.concat(F.lit("a"), F.col("id")).alias("athlete_name"),
+        F.lit(1990).alias("birth_year"),
+        (F.col("id") % 7).cast("string").alias("division"),
+        (F.col("id") % 3).cast("string").alias("country"),
+        F.lit(2024).alias("year"),
+        F.lit("M").alias("source_gender"),
+        F.lit("finisher").alias("designation"),
+        F.col("id").cast("string").alias("bib"),
+        F.lit(True).alias("is_finisher"),
+        F.lit(False).alias("is_dnf"),
+        F.lit(False).alias("is_dns"),
+        F.lit(False).alias("is_dq"),
+        F.lit(False).alias("has_data_issue"),
+        *[
+            F.lit(None).cast("int").alias(c)
+            for c in (
+                "rank", "div_rank", "gender_rank", "overall_rank", "points",
+                "swim_time_seconds", "swim_div_rank", "swim_gender_rank",
+                "swim_overall_rank", "transition_1_seconds", "bike_time_seconds",
+                "bike_div_rank", "bike_gender_rank", "bike_overall_rank",
+                "transition_2_seconds", "run_time_seconds", "run_div_rank",
+                "run_gender_rank", "run_overall_rank", "finish_time_seconds",
+            )
+        ],
+        F.col("id").cast("string").alias("row_key"),
+    )
+    small_ath = spark.range(0, 10).select(
+        F.col("id").alias("athlete_key"),
+        F.concat(F.lit("a"), F.col("id"), F.lit("|1990")).alias("athlete_natural_key"),
+    )
+    # incompressible padding (md5 chains) so the parquet files really
+    # exceed the threshold on disk, not just in the ANALYZE sidecar
+    big_ath = spark.range(0, 20000).select(
+        F.col("id").alias("athlete_key"),
+        F.concat(
+            F.lit("a"), F.col("id"), F.lit("|1990"),
+            *[F.md5(F.concat(F.col("id").cast("string"), F.lit(i))) for i in range(8)],
+        ).alias("athlete_natural_key"),
+    )
+    divisions = spark.range(0, 7).select(
+        F.col("id").alias("division_key"), F.col("id").cast("string").alias("division")
+    )
+    countries = spark.range(0, 3).select(
+        F.col("id").alias("country_key"), F.col("id").cast("string").alias("country")
+    )
+    store.save_overwrite(divisions, "gold.dimdiv")
+    store.save_overwrite(countries, "gold.dimctry")
+    store.analyze("gold.dimdiv")
+    store.analyze("gold.dimctry")
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "262144")  # 256 KB
+
+        def fact_plan(ath_df):
+            store.save_overwrite(ath_df, "gold.dimath")
+            store.analyze("gold.dimath")
+            fact = gold_fact.build_fact(
+                silver,
+                store.read_hinted("gold.dimath"),
+                store.read_hinted("gold.dimdiv"),
+                store.read_hinted("gold.dimctry"),
+                explicit_broadcast=False,
+            )
+            return fact._jdf.queryExecution().executedPlan().toString()
+
+        plan_small = fact_plan(small_ath)
+        assert plan_small.count("BroadcastHashJoin") >= 3
+
+        plan_big = fact_plan(big_ath)
+        # the grown athlete dim (recorded bytes > threshold) loses its
+        # hint and falls to a shuffle join; the two tiny dims keep
+        # broadcasting
+        assert "SortMergeJoin" in plan_big or "ShuffledHashJoin" in plan_big
+        assert plan_big.count("BroadcastHashJoin") >= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_read_hinted_respects_threshold(spark, tmp_path):
     store = _store(spark, tmp_path)
     store.save_overwrite(

@@ -49,12 +49,13 @@ def test_dedup_groups_from_pairs(spark):
 
 
 def test_non_convergence_raises(spark):
-    # star contraction + pointer doubling collapses short chains in 1-2
-    # rounds, so the budget-exceeded path needs a long chain and a
-    # 1-round budget
-    chain = [(i, i + 1) for i in range(1, 40)]
+    # jump-to-fixpoint collapses chains in ONE contract round, so the
+    # budget-exceeded path needs a graph that genuinely takes two
+    # rounds: node 2 roots its own star (2 < its min-neighbor 3) while
+    # 3 adopts 1, leaving the contracted bridge (2,1) for round two
+    edges = [(1, 3), (2, 3), (2, 4)]
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(_pairs(spark, chain), max_iterations=1)
+        connected_components(_pairs(spark, edges), max_iterations=1)
 
 
 def test_long_chain_converges_logarithmically(spark):

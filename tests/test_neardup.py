@@ -169,3 +169,48 @@ def test_lsh_max_bucket_size_caps_hot_buckets(spark):
     assert uncapped >= 435
     assert len(capped_pairs) < 50
     assert (200, 201) in capped_pairs  # small buckets unaffected
+
+
+def test_q90_cap_provably_fires_on_driver_corpus(spark):
+    """VERDICT r4 item 6: the q90 suite entry's bucket cap must
+    actually FIRE on the driver's documents table, not just on a
+    synthetic clique — over-cap (band, bucket) groups exist at
+    sf0.01, and the capped candidate set is a strict subset of the
+    uncapped one."""
+    from pyspark.sql import functions as F
+
+    from ironman_medallion_lakehouse_spark import suite_extensions as SE
+    from ironman_medallion_lakehouse_spark.operators import dedup as D
+    from ironman_medallion_lakehouse_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.01", "documents")["documents"]
+    sigs = D.minhash_signatures(docs, k=SE._LSH_K).localCheckpoint(eager=True)
+    r = SE._LSH_K // SE._LSH_BANDS
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"sig_{b * r + j}") for j in range(r)])
+            ).alias("bucket"),
+        )
+        for b in range(SE._LSH_BANDS)
+    ]
+    sizes = (
+        sigs.select(F.explode(F.array(*band_cols)).alias("band"))
+        .groupBy("band.band_id", "band.bucket")
+        .count()
+    )
+    over = sizes.filter(F.col("count") > SE._Q90_CAP).count()
+    assert over > 0, "no over-cap bucket at sf0.01 — q90 would not exercise the cap"
+
+    uncapped = {
+        (p.id_a, p.id_b)
+        for p in D.lsh_candidate_pairs(sigs, k=SE._LSH_K, bands=SE._LSH_BANDS).collect()
+    }
+    capped = {
+        (p.id_a, p.id_b)
+        for p in D.lsh_candidate_pairs(
+            sigs, k=SE._LSH_K, bands=SE._LSH_BANDS, max_bucket_size=SE._Q90_CAP
+        ).collect()
+    }
+    assert capped < uncapped  # strict subset: the cap removed pairs
