@@ -58,6 +58,10 @@ HEADLINE = [
     "q45_cosine_topk",
     "q47_text_battery",
     "q52_sessionization",
+    # r5 additions (appended so the classic subset stays comparable
+    # across rounds): lexical ranking + incremental crawl-batch dedup
+    "q91_bm25_topk",
+    "q94_incremental_dedup",
 ]
 
 

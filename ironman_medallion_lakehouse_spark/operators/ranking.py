@@ -1,0 +1,111 @@
+"""Full-text relevance ranking over the documents table — BM25.
+
+Beyond-reference extension (BASELINE.json north star: text analysis a
+training-data pipeline needs). BM25 (Robertson et al., TREC-3) is the
+standard lexical retrieval scorer: for query terms Q and document d,
+
+    score(d) = Σ_{t∈Q} idf(t) · tf(t,d)·(k1+1)
+                        / (tf(t,d) + k1·(1 − b + b·dl(d)/avgdl))
+    idf(t)   = ln(1 + (N − df(t) + ½) / (df(t) + ½))
+
+100 TB design: the query term set is tiny (a handful of literals), so
+nothing explodes — pass 1 computes the corpus statistics (N, Σdl,
+df per term) as ONE map-side-combined aggregate row, pass 2 broadcasts
+that row and scores every document in a single map-only stage. Per-doc
+term frequencies are `size(filter(tokens, x -> x = term))` over a
+let-bound token array (the SCALING.md HOF discipline: the split runs
+once per row, each term scan is an O(dl) variable read). No Python,
+no shuffle beyond the one-row stats aggregate.
+
+Determinism for the cross-engine oracle: all scorer inputs (tf, dl,
+df, N) are integers, avgdl enters as the exact rational Σdl/N, and the
+only transcendental is the final ln on |Q| distinct idf inputs — so
+scores are reproducible bit-for-bit across partitionings, and the
+oracle compares them rounded to 4 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ironman_medallion_lakehouse_spark.functions.text import _let
+from ironman_medallion_lakehouse_spark.operators.dedup import words
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(id, dl, score) for every document with ≥1 token, scored against
+    the fixed query ``terms``. See module docstring for the plan shape."""
+    toks = words(text_col)
+
+    def _eq(term: str):
+        # closure factory, NOT default-arg capture: PySpark dispatches
+        # HOF arity on the full parameter list, so `lambda x, t=...:`
+        # would be called as filter's 2-arg (element, index) form
+        return lambda x: x == F.lit(term)
+
+    def tf_cols(bound_toks: Column) -> Column:
+        return F.struct(
+            # bigint: cross-engine comparands (DuckDB len()) are int64
+            F.size(bound_toks).cast("bigint").alias("dl"),
+            *[
+                F.size(F.filter(bound_toks, _eq(t))).alias(f"tf_{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+
+    per_doc = docs.filter(F.size(toks) > 0).select(
+        F.col(id_col), _let(toks, tf_cols).alias("s")
+    ).select(F.col(id_col), "s.*")
+
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("N"),
+        F.sum("dl").alias("sum_dl"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}") for i in range(len(terms))],
+    )
+
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    # avgdl as the exact rational sum_dl/N; idf over integer df — every
+    # scorer input is deterministic, so the double math is too
+    avgdl = F.col("sum_dl").cast("double") / F.col("N").cast("double")
+    n = F.col("N").cast("double")
+
+    def term_score(i: int) -> Column:
+        tf = F.col(f"tf_{i}").cast("double")
+        df = F.col(f"df_{i}").cast("double")
+        idf = F.log(F.lit(1.0) + (n - df + F.lit(0.5)) / (df + F.lit(0.5)))
+        denom = tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl)
+        return idf * tf * F.lit(k1 + 1.0) / denom
+
+    total = term_score(0)
+    for i in range(1, len(terms)):
+        total = total + term_score(i)
+    return scored.select(F.col(id_col), F.col("dl"), total.alias("score"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k BM25 hits, deterministically tie-broken by id — plans as
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    scored = bm25_scores(docs, terms, text_col, id_col, k1=k1, b=b)
+    return (
+        scored.select(
+            F.col(id_col), F.col("dl"), F.round(F.col("score"), 4).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -108,6 +108,61 @@ def _assign_to_centroids(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then inside each cluster drop every vector that
+    has a same-cluster neighbor with cosine ≥ ``threshold`` and a
+    smaller id (the min-id representative of each within-cluster
+    similarity neighborhood survives). Returns
+    (id, cluster_id, kept) for the whole corpus.
+
+    This is the scale path for embedding-level dedup: the global
+    all-pairs O(n²) becomes Σ_c m_c² over clusters, and k (number of
+    centroids) is the knob that bounds m_c as the corpus grows —
+    SemDeDup's published setting is k ≈ 11k clusters for ~100M
+    embeddings. The within-cluster pairing is one equi-join on
+    cluster_id (skew bounded by the clustering), assignment is a
+    broadcast of k centroids; pairs crossing cluster boundaries are
+    deliberately missed (the paper's documented approximation —
+    ``cosine_neardup_pairs`` is the lossless alternative when exact
+    recall matters). ``centroids`` is caller-supplied — a
+    ``kmeans_centroids`` fit, or any deterministic frame
+    (centroid_id, centroid) when replayability is required."""
+    assign = _assign_to_centroids(embeddings, centroids, id_col, vec_col)
+    memb = embeddings.select(id_col, vec_col).join(
+        assign.select(id_col, "centroid_id"), id_col
+    )
+    a = memb.select(
+        "centroid_id",
+        F.col(id_col).alias("_ida"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = memb.select(
+        "centroid_id",
+        F.col(id_col).alias("_idb"),
+        F.col(vec_col).alias("_vb"),
+    )
+    dropped = (
+        a.join(b, "centroid_id")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(cosine(F.col("_va"), F.col("_vb")) >= F.lit(threshold))
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return memb.join(dropped, id_col, "left").select(
+        F.col(id_col),
+        F.col("centroid_id").alias("cluster_id"),
+        F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+    )
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     n_cells: int = 8,

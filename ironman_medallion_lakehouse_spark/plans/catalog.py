@@ -56,6 +56,12 @@ def publish_catalog(
         if os.path.exists(leftover):
             shutil.rmtree(leftover)
         store.read(name).write.mode("overwrite").format("parquet").saveAsTable(name)
+        # record catalog statistics at publish time so every later
+        # consumer session plans joins from real sizes: the gold views
+        # re-expand per query, and the dims' stats are what keep their
+        # fact joins BroadcastHashJoin when the fact outgrows any
+        # file-size heuristic (plan-asserted in test_catalog_plans)
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
         published.append(name)
     if with_views:
         spark.sql("CREATE DATABASE IF NOT EXISTS gold")

@@ -747,4 +747,5 @@ def _load_all() -> None:
     modules import ``register`` from here."""
     import ironman_medallion_lakehouse_spark.suite_extensions  # noqa: F401
     import ironman_medallion_lakehouse_spark.suite_more  # noqa: F401
+    import ironman_medallion_lakehouse_spark.suite_training  # noqa: F401
     import ironman_medallion_lakehouse_spark.suite_views  # noqa: F401

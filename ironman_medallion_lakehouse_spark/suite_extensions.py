@@ -249,21 +249,20 @@ def q83_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     never accumulates lineage. The r4 signature-agreement prefilter
     was measured out of this pipeline in r5 (see _Q83_MIN_AGREE note);
     q90 keeps that operator driver-attested in the loose-banding
-    regime where it earns its cost."""
-    from ironman_medallion_lakehouse_spark.operators.graph import (
-        dedup_groups_from_pairs,
-    )
+    regime where it earns its cost.
 
+    r5: runs through ``operators/dedup.near_dedup_groups``, which adds
+    two provably output-invariant cost cuts — an exact-token-set
+    pre-contraction ahead of the quadratic stages (identical sets ⟹
+    identical signatures/bands and Jaccard 1, so component structure
+    and min-id labels are untouched) and a size-compatibility guard
+    inside the refine (J ≤ min/max can never reach the bar). The
+    oracle below is UNCHANGED — both cuts preserve the output
+    row-for-row."""
     t = load_tables(spark, sf_dir, "documents")
-    # materialize the signature frame ONCE (5k rows × 128 longs): it
-    # feeds BOTH sides of the band self-join, and Spark re-computes an
-    # unmaterialized lineage per use — 2× the minhash work for nothing
-    sigs = D.minhash_signatures(t["documents"], k=_LSH_K).localCheckpoint(eager=True)
-    cand = D.lsh_candidate_pairs(sigs, k=_LSH_K, bands=_Q83_BANDS)
-    pairs = D.jaccard_refine(
-        cand, t["documents"], threshold=_Q83_THRESHOLD, hashed_tokens=True
+    return D.near_dedup_groups(
+        t["documents"], k=_LSH_K, bands=_Q83_BANDS, threshold=_Q83_THRESHOLD
     )
-    return dedup_groups_from_pairs(t["documents"], pairs)
 
 
 # q90: the two 100 TB safety valves of the LSH pipeline, exercised in

@@ -1,6 +1,15 @@
-"""Connected components + dedup grouping (operators/graph.py)."""
+"""Connected components + dedup grouping (operators/graph.py).
+
+connected_components is a hybrid (r5): driver union-find below
+``small_graph_threshold`` edges, star contraction above. The
+structural tests pin ``small_graph_threshold=0`` so they exercise the
+DISTRIBUTED path (the default gate would route these tiny fixtures to
+the driver); dedicated tests cover the driver path and prove the two
+paths agree."""
 
 from __future__ import annotations
+
+import random
 
 import pytest
 from pyspark.sql import Row
@@ -18,7 +27,9 @@ def _pairs(spark, edges):
 def test_chain_converges_across_diameter(spark):
     """Min label must cross a diameter-4 chain — multiple propagation
     rounds, transitivity beyond any directly-scored pair."""
-    comp = connected_components(_pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]))
+    comp = connected_components(
+        _pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]), small_graph_threshold=0
+    )
     assert {(r.node, r.component) for r in comp.collect()} == {
         (1, 1), (2, 1), (3, 1), (4, 1), (5, 1)
     }
@@ -27,9 +38,32 @@ def test_chain_converges_across_diameter(spark):
 def test_multiple_components_and_edge_direction(spark):
     """Components stay separate; undirected semantics — the min id
     propagates regardless of which pair side it appears on."""
+    comp = connected_components(
+        _pairs(spark, [(7, 2), (2, 9), (11, 10)]), small_graph_threshold=0
+    )
+    got = {(r.node, r.component) for r in comp.collect()}
+    assert got == {(7, 2), (2, 2), (9, 2), (11, 10), (10, 10)}
+
+
+def test_driver_path_same_labels(spark):
+    """The union-find branch (default gate) must produce the identical
+    labeling contract."""
     comp = connected_components(_pairs(spark, [(7, 2), (2, 9), (11, 10)]))
     got = {(r.node, r.component) for r in comp.collect()}
     assert got == {(7, 2), (2, 2), (9, 2), (11, 10), (10, 10)}
+
+
+def test_driver_and_distributed_paths_agree_on_random_graph(spark):
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    p = _pairs(spark, edges)
+    local = {(r.node, r.component) for r in connected_components(p).collect()}
+    dist = {
+        (r.node, r.component)
+        for r in connected_components(p, small_graph_threshold=0).collect()
+    }
+    assert local == dist
 
 
 def test_dedup_groups_from_pairs(spark):
@@ -55,13 +89,17 @@ def test_non_convergence_raises(spark):
     # 3 adopts 1, leaving the contracted bridge (2,1) for round two
     edges = [(1, 3), (2, 3), (2, 4)]
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(_pairs(spark, edges), max_iterations=1)
+        connected_components(
+            _pairs(spark, edges), max_iterations=1, small_graph_threshold=0
+        )
 
 
 def test_long_chain_converges_logarithmically(spark):
     # 40-node chain: hash-min would need ~40 rounds; contraction with
     # doubling must finish well inside 10
     chain = [(i, i + 1) for i in range(1, 40)]
-    comp = connected_components(_pairs(spark, chain), max_iterations=10)
+    comp = connected_components(
+        _pairs(spark, chain), max_iterations=10, small_graph_threshold=0
+    )
     got = {(r.node, r.component) for r in comp.collect()}
     assert got == {(i, 1) for i in range(1, 41)}

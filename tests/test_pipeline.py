@@ -199,3 +199,38 @@ def test_publish_catalog_qualified_sql(full_run, spark):
     assert kpi.total_athletes == 20
     # bronze/silver layers addressable too
     assert fresh.sql("SELECT COUNT(*) AS n FROM silver.ironman_results").collect()[0].n == 20
+
+
+def test_published_view_plans_keep_broadcast_joins(full_run, spark):
+    """Plan regression for the serving catalog (VERDICT r4 item 7):
+    persistent views are re-expanded per query, so the 100 TB risk is
+    a ``gold.vw_*`` silently planning its dim joins as SortMergeJoin
+    in some later consumer session. publish_catalog records catalog
+    statistics (ANALYZE) at publish time, so every view's dim side
+    carries real size stats and plans BroadcastHashJoin — asserted
+    here from a FRESH session (no temp views, no in-process hints)
+    for every one of the 15 views."""
+    from ironman_medallion_lakehouse_spark.plans.catalog import publish_catalog
+
+    _result, store = full_run
+    publish_catalog(spark, store)
+    fresh = spark.newSession()
+
+    def plan_of(df) -> str:
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    dim_joining = 0
+    for vname in VIEW_SQL:
+        plan = plan_of(fresh.sql(f"SELECT * FROM gold.{vname}"))
+        assert "SortMergeJoin" not in plan, f"{vname} fell to SortMergeJoin"
+        if "dim_" in plan:
+            dim_joining += 1
+            assert "BroadcastHashJoin" in plan, f"{vname} dim join not broadcast"
+    # the dim-joining subset must actually exercise the assertion
+    assert dim_joining >= 5
+    # and the published tables carry catalog stats (what makes the
+    # broadcast decision survive a fact that outgrows size heuristics)
+    stats = fresh.sql("DESCRIBE TABLE EXTENDED gold.dim_countries").collect()
+    assert any("Statistics" in r.col_name for r in stats)

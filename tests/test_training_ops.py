@@ -1,0 +1,287 @@
+"""Unit tests for the round-5 training-pipeline operators: BM25
+ranking, SemDeDup, stratified sampling, incremental dedup. Values are
+checked against hand-computed expectations on planted fixtures, and
+the scale-relevant plan shapes are asserted."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ironman_medallion_lakehouse_spark.operators import dedup as D
+from ironman_medallion_lakehouse_spark.operators import ranking as R
+from ironman_medallion_lakehouse_spark.operators import sampling as SA
+from ironman_medallion_lakehouse_spark.operators import similarity as S
+
+
+def _plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+# ------------------------------------------------------------------- BM25
+
+
+def test_bm25_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="cat dog cat"),
+            Row(doc_id=2, text="dog bird"),
+            Row(doc_id=3, text="fish fish fish fish"),
+        ]
+    )
+    out = {r.doc_id: r for r in R.bm25_scores(docs, ["cat"]).collect()}
+    # N=3, sum_dl=9, avgdl=3; df(cat)=1 -> idf = ln(1 + 2.5/1.5)
+    idf = math.log(1 + 2.5 / 1.5)
+    # doc 1: tf=2, dl=3 -> idf * 2*2.2 / (2 + 1.2*(0.25 + 0.75*3/3))
+    exp1 = idf * 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75))
+    assert abs(out[1].score - exp1) < 1e-12
+    assert out[2].score == 0.0 and out[3].score == 0.0
+    assert out[1].dl == 3
+
+
+def test_bm25_topk_order_and_plan(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=("match " * (i % 5 + 1)) + "pad") for i in range(40)]
+    )
+    top = R.bm25_topk(docs, ["match"], k=5)
+    rows = top.collect()
+    assert len(rows) == 5
+    assert [r.score for r in rows] == sorted((r.score for r in rows), reverse=True)
+    plan = _plan_of(top)
+    # top-k must be heap-based, never a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+# --------------------------------------------------------------- SemDeDup
+
+
+def test_semantic_dedup_drops_planted_neardups(spark):
+    # two well-separated clusters; 11/12 near-identical to 10, id 20 alone
+    vecs = [
+        (10, [1.0, 0.0, 0.0]),
+        (11, [0.999, 0.01, 0.0]),
+        (12, [0.998, -0.01, 0.0]),
+        (20, [0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in vecs]
+    )
+    cents = spark.createDataFrame(
+        [
+            Row(centroid_id=0, centroid=[1.0, 0.0, 0.0]),
+            Row(centroid_id=1, centroid=[0.0, 1.0, 0.0]),
+        ]
+    )
+    out = {r.vec_id: r for r in S.semantic_dedup(emb, cents, threshold=0.99).collect()}
+    assert out[10].kept and out[10].cluster_id == 0
+    assert not out[11].kept and not out[12].kept  # min-id survivor policy
+    assert out[20].kept and out[20].cluster_id == 1
+
+
+# ---------------------------------------------------------------- sampling
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    df = spark.createDataFrame(
+        [Row(k=i, stratum="a" if i % 2 == 0 else "b") for i in range(2000)]
+    )
+    got = SA.stratified_sample(df, "stratum", {"a": 0.5, "b": 1.0}, "k")
+    n_a = got.filter(F.col("stratum") == "a").count()
+    n_b = got.filter(F.col("stratum") == "b").count()
+    assert n_b == 1000  # rate 1.0 keeps everything
+    assert 400 <= n_a <= 600  # hash-uniform around 500
+    # determinism: the same rows every run, regardless of partitioning
+    ids1 = {r.k for r in got.collect()}
+    ids2 = {r.k for r in SA.stratified_sample(df.repartition(7), "stratum", {"a": 0.5, "b": 1.0}, "k").collect()}
+    assert ids1 == ids2
+    # unknown strata dropped under the default rate
+    extra = spark.createDataFrame([Row(k=99999, stratum="zz")])
+    assert SA.stratified_sample(extra, "stratum", {"a": 0.5}, "k").count() == 0
+
+
+def test_stratified_sample_is_map_only(spark):
+    df = spark.createDataFrame([Row(k=i, stratum="a") for i in range(10)])
+    plan = _plan_of(SA.stratified_sample(df, "stratum", {"a": 0.5}, "k"))
+    assert "Exchange" not in plan  # zero shuffles: scan-absorbed filter
+
+
+def test_stratified_fixed_n(spark):
+    df = spark.createDataFrame(
+        [Row(k=i, stratum="a" if i < 100 else "b") for i in range(103)]
+    )
+    got = SA.stratified_fixed_n(df, "stratum", 5, "k")
+    counts = {r.stratum: r.n for r in got.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 5, "b": 3}  # min(n, stratum size)
+    # deterministic draw
+    assert {r.k for r in got.collect()} == {
+        r.k for r in SA.stratified_fixed_n(df, "stratum", 5, "k").collect()
+    }
+
+
+# ----------------------------------------------------------------- chunking
+
+
+def test_chunk_documents_hand_computed(spark):
+    from ironman_medallion_lakehouse_spark.operators.chunking import chunk_documents
+
+    # 10 tokens, size 4, overlap 2 -> starts 1,3,5,7,9
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), Row(doc_id=2, text=None)]
+    )
+    rows = sorted(
+        chunk_documents(docs, chunk_size=4, overlap=2).collect(),
+        key=lambda r: r.chunk_index,
+    )
+    assert [r.doc_id for r in rows] == [1] * 5  # null-text doc yields nothing
+    assert [(r.chunk_index, r.start_token, r.n_tokens) for r in rows] == [
+        (0, 1, 4), (1, 3, 4), (2, 5, 4), (3, 7, 4), (4, 9, 2)
+    ]
+    import hashlib
+    assert rows[0].chunk_hash == hashlib.md5(b"t0 t1 t2 t3").hexdigest()
+    assert rows[4].chunk_hash == hashlib.md5(b"t8 t9").hexdigest()
+
+
+def test_chunk_documents_overlap_guard(spark):
+    from ironman_medallion_lakehouse_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b")])
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_size=4, overlap=4)
+
+
+# -------------------------------------------------- near_dedup_groups
+
+
+def test_near_dedup_groups_contraction_is_output_invariant(spark):
+    """The exact-set pre-contraction must not change groups: permuted /
+    repeated-word docs share a token SET (collapsed to one rep) and a
+    chain a~b~c must still group transitively through the reps."""
+    from ironman_medallion_lakehouse_spark.operators.graph import (
+        dedup_groups_from_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            # identical token SET (permuted + repeated) -> same rep as 1
+            Row(doc_id=2, text="kappa iota theta eta zeta epsilon delta gamma beta alpha alpha"),
+            # near-dup of the set (9/11 shared) -> chains through rep
+            Row(doc_id=3, text="alpha beta gamma delta epsilon zeta eta theta iota lambda mu"),
+            Row(doc_id=4, text="completely disjoint vocabulary nothing shared here at all today"),
+        ]
+    )
+    got = {
+        (r.doc_id, r.group_id, r.group_size, r.is_survivor)
+        for r in D.near_dedup_groups(docs, k=64, bands=16, threshold=0.7).collect()
+    }
+    assert got == {
+        (1, 1, 3, True),
+        (2, 1, 3, False),
+        (3, 1, 3, False),
+        (4, 4, 1, True),
+    }
+    # and it matches the un-contracted pipeline end-to-end
+    sigs = D.minhash_signatures(docs, k=64)
+    cand = D.lsh_candidate_pairs(sigs, k=64, bands=16)
+    pairs = D.jaccard_refine(cand, docs, threshold=0.7, hashed_tokens=True)
+    raw = {
+        (r.doc_id, r.group_id, r.group_size, r.is_survivor)
+        for r in dedup_groups_from_pairs(docs, pairs).collect()
+    }
+    assert raw == got
+
+
+def test_near_dedup_groups_null_text_stays_singleton(spark):
+    """Token-less docs never reach the signature stage, so the raw
+    pipeline leaves each a singleton; contraction must NOT merge them
+    through a shared empty set-key."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=None),
+            Row(doc_id=2, text=None),
+            Row(doc_id=3, text="some real content tokens here"),
+        ]
+    )
+    got = {
+        (r.doc_id, r.group_id, r.group_size)
+        for r in D.near_dedup_groups(docs, k=32, bands=8).collect()
+    }
+    assert got == {(1, 1, 1), (2, 2, 1), (3, 3, 1)}
+
+
+# ------------------------------------------------------- incremental dedup
+
+
+def test_dedup_incoming_statuses(spark):
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog again and again today"),
+            Row(doc_id=2, text="entirely different content about spark shuffles and partitions here"),
+        ]
+    )
+    incoming = spark.createDataFrame(
+        [
+            # exact after normalization (case + whitespace)
+            Row(doc_id=100, text="  THE QUICK   brown fox jumps over the lazy dog again and again today "),
+            # near: one token changed out of 13
+            Row(doc_id=101, text="the quick brown fox jumps over the lazy dog again and again tomorrow"),
+            Row(doc_id=102, text="totally novel text with no overlap whatsoever in any token plane"),
+        ]
+    )
+    out = {r.doc_id: r.status for r in D.dedup_incoming(
+        incoming, corpus, bands=16, threshold=0.8
+    ).collect()}
+    assert out == {100: "exact_dup", 101: "near_dup", 102: "kept"}
+
+
+def test_dedup_incoming_precomputed_corpus_sigs(spark):
+    """The production path: corpus signatures computed once, stored,
+    and passed via ``corpus_sigs`` — must classify identically to the
+    recompute-everything path (a daily batch then pays only its own
+    signature pass)."""
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog again and again today"),
+            Row(doc_id=2, text="entirely different content about spark shuffles and partitions here"),
+        ]
+    )
+    incoming = spark.createDataFrame(
+        [
+            Row(doc_id=101, text="the quick brown fox jumps over the lazy dog again and again tomorrow"),
+            Row(doc_id=102, text="totally novel text with no overlap whatsoever in any token plane"),
+        ]
+    )
+    sigs = D.minhash_signatures(corpus, k=128).localCheckpoint(eager=True)
+    got = {r.doc_id: r.status for r in D.dedup_incoming(
+        incoming, corpus, bands=16, threshold=0.8, corpus_sigs=sigs
+    ).collect()}
+    fresh = {r.doc_id: r.status for r in D.dedup_incoming(
+        incoming, corpus, bands=16, threshold=0.8
+    ).collect()}
+    assert got == fresh == {101: "near_dup", 102: "kept"}
+
+
+def test_lsh_cross_candidates_never_pairs_within_a_side(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="shared tokens everywhere in this corpus") for i in range(6)]
+    )
+    sigs = D.minhash_signatures(docs, k=32)
+    new = sigs.filter(F.col("doc_id") < 3)
+    corp = sigs.filter(F.col("doc_id") >= 3)
+    pairs = D.lsh_cross_candidates(new, corp, bands=8).collect()
+    assert pairs  # identical docs must band together
+    for r in pairs:
+        assert r.id_new < 3 and r.id_corpus >= 3
+
+
+def test_lsh_cross_candidates_width_mismatch(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+    with pytest.raises(ValueError, match="widths differ"):
+        D.lsh_cross_candidates(
+            D.minhash_signatures(docs, k=32), D.minhash_signatures(docs, k=16)
+        )

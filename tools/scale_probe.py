@@ -10,7 +10,17 @@ the executed plan only (noop sink, no driver transfer, built once and
 warmed). A scale-safe plan shows time(N×)/time(1×) ≈ N on fixed
 cores; superlinear growth flags a shuffle/skew problem.
 
-Usage: python tools/scale_probe.py [factor]   (default 8)
+The dedup pipelines (q83 grouping, q85 winnowing) are probed
+end-to-end with a corpus replicator that SALTS every token per
+replica: naive duplication would hand every document k-1 exact copies
+and grow pair volume ~k² by data construction (no real corpus growth
+does that); salting makes replicas disjoint corpora with identical
+internal near-dup structure, so candidates/pairs/components grow
+exactly k× — the "k× more data at the same density" model the 100 TB
+question actually asks about. These are timed end-to-end (build +
+execute) because connected components runs jobs during construction.
+
+Usage: python tools/scale_probe.py [factor] [classic|dedup|all]
 """
 
 from __future__ import annotations
@@ -85,21 +95,89 @@ def _time(df: DataFrame) -> float:
     return round(time.time() - t0, 3)
 
 
-def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    spark = get_spark(app_name="scale_probe")
-    spark.sparkContext.setLogLevel("ERROR")
-    out = {"sf_dir": SF_DIR, "factor": factor, "queries": {}}
-    q1 = _probe_queries(spark, 1)
-    qn = _probe_queries(spark, factor)
-    for name in q1:
-        t1 = _time(q1[name])
-        tn = _time(qn[name])
+def _replicate_docs(docs: DataFrame, factor: int) -> DataFrame:
+    """k disjoint corpora with the 1× corpus's internal near-dup
+    structure: doc_ids offset per replica AND every token prefixed
+    with a replica salt, so cross-replica Jaccard ≈ 0 and pair volume
+    grows exactly k× (naive duplication gives every doc k-1 exact
+    copies — ~k² pairs by data construction, which no real growth
+    pattern produces). Within a replica the salted token sets are
+    isomorphic to the originals, so intra-replica pair structure is
+    preserved exactly."""
+    if factor == 1:
+        return docs
+    rep = docs.withColumn("_r", F.explode(F.array(*[F.lit(i) for i in range(factor)])))
+    salt = F.concat(F.lit("q"), F.col("_r").cast("string"), F.lit("z"))
+    rep = rep.withColumn(
+        "doc_id", F.col("doc_id") + F.col("_r").cast("long") * 1_000_000_000
+    ).withColumn(
+        "text", F.regexp_replace(F.col("text"), r"(\S+)", F.concat(salt, F.lit("$1")))
+    )
+    return rep.drop("_r")
+
+
+def _time_e2e(build) -> float:
+    """Build + execute, timed together: the connected-components stage
+    runs jobs during construction (per-round localCheckpoints), so the
+    warm/re-run protocol of _time would miss most of its cost."""
+    t0 = time.time()
+    build().write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 3)
+
+
+def _probe_dedup(spark, factor: int, out: dict) -> None:
+    """End-to-end q83 (MinHash→LSH→refine→components) and q85
+    (winnowing pairs) at 1× vs k×, with the token-salted replicator."""
+    base = load_tables(spark, SF_DIR, "documents")["documents"]
+    docs1 = base.localCheckpoint(eager=True)
+    docsn = _replicate_docs(base, factor).localCheckpoint(eager=True)
+
+    def groups(d):
+        def build():
+            # the exact q83 pipeline (exact-set contraction + guarded
+            # refine + star-contraction components)
+            return D.near_dedup_groups(d, k=128, bands=16, threshold=0.9)
+
+        return build
+
+    def winnow(d):
+        def build():
+            return D.winnowing_candidate_pairs(
+                d, k=8, window=4, min_shared=2, max_doc_freq=50
+            )
+
+        return build
+
+    for name, mk in [("dedup_groups_q83", groups), ("winnowing_q85", winnow)]:
+        _time_e2e(mk(docs1))  # warm codegen/JIT on the small side
+        t1 = _time_e2e(mk(docs1))
+        tn = _time_e2e(mk(docsn))
         out["queries"][name] = {
             "t_1x": t1,
             f"t_{factor}x": tn,
             "ratio": round(tn / t1, 2) if t1 > 0 else None,
         }
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    which = sys.argv[2] if len(sys.argv) > 2 else "all"
+    spark = get_spark(app_name="scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {"sf_dir": SF_DIR, "factor": factor, "queries": {}}
+    if which in ("classic", "all"):
+        q1 = _probe_queries(spark, 1)
+        qn = _probe_queries(spark, factor)
+        for name in q1:
+            t1 = _time(q1[name])
+            tn = _time(qn[name])
+            out["queries"][name] = {
+                "t_1x": t1,
+                f"t_{factor}x": tn,
+                "ratio": round(tn / t1, 2) if t1 > 0 else None,
+            }
+    if which in ("dedup", "all"):
+        _probe_dedup(spark, factor, out)
     print(json.dumps(out))
 
 
