@@ -108,6 +108,85 @@ def _assign_to_centroids(
     )
 
 
+def signlsh_hyperplanes(n_bits: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — the same
+    one-source-of-truth pattern as ``dedup.minhash_coeffs``: the suite
+    oracle embeds the identical double literals, so both engines see
+    bit-identical geometry."""
+    import hashlib
+
+    return [
+        [
+            int.from_bytes(hashlib.md5(f"hp-{i}-{j}".encode()).digest()[:8], "big")
+            / 2**64
+            - 0.5
+            for j in range(dim)
+        ]
+        for i in range(n_bits)
+    ]
+
+
+def signlsh_buckets(
+    embeddings: DataFrame,
+    hyperplanes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH bucket per vector: bit i is
+    sign(⟨v, r_i⟩), bucket = Σ bit_i·2^i — the Charikar construction
+    whose collision probability is 1 − θ/π per bit. Map-only Column
+    math; at 100 TB the bucketed corpus is materialized partitioned by
+    bucket (the IVF pattern) so probes prune partitions."""
+    bits = []
+    for i, hp in enumerate(hyperplanes):
+        arr = F.array(*[F.lit(x) for x in hp])
+        bits.append(F.when(dot(F.col(vec_col), arr) > 0, 1 << i).otherwise(0))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return embeddings.select(
+        F.col(id_col), F.col(vec_col), bucket.cast("bigint").alias("bucket")
+    )
+
+
+def signlsh_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_bits: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed approximate top-k by cosine — the bucketed ANN
+    scale path beside IVF (IvfIndex): hash the corpus once with
+    ``signlsh_buckets``, probe the query's bucket plus its n_bits
+    1-bit-flip neighbors (multiprobe — recall without extra tables),
+    brute-force cosine only inside the probed buckets. Candidate cost
+    is (n_bits+1)/2^n_bits of the corpus in expectation instead of a
+    full scan; everything stays declarative — the probe set is a
+    broadcast ≤(n_bits+1)-row frame, never a collect. Approximate by
+    construction (a true neighbor >1 bit away is missed) and fully
+    deterministic, so an oracle replays it exactly."""
+    hps = signlsh_hyperplanes(n_bits, dim)
+    b = signlsh_buckets(embeddings, hps, id_col, vec_col)
+    q = b.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec"), F.col("bucket").alias("_qb")
+    )
+    probes = q.select(
+        F.explode(
+            F.array(
+                F.col("_qb"), *[F.col("_qb").bitwiseXOR(1 << i) for i in range(n_bits)]
+            )
+        ).alias("bucket")
+    )
+    cand = b.join(F.broadcast(probes), "bucket").filter(F.col(id_col) != query_id)
+    scored = cand.crossJoin(F.broadcast(q.select("_qvec"))).select(
+        F.col(id_col), cosine(F.col(vec_col), F.col("_qvec")).alias("cosine_sim")
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     centroids: DataFrame,

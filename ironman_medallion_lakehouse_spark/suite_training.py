@@ -189,6 +189,70 @@ def q93_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+# -------------------------------------------------- q96 sign-LSH ANN
+
+_Q96_BITS, _Q96_DIM, _Q96_K, _Q96_QID = 6, 64, 10, 1
+_Q96_HPS = S.signlsh_hyperplanes(_Q96_BITS, _Q96_DIM)
+
+
+def _hp_lit(row: list) -> str:
+    # repr() doubles round-trip exactly; DuckDB parses to the same IEEE value
+    return "[" + ", ".join(repr(x) for x in row) + "]"
+
+
+_Q96_BUCKET = " + ".join(
+    f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {_hp_lit(hp)}) > 0 "
+    f"THEN {1 << i} ELSE 0 END)"
+    for i, hp in enumerate(_Q96_HPS)
+)
+_Q96_PROBES = ", ".join(f"xor(qb, {1 << i})" for i in range(_Q96_BITS))
+
+
+@register(
+    "q96_signlsh_ann",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, CAST({_Q96_BUCKET} AS BIGINT) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = {_Q96_QID}),
+    probes AS (SELECT unnest([qb, {_Q96_PROBES}]) AS bucket FROM q),
+    cand AS (
+      SELECT b.vec_id, b.embedding FROM b JOIN probes USING (bucket)
+      WHERE b.vec_id != {_Q96_QID}
+    ),
+    scored AS (
+      SELECT c.vec_id,
+        {_DOT.format(a='c.embedding', b='q.qv')}
+          / (sqrt({_DOT.format(a='c.embedding', b='c.embedding')})
+             * sqrt({_DOT.format(a='q.qv', b='q.qv')})) AS cos
+      FROM cand c CROSS JOIN q
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rnk,
+           vec_id
+    FROM scored ORDER BY cos DESC, vec_id ASC LIMIT {_Q96_K}
+    """,
+)
+def q96_signlsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (operators/similarity.signlsh_topk): random-
+    hyperplane sign buckets (Charikar), query bucket + 1-bit-flip
+    multiprobe, brute-force cosine only inside the probed buckets —
+    the bucketed scale path beside q46's IVF. Hyperplanes come from
+    the md5-seeded helper and are embedded as identical double
+    literals in this oracle (the minhash_coeffs one-source-of-truth
+    pattern). Compared by (rank, id), the q45 float discipline."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    topk = S.signlsh_topk(
+        t["embeddings"], query_id=_Q96_QID, k=_Q96_K, n_bits=_Q96_BITS, dim=_Q96_DIM
+    )
+    w = Window.orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+    return topk.select(
+        F.row_number().over(w).cast("bigint").alias("rnk"), "vec_id"
+    )
+
+
 # --------------------------------------------------- q95 document chunking
 
 _Q95_SIZE, _Q95_OVERLAP = 64, 16

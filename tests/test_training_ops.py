@@ -123,6 +123,33 @@ def test_stratified_fixed_n(spark):
     }
 
 
+def test_signlsh_ann_finds_duplicate_and_prunes(spark):
+    """An exact duplicate of the query shares its bucket by
+    construction (identical dot signs), so it must surface as the top
+    hit; and the candidate set must be bucket-pruned, not a full
+    scan."""
+    import random
+
+    rng = random.Random(3)
+    rows = [Row(vec_id=0, embedding=[1.0] * 8 + [0.0] * 8)]
+    rows.append(Row(vec_id=1, embedding=[1.0] * 8 + [0.0] * 8))  # exact dup of query
+    rows += [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(16)])
+        for i in range(2, 60)
+    ]
+    emb = spark.createDataFrame(rows)
+    top = S.signlsh_topk(emb, query_id=0, k=5, n_bits=4, dim=16).collect()
+    assert top[0].vec_id == 1 and abs(top[0].cosine_sim - 1.0) < 1e-12
+    # pruning: candidates probed = query bucket + 4 neighbors of 16 buckets;
+    # with 58 random vectors the candidate set must be well under the corpus
+    hps = S.signlsh_hyperplanes(4, 16)
+    b = S.signlsh_buckets(emb, hps)
+    qb = b.filter(F.col("vec_id") == 0).collect()[0].bucket
+    probed = {qb} | {qb ^ (1 << i) for i in range(4)}
+    n_cand = b.filter(F.col("bucket").isin(list(probed))).count()
+    assert n_cand < 40  # a full scan would be 60
+
+
 # ----------------------------------------------------------------- chunking
 
 
