@@ -26,7 +26,7 @@ driver row (q82) uses the tolerance-boolean protocol beside
 hash-matched exact columns; the Count-Min family below is
 deterministic md5 arithmetic, so its row (q88) hash-matches estimates
 outright. Merge-consistency and error bounds are pytest-asserted for
-all four families.
+all five families (the Bloom membership family below is r5).
 """
 
 from __future__ import annotations
@@ -252,3 +252,101 @@ def cms_estimate(
         *gcols, "item", "depth", F.coalesce(F.col("c"), F.lit(0)).alias("c")
     )
     return full.groupBy(*gcols, "item").agg(F.min("c").alias("est_count"))
+
+
+# Membership — the fifth sketch family (HLL/Theta = distinct, KLL =
+# quantiles, CMS = per-item counts, Bloom = set membership). Spark 4
+# does not SQL-register bloom_filter_agg, so the filter is built from
+# pure Column math: k md5-derived bit positions per item, words OR-ed
+# with the bit_or aggregate — order-independent, deterministic under
+# any partitioning, replayable by a SQL oracle, and mergeable (bit_or
+# of two blooms IS the bloom of the union). Stored long-form as
+# (group..., word, mask): ≤ bits/32 rows per group regardless of item
+# cardinality. 32 bits per BIGINT word keeps every shift < 32, so
+# masks stay positive and identical in engines that differ on 63-bit
+# shift overflow.
+
+BLOOM_BITS, BLOOM_HASHES = 4096, 3
+_BLOOM_WORD = 32
+
+
+def _bloom_pos(item, i: int, bits: int):
+    tagged = F.concat(item.cast("string"), F.lit(f"#bloom{i}"))
+    return (
+        F.conv(F.substring(F.md5(tagged), 1, 15), 16, 10).cast("bigint")
+        % F.lit(bits)
+    )
+
+
+def _bloom_wordbit(item, i: int, bits: int):
+    """(word, bit-mask) struct for hash i of an item. The mask is
+    pow(2, pos%32) cast to BIGINT — exact for exponents < 32 (the
+    reason for 32-bit words), and expressible as a Column exponent,
+    which F.shiftleft (int-literal-only second arg) is not."""
+    pos = _bloom_pos(item, i, bits)
+    return F.struct(
+        (pos / _BLOOM_WORD).cast("bigint").alias("word"),
+        F.pow(F.lit(2.0), pos % _BLOOM_WORD).cast("bigint").alias("bit"),
+    )
+
+
+def bloom_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    bits: int = BLOOM_BITS,
+    hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Per-group Bloom filter of the item column, long form:
+    (group_cols..., word, mask). One explode to ``hashes`` rows per
+    item + one skew-free bit_or aggregation."""
+    rows = df.select(
+        *group_cols,
+        F.explode(
+            F.array(
+                *[_bloom_wordbit(F.col(item_col), i, bits) for i in range(hashes)]
+            )
+        ).alias("_wb"),
+    )
+    return rows.groupBy(*group_cols, "_wb.word").agg(
+        F.bit_or(F.col("_wb.bit")).alias("mask")
+    )
+
+
+def bloom_rollup(sketch: DataFrame, rollup_cols: list[str]) -> DataFrame:
+    """Coarser-grain bloom by OR-ing word masks — sketch-algebra merge
+    equal to a direct build on the union of the inputs."""
+    return sketch.groupBy(*rollup_cols, "word").agg(
+        F.bit_or("mask").alias("mask")
+    )
+
+
+def bloom_might_contain(
+    sketch: DataFrame,
+    probes: DataFrame,
+    group_cols: list[str],
+    item_col: str = "item",
+    bits: int = BLOOM_BITS,
+    hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Probe every item against every group's bloom:
+    (group_cols..., item, maybe_present). ``maybe_present`` is false
+    only for items definitely absent (no false negatives); false
+    positives occur at the classic (1−e^{−kn/m})^k rate and are
+    DETERMINISTIC (pure functions of the hashes), so an oracle replays
+    them exactly. The probe side is exploded to (word, bit) rows and
+    broadcast; a missing sketch word row means the bit is unset."""
+    prows = probes.select(
+        F.col(item_col).alias("item"),
+        F.explode(
+            F.array(
+                *[_bloom_wordbit(F.col(item_col), i, bits) for i in range(hashes)]
+            )
+        ).alias("_wb"),
+    ).select("item", "_wb.word", "_wb.bit")
+    grid = sketch.select(*group_cols).distinct().crossJoin(F.broadcast(prows))
+    joined = grid.join(sketch, [*group_cols, "word"], "left")
+    hit = (F.coalesce(F.col("mask"), F.lit(0)).bitwiseAND(F.col("bit"))) != 0
+    return joined.groupBy(*group_cols, "item").agg(
+        F.bool_and(hit).alias("maybe_present")
+    )

@@ -189,6 +189,81 @@ def q93_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+# ----------------------------------------------- q97 bloom membership
+
+_Q97_BITS, _Q97_HASHES, _Q97_PRESENT, _Q97_ABSENT = 4096, 3, 6, 6
+_Q97_POS = (
+    "(('0x' || substr(md5(item || '#bloom' || i), 1, 15))::UBIGINT % {bits})"
+).format(bits=_Q97_BITS)
+
+
+@register(
+    "q97_bloom_membership",
+    oracle=f"""
+    WITH items AS (
+      SELECT source, md5(text) AS item FROM documents
+    ),
+    pos AS (
+      SELECT source, {_Q97_POS} AS p
+      FROM items, unnest([{", ".join(str(i) for i in range(_Q97_HASHES))}]) AS t(i)
+    ),
+    sk AS (
+      SELECT source, CAST(p // 32 AS BIGINT) AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS mask
+      FROM pos GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT md5(text) AS item FROM documents WHERE doc_id < {_Q97_PRESENT}
+      UNION ALL
+      SELECT 'nosuchdoc-' || i FROM unnest([{", ".join(str(i) for i in range(_Q97_ABSENT))}]) AS t(i)
+    ),
+    ppos AS (
+      SELECT item, CAST({_Q97_POS} // 32 AS BIGINT) AS word,
+             CAST(1 AS BIGINT) << CAST({_Q97_POS} % 32 AS INTEGER) AS bit
+      FROM probes, unnest([{", ".join(str(i) for i in range(_Q97_HASHES))}]) AS t(i)
+    ),
+    grid AS (
+      SELECT s.source, p.item, p.word, p.bit
+      FROM (SELECT DISTINCT source FROM items) s CROSS JOIN ppos p
+    )
+    SELECT g.source, g.item,
+           bool_and((COALESCE(sk.mask, 0) & g.bit) != 0) AS maybe_present
+    FROM grid g LEFT JOIN sk ON g.source = sk.source AND g.word = sk.word
+    GROUP BY g.source, g.item
+    """,
+)
+def q97_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership — the FIFTH mergeable sketch family
+    (operators/sketches.bloom_sketch / bloom_might_contain): per-source
+    blooms over content hashes, probed with 6 known-present hashes and
+    6 known-absent strings. ``maybe_present`` has no false negatives;
+    false positives occur at the (1−e^{{−kn/m}})^k rate and are
+    deterministic pure-hash functions, so the oracle replays every bit.
+    The crawl-gate use: 'have we ever ingested this content?' answered
+    from ≤ bits/32 counter rows per source instead of the corpus."""
+    from ironman_medallion_lakehouse_spark.operators.sketches import (
+        bloom_might_contain,
+        bloom_sketch,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"]
+    items = docs.select("source", F.md5("text").alias("item"))
+    sk = bloom_sketch(items, ["source"], "item", bits=_Q97_BITS, hashes=_Q97_HASHES)
+    probes = (
+        docs.filter(F.col("doc_id") < _Q97_PRESENT)
+        .select(F.md5("text").alias("item"))
+        .unionByName(
+            spark.createDataFrame(
+                [(f"nosuchdoc-{i}",) for i in range(_Q97_ABSENT)], ["item"]
+            )
+        )
+    )
+    return bloom_might_contain(
+        sk, probes, ["source"], bits=_Q97_BITS, hashes=_Q97_HASHES
+    )
+
+
 # -------------------------------------------------- q96 sign-LSH ANN
 
 _Q96_BITS, _Q96_DIM, _Q96_K, _Q96_QID = 6, 64, 10, 1

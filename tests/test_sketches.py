@@ -211,3 +211,55 @@ def test_cms_grouped_estimate_reports_zero_for_unmatched_group(spark):
     # distinct item in z the only possible values are 0 (no collision)
     # or 4 (its single item collides with a's cell at every depth)
     assert got[("z", "a")] in (0, 4)
+
+
+def test_bloom_no_false_negatives_and_rollup_merge(spark):
+    """Every inserted item must probe true in its group (no false
+    negatives — the bloom guarantee); the bit_or rollup must equal a
+    direct build on the union; and output is deterministic under
+    repartitioning (order-independent bit math)."""
+    from pyspark.sql import Row
+
+    from ironman_medallion_lakehouse_spark.operators import sketches as SK
+
+    df = spark.createDataFrame(
+        [Row(grp="x", item=f"doc-{i}") for i in range(40)]
+        + [Row(grp="y", item=f"other-{i}") for i in range(40)]
+    )
+    sk = SK.bloom_sketch(df, ["grp"], "item")
+    probes = df.select("item").distinct()
+    got = {
+        (r.grp, r.item): r.maybe_present
+        for r in SK.bloom_might_contain(sk, probes, ["grp"]).collect()
+    }
+    for i in range(40):
+        assert got[("x", f"doc-{i}")] is True  # no false negatives
+        assert got[("y", f"other-{i}")] is True
+
+    # rollup == direct build on the union, word for word
+    rolled = {
+        (r.word, r.mask) for r in SK.bloom_rollup(sk, []).collect()
+    }
+    direct = {
+        (r.word, r.mask)
+        for r in SK.bloom_sketch(df.repartition(7), [], "item").collect()
+    }
+    assert rolled == direct
+
+
+def test_bloom_definite_absence(spark):
+    """With a sparse filter, items far from the inserted set must read
+    absent — and a 'maybe' verdict never flips across rebuilds."""
+    from pyspark.sql import Row
+
+    from ironman_medallion_lakehouse_spark.operators import sketches as SK
+
+    df = spark.createDataFrame([Row(grp="g", item=f"present-{i}") for i in range(5)])
+    sk = SK.bloom_sketch(df, ["grp"], "item")
+    probes = spark.createDataFrame(
+        [Row(item=f"absent-{i}") for i in range(20)]
+    )
+    rows = SK.bloom_might_contain(sk, probes, ["grp"]).collect()
+    # 5 items * 3 bits in 4096 -> false-positive odds ~(15/4096)^3 per
+    # probe; all 20 absent probes must read false
+    assert all(r.maybe_present is False for r in rows)
