@@ -90,6 +90,47 @@ def bm25_scores(
     return scored.select(F.col(id_col), F.col("dl"), total.alias("score"))
 
 
+def unigram_logprob_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram model — the CCNet-style language-model filter proxy: docs
+    full of rare/garbage tokens score low, fluent ones high; a
+    threshold on this score is the classic perplexity-bucket split.
+
+    (id, n_tokens, mean_logprob), mean_logprob = avg over tokens of
+    ln(count(tok)/N). Plan: one explode+count for the unigram table
+    (map-side combined; vocabulary-sized output, not corpus-sized), a
+    hash join attaching counts back to the token stream (probe-side
+    frequency skew is harmless — the build side has one row per
+    token), one grouped aggregation per doc. Determinism: ln values
+    are rounded into DECIMAL(18,4) before summing (the repo's
+    dsum/davg policy), so the mean is independent of partitioning and
+    reproduces bit-exactly in the DuckDB oracle."""
+    from ironman_medallion_lakehouse_spark.suite import dsum
+
+    tf = docs.select(F.col(id_col), F.explode(words(text_col)).alias("tok"))
+    counts = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("n_total"))
+    lp = F.log(F.col("cnt").cast("double") / F.col("n_total").cast("double"))
+    return (
+        tf.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            dsum(lp, "sum_lp"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.round(F.col("sum_lp") / F.col("n_tokens"), 4).alias("mean_logprob"),
+        )
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     terms: list[str],

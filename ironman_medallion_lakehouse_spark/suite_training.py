@@ -189,6 +189,43 @@ def q93_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+# ------------------------------------------- q98 unigram LM filter proxy
+
+
+@register(
+    "q98_unigram_logprob",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, unnest({_WORDS_ALL}) AS tok FROM documents
+    ),
+    counts AS (SELECT tok, COUNT(*) AS cnt FROM tf GROUP BY tok),
+    tot AS (SELECT SUM(cnt) AS n_total FROM counts),
+    lp AS (
+      SELECT doc_id,
+        CAST(ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)) AS DECIMAL(18,4)) AS v
+      FROM tf JOIN counts USING (tok) CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 4) AS mean_logprob
+    FROM lp GROUP BY doc_id
+    """,
+)
+def q98_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM filter proxy
+    (operators/ranking.unigram_logprob_scores): per-doc mean unigram
+    log-probability under the corpus's own unigram model — the
+    perplexity-bucket split used to tier crawl text by fluency. ln
+    values are rounded into DECIMAL(18,4) before the sum (the repo's
+    determinism policy), so the mean reproduces bit-exactly across
+    engines and partitionings."""
+    from ironman_medallion_lakehouse_spark.operators.ranking import (
+        unigram_logprob_scores,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    return unigram_logprob_scores(t["documents"])
+
+
 # ----------------------------------------------- q97 bloom membership
 
 _Q97_BITS, _Q97_HASHES, _Q97_PRESENT, _Q97_ABSENT = 4096, 3, 6, 6
