@@ -79,6 +79,88 @@ def streaming_merge_into(
     )
 
 
+def streaming_dedup_ingest(
+    spark,
+    store,
+    source_path: str,
+    schema,
+    checkpoint_dir: str,
+    corpus_table: str = "corpus.documents",
+    sig_table: str = "corpus.doc_signatures",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 128,
+    bands: int = 16,
+    threshold: float = 0.9,
+    commit_retries: int = 5,
+):
+    """The streaming crawl-ingest GATE — the training-data pipeline's
+    front door, composed from this repo's own operators: every
+    micro-batch is classified against the EXISTING corpus
+    (operators/dedup.dedup_incoming: exact normalized-hash match +
+    MinHash-LSH near-dup), only ``kept`` documents are admitted via an
+    exactly-once insert-only merge, and their MinHash signatures are
+    merged into a SIGNATURES TABLE in the same batch — so every later
+    batch's near-dup band join reads precomputed corpus signatures
+    (``corpus_sigs=``) instead of re-hashing the corpus. Per-batch
+    cost: O(batch) signature work + O(bucket hits) join, independent
+    of corpus size.
+
+    Exactly-once state: foreachBatch may replay a batch after restart;
+    a replayed document is then an exact dup of itself in the corpus,
+    classifies ``exact_dup``, and both merges are key-idempotent — the
+    table state converges either way. Intra-batch near-duplicates are
+    deliberately NOT resolved here (both admitted if neither matches
+    the corpus); run ``near_dedup_groups`` over the corpus for
+    periodic retro-compaction — the gate's job is bounding per-batch
+    work, the batch's own dups are one batch's worth by definition.
+
+    Returns the streaming query; caller drives it."""
+    from ironman_medallion_lakehouse_spark.operators import dedup as D
+
+    def _retrying(fn) -> None:
+        for attempt in range(commit_retries + 1):
+            try:
+                fn()
+                return
+            except ConcurrentCommitError:
+                if attempt == commit_retries:
+                    raise
+
+    def _gate_batch(batch_df, batch_id: int) -> None:
+        batch_df = batch_df.dropDuplicates([id_col]).localCheckpoint(eager=True)
+        if store.table_exists(corpus_table):
+            corpus = store.read(corpus_table).select(id_col, text_col)
+            corpus_sigs = store.read(sig_table)
+            status = D.dedup_incoming(
+                batch_df.select(id_col, text_col),
+                corpus,
+                text_col,
+                id_col,
+                k=k,
+                bands=bands,
+                threshold=threshold,
+                corpus_sigs=corpus_sigs,
+            )
+            kept = batch_df.join(
+                status.filter(F.col("status") == "kept").select(id_col), id_col
+            )
+        else:
+            kept = batch_df  # bootstrap batch founds the corpus
+        kept = kept.localCheckpoint(eager=True)  # read by both merges below
+        _retrying(lambda: store.merge_insert_only(kept, corpus_table, keys=[id_col]))
+        sigs = D.minhash_signatures(kept, text_col, id_col, k=k)
+        _retrying(lambda: store.merge_insert_only(sigs, sig_table, keys=[id_col]))
+
+    stream = spark.readStream.schema(schema).format("parquet").load(source_path)
+    return (
+        stream.writeStream.foreachBatch(_gate_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
 def streaming_dedup(
     spark,
     source_path: str,

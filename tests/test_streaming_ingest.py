@@ -91,3 +91,43 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         assert out.select("event_id").distinct().count() == 8
     finally:
         query.stop()
+
+
+def test_streaming_dedup_ingest_gate(spark, tmp_path):
+    """The crawl-ingest gate end-to-end: batch 1 founds the corpus;
+    batch 2 brings an exact dup (case/whitespace-mangled), a near dup
+    (one token changed), and a novel doc — only the novel doc is
+    admitted, and the signatures table tracks exactly the corpus."""
+    from ironman_medallion_lakehouse_spark.streaming.ingest import (
+        streaming_dedup_ingest,
+    )
+
+    src = str(tmp_path / "docs_src")
+    store = TableStore(spark, str(tmp_path / "wh"))
+    b1 = spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog again and again today"),
+        Row(doc_id=2, text="entirely different content about spark shuffles and partitions here"),
+    ])
+    b1.write.mode("append").parquet(src)
+    query = streaming_dedup_ingest(
+        spark, store, src, b1.schema, str(tmp_path / "ckpt"),
+        bands=16, threshold=0.8,
+    )
+    try:
+        query.processAllAvailable()
+        assert store.read("corpus.documents").count() == 2
+        assert store.read("corpus.doc_signatures").count() == 2
+
+        spark.createDataFrame([
+            Row(doc_id=10, text="  THE QUICK   brown fox jumps over the lazy dog again and again today "),
+            Row(doc_id=11, text="the quick brown fox jumps over the lazy dog again and again tomorrow"),
+            Row(doc_id=12, text="totally novel text with no overlap whatsoever in any token plane"),
+        ]).write.mode("append").parquet(src)
+        query.processAllAvailable()
+        admitted = {r.doc_id for r in store.read("corpus.documents").collect()}
+        assert admitted == {1, 2, 12}  # exact dup 10 and near dup 11 rejected
+        # signature table tracks the admitted set exactly (next batch's
+        # band join reads these precomputed rows)
+        assert {r.doc_id for r in store.read("corpus.doc_signatures").collect()} == {1, 2, 12}
+    finally:
+        query.stop()
