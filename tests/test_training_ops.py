@@ -105,6 +105,34 @@ def test_semantic_dedup_drops_planted_neardups(spark):
     assert out[20].kept and out[20].cluster_id == 1
 
 
+def test_semantic_dedup_with_fitted_centroids(spark):
+    """The production path: centroids from kmeans_centroids (fitted,
+    not fixed). Contract: every vector labeled exactly once, min-id
+    representative of each dropped neighborhood survives, and the
+    whole thing is deterministic across runs (the fitted codebook is
+    bit-deterministic by construction)."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(40)
+    ]
+    rows.append(Row(vec_id=100, embedding=list(rows[5].embedding)))  # exact dup of 5
+    emb = spark.createDataFrame(rows)
+    cents = S.kmeans_centroids(emb, n_cells=4, n_iter=2)
+    out1 = S.semantic_dedup(emb, cents, threshold=0.999)
+    got = {r.vec_id: r for r in out1.collect()}
+    assert len(got) == 41  # every vector labeled exactly once
+    assert got[5].kept and not got[100].kept  # dup dropped, min id survives
+    assert got[5].cluster_id == got[100].cluster_id
+    out2 = {
+        (r.vec_id, r.cluster_id, r.kept)
+        for r in S.semantic_dedup(emb.repartition(7), cents, threshold=0.999).collect()
+    }
+    assert {(r.vec_id, r.cluster_id, r.kept) for r in out1.collect()} == out2
+
+
 # ---------------------------------------------------------------- sampling
 
 
