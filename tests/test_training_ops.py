@@ -200,6 +200,43 @@ def test_signlsh_ann_finds_duplicate_and_prunes(spark):
     assert n_cand < 40  # a full scan would be 60
 
 
+def test_signlsh_recall_on_clustered_corpus(spark):
+    """The regime sign-LSH is FOR: angularly-clustered embeddings.
+    Recall@10 vs brute force must be high at Hamming-1 probing and
+    complete at Hamming-2 (the multiprobe recall dial); all
+    deterministic — seeded corpus, md5-seeded hyperplanes."""
+    import random
+
+    rng = random.Random(5)
+    centers = [[4.0 if d == c * 4 else 0.0 for d in range(16)] for c in range(4)]
+    emb = spark.createDataFrame(
+        [
+            Row(
+                vec_id=i,
+                embedding=[x + rng.gauss(0, 0.3) for x in centers[i % 4]],
+            )
+            for i in range(120)
+        ]
+    )
+    for qid in (0, 1, 2):
+        brute = {r.vec_id for r in S.cosine_topk(emb, query_id=qid, k=10).collect()}
+        r1 = {
+            r.vec_id
+            for r in S.signlsh_topk(
+                emb, query_id=qid, k=10, n_bits=5, dim=16, probe_hamming=1
+            ).collect()
+        }
+        r2 = {
+            r.vec_id
+            for r in S.signlsh_topk(
+                emb, query_id=qid, k=10, n_bits=5, dim=16, probe_hamming=2
+            ).collect()
+        }
+        assert len(brute & r1) / 10 >= 0.8
+        assert len(brute & r2) / 10 >= 0.9
+        assert len(brute & r2) >= len(brute & r1)  # the dial only adds
+
+
 # ----------------------------------------------------------------- chunking
 
 
@@ -229,6 +266,57 @@ def test_chunk_documents_overlap_guard(spark):
     docs = spark.createDataFrame([Row(doc_id=1, text="a b")])
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, chunk_size=4, overlap=4)
+
+
+def test_stratified_sample_rates_are_nested(spark):
+    """Hash-threshold sampling's killer property: raising a stratum's
+    rate only ADDS rows — sample(r1) ⊆ sample(r2) for r1 < r2 (same
+    salt). This is what makes mixture re-weighting reproducible:
+    a 10% pilot is a strict subset of the 50% run."""
+    df = spark.createDataFrame([Row(k=i, stratum="a") for i in range(3000)])
+    prev: set = set()
+    for rate in (0.1, 0.3, 0.7, 1.0):
+        cur = {r.k for r in SA.stratified_sample(df, "stratum", {"a": rate}, "k").collect()}
+        assert prev <= cur, f"rate {rate} lost rows from a smaller rate"
+        prev = cur
+    assert len(prev) == 3000
+
+
+def test_chunk_documents_windows_cover_every_token(spark):
+    """Coverage property on random lengths: every token position lands
+    in at least one window, starts advance by exactly the stride, and
+    all windows except the last are full-size."""
+    import random
+
+    from ironman_medallion_lakehouse_spark.operators.chunking import chunk_documents
+
+    rng = random.Random(13)
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=" ".join(f"t{j}" for j in range(rng.randint(1, 300))))
+            for i in range(30)
+        ]
+    )
+    size, overlap = 32, 8
+    rows = chunk_documents(docs, chunk_size=size, overlap=overlap).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    lengths = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(F.split(F.lower("text"), r"\s+")).alias("n")
+        ).collect()
+    }
+    for doc_id, chunks in by_doc.items():
+        n = lengths[doc_id]
+        chunks.sort(key=lambda r: r.chunk_index)
+        covered = set()
+        for idx, c in enumerate(chunks):
+            assert c.start_token == 1 + idx * (size - overlap)
+            assert c.n_tokens == min(size, n - c.start_token + 1)
+            covered.update(range(c.start_token, c.start_token + c.n_tokens))
+        assert covered == set(range(1, n + 1)), f"doc {doc_id} has uncovered tokens"
 
 
 # -------------------------------------------------- near_dedup_groups
