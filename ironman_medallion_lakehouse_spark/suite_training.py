@@ -500,3 +500,121 @@ def q94_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_incoming(
         incoming, corpus, bands=_Q94_BANDS, threshold=_Q94_THRESHOLD
     )
+
+
+# ------------------------------------------- q99 benchmark decontamination
+
+_Q99_N = 8
+_GRAM = (
+    "(('0x' || substr(md5(array_to_string(w[s:s+{last}], ' ')), 1, 15))"
+    "::UBIGINT)::BIGINT"
+).format(last=_Q99_N - 1)
+
+
+@register(
+    "q99_decontamination",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_WORDS_ALL} AS w FROM documents
+    ),
+    tg AS (
+      SELECT DISTINCT doc_id, {_GRAM} AS gram
+      FROM (SELECT * FROM toks WHERE doc_id % 10 <> 3),
+           unnest(generate_series(1, len(w) - {_Q99_N - 1})) AS u(s)
+      WHERE len(w) >= {_Q99_N}
+    ),
+    bg AS (
+      SELECT DISTINCT {_GRAM} AS gram
+      FROM (SELECT * FROM toks WHERE doc_id % 10 = 3),
+           unnest(generate_series(1, len(w) - {_Q99_N - 1})) AS u(s)
+      WHERE len(w) >= {_Q99_N}
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM tg GROUP BY doc_id),
+    hits AS (
+      SELECT tg.doc_id, COUNT(*) AS n_overlap
+      FROM tg JOIN bg USING (gram) GROUP BY tg.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(t.n_grams, 0) AS n_grams,
+           COALESCE(h.n_overlap, 0) AS n_overlap,
+           COALESCE(h.n_overlap, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 3) d
+    LEFT JOIN totals t ON d.doc_id = t.doc_id
+    LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+)
+def q99_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/contamination.
+    benchmark_overlap — the GPT-3 appendix-C / The Pile §6.3 8-gram
+    collision test): docs with doc_id % 10 == 3 play the held-out
+    eval set; every remaining training doc reports how many of its
+    distinct 8-grams appear anywhere in the benchmark, plus the
+    contaminated flag. N-grams travel as 60-bit BIGINT hashes; the
+    benchmark gram set is broadcast (eval sets are small by
+    construction) — the corpus side is one map-only shingle pass, a
+    broadcast semi-join, and a partial aggregation. Non-vacuous: the
+    corpus's planted near-dup structure crosses the % 10 split, so
+    both contaminated and clean docs exist."""
+    from ironman_medallion_lakehouse_spark.operators.contamination import (
+        benchmark_overlap,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return benchmark_overlap(
+        docs.filter(F.col("doc_id") % 10 != 3),
+        docs.filter(F.col("doc_id") % 10 == 3),
+        n=_Q99_N,
+    )
+
+
+# --------------------------------------- q100 duplicate-span coverage
+
+_Q100_N = 8
+
+
+@register(
+    "q100_dup_span_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_WORDS_ALL} AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id, s AS start, {_GRAM} AS gram
+      FROM toks, unnest(generate_series(1, len(w) - {_Q100_N - 1})) AS u(s)
+      WHERE len(w) >= {_Q100_N}
+    ),
+    dup AS (
+      SELECT gram FROM (
+        SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gram
+      ) WHERE nd >= 2
+    ),
+    cov AS (
+      SELECT doc_id, COUNT(DISTINCT p) AS covered
+      FROM (SELECT g.doc_id, g.start FROM g JOIN dup USING (gram)),
+           unnest(generate_series(start, start + {_Q100_N - 1})) AS v(p)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.w) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens,
+           ROUND(CAST(COALESCE(c.covered, 0) AS DOUBLE)
+                 / CAST(GREATEST(len(t.w), 1) AS DOUBLE), 4) AS dup_fraction
+    FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id
+    """,
+)
+def q100_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-span coverage (operators/contamination.
+    duplicate_span_coverage — the corpus measure behind exact-substring
+    dedup, Lee et al. 2022): per doc, the fraction of token positions
+    inside at least one 8-gram that also occurs in a DIFFERENT
+    document. MinHash (q43/q83) finds similar documents; this finds
+    copied spans inside otherwise-distinct documents. Plan: one
+    distinct-docs-per-gram count (gram-vocabulary-sized, map-side
+    combined), one position re-aggregation — the n× position explosion
+    touches only grams that actually duplicate."""
+    from ironman_medallion_lakehouse_spark.operators.contamination import (
+        duplicate_span_coverage,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return duplicate_span_coverage(docs, n=_Q100_N)
