@@ -150,3 +150,49 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+    k: int = 60,
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09) of
+    any number of (id, rank) lists — the standard way to combine a
+    lexical ranker (BM25) with a dense/ANN ranker without score
+    calibration:  rrf(d) = Σ_systems 1/(k + rank_system(d)).
+
+    Output: (id, n_systems, rrf_score) ordered by (score desc, id),
+    optionally truncated to ``topk``. Each contribution 1/(k+int) is
+    rounded into DECIMAL(18,12) BEFORE the sum (the repo's dsum
+    discipline at higher precision — rank gaps at k=60 differ in the
+    5th decimal, so 12 digits preserves every distinction), making the
+    fused score independent of accumulation order across systems and
+    partitions; the final score is that exact decimal sum as a double
+    rounded to 6 decimals.
+
+    100 TB design: each input is already a top-k list (thousands of
+    rows at most — the expensive part happened inside the rankers), so
+    the union + groupBy is trivially small; the op itself adds one
+    tiny shuffle. The fused list inherits the determinism of its
+    inputs (both repo rankers tie-break by id)."""
+    tagged = [
+        r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double")))
+            .cast("decimal(18,12)")
+            .alias("contrib"),
+        )
+        for r in rankings
+    ]
+    unioned = tagged[0]
+    for t in tagged[1:]:
+        unioned = unioned.unionByName(t)
+    fused = unioned.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_systems"),
+        F.round(F.sum("contrib").cast("double"), 6).alias("rrf_score"),
+    )
+    out = fused.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+    return out.limit(topk) if topk else out

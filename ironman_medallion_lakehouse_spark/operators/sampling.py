@@ -80,3 +80,67 @@ def stratified_fixed_n(
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    total_budget: int,
+    alpha: float = 0.5,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-smoothed mixture resampling — the multilingual-
+    pretraining standard (Conneau & Lample 2019, XLM; Raffel et al.,
+    T5 §3.4.3): stratum l with count c_l gets target share
+    q_l ∝ c_l^α, so α<1 flattens the mixture (upsamples rare
+    languages/sources relative to their natural share) and α=1 is
+    proportional. Each stratum keeps rate_l = min(1, B·q_l / c_l)
+    for a total expected budget of B rows, decided per row by the
+    same deterministic md5 key hash as ``stratified_sample``.
+
+    Two passes: one map-side-combined count per stratum (output =
+    #strata rows, broadcast back), then the map-only hash filter —
+    nothing about the corpus is collected, so the op is a 100 TB scan
+    plus a free small join.
+
+    Cross-engine determinism (the suite uses α=0.5): sqrt is IEEE-754
+    correctly-rounded in every engine, and c_l^0.5 is rounded into
+    DECIMAL(18,6) before the share normalization; the decimal sum is
+    exact (order-free), and the remaining arithmetic is the fixed
+    left-associated expression ((B · s_l) / S) / c_l on doubles that
+    are themselves exact decimal values — so the integer keep
+    thresholds replay bit-identically in the DuckDB oracle. α ≠ 0.5
+    goes through pow(), which is not guaranteed correctly-rounded
+    across engines — fine in production, not oracle-exact."""
+    c = F.col("_cnt").cast("double")
+    if alpha == 0.5:
+        smoothed = F.sqrt(c)
+    else:
+        smoothed = F.pow(c, F.lit(float(alpha)))
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    shares = counts.select(
+        F.col(strata_col),
+        F.col("_cnt"),
+        smoothed.cast("decimal(18,6)").alias("_s"),
+    )
+    tot = shares.agg(F.sum("_s").alias("_stot"))
+    rates = shares.crossJoin(F.broadcast(tot)).select(
+        F.col(strata_col),
+        F.least(
+            F.lit(1.0),
+            F.lit(float(total_budget))
+            * F.col("_s").cast("double")
+            / F.col("_stot").cast("double")
+            / F.col("_cnt").cast("double"),
+        ).alias("_rate"),
+    )
+    thresholds = rates.select(
+        F.col(strata_col),
+        (F.col("_rate") * _DENOM).cast("bigint").alias("_thr"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), strata_col)
+        .filter(_uhash(F.col(key_col), salt) < F.col("_thr"))
+        .drop("_thr")
+    )

@@ -640,3 +640,185 @@ def cosine_neardup_pairs(
         .filter(cosine(F.col("v_a"), F.col("v_b")) >= threshold)
         .select("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) with asymmetric-distance (ADC) scoring
+# ---------------------------------------------------------------------------
+
+def pq_random_codebooks(n_sub: int, sub_dim: int, k_codes: int) -> list:
+    """Deterministic md5-seeded PQ codebooks, one list of ``k_codes``
+    ``sub_dim``-vectors per subspace — the ``signlsh_hyperplanes`` /
+    ``minhash_coeffs`` one-source-of-truth pattern, so a DuckDB oracle
+    embeds the identical double literals. Production would instead fit
+    each subspace's codebook with ``kmeans_centroids`` on a sample
+    (the operators below accept ANY codebook nested list)."""
+    import hashlib
+
+    return [
+        [
+            [
+                int.from_bytes(
+                    hashlib.md5(f"pq-{m}-{c}-{d}".encode()).digest()[:8], "big"
+                )
+                / 2**64
+                - 0.5
+                for d in range(sub_dim)
+            ]
+            for c in range(k_codes)
+        ]
+        for m in range(n_sub)
+    ]
+
+
+def _sub_slice(vec: Column, m: int, sub_dim: int) -> Column:
+    return F.slice(vec, m * sub_dim + 1, sub_dim)
+
+
+def _dot_lit(sub: Column, code: list) -> Column:
+    """Ordered left-fold ⟨sub, code⟩ against a literal code vector —
+    the same association DuckDB's list_dot_product uses, so the double
+    is engine-identical."""
+    return F.aggregate(
+        F.zip_with(
+            sub,
+            F.array(*[F.lit(float(x)) for x in code]),
+            lambda x, y: x.cast("double") * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _code_norm2(code: list) -> float:
+    """⟨code, code⟩ as the exact left-fold double Python computes —
+    embedded as the same literal in both engines."""
+    acc = 0.0
+    for x in code:
+        acc += float(x) * float(x)
+    return acc
+
+
+def pq_assign(
+    embeddings: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code_0 … code_{m-1}): per-subspace nearest-code index
+    (Jégou, Douze & Schmid 2011, "Product Quantization for Nearest
+    Neighbor Search"). The argmin drops the ‖sub‖² term common to all
+    codes of a subspace: argmin_c ‖sub−c‖² = argmin_c (‖c‖² − 2⟨sub,c⟩).
+    Ties break to the lowest code index via struct ordering.
+
+    100 TB design: the codebook is literal-embedded (m·k·d doubles —
+    a few KB), so quantization is a single MAP-ONLY codegen stage over
+    the corpus scan: zero shuffles, zero Python, nothing collected.
+    Compressing 100 TB of float32[64] to m=8 byte codes is 32× — the
+    point of PQ: the quantized table rides in a fraction of the RAM."""
+    n_sub = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    from ironman_medallion_lakehouse_spark.functions.text import _let
+
+    def one_code(m: int):
+        def body(sub: Column) -> Column:
+            cands = F.array(
+                *[
+                    F.struct(
+                        (
+                            F.lit(_code_norm2(code))
+                            - F.lit(2.0) * _dot_lit(sub, code)
+                        ).alias("s"),
+                        F.lit(c).cast("bigint").alias("c"),
+                    )
+                    for c, code in enumerate(codebooks[m])
+                ]
+            )
+            return F.array_min(cands)["c"]
+
+        return body
+
+    vec = F.col(vec_col)
+    return embeddings.select(
+        F.col(id_col),
+        *[
+            _let(_sub_slice(vec, m, sub_dim), one_code(m)).alias(f"code_{m}")
+            for m in range(n_sub)
+        ],
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    codebooks: list,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by asymmetric PQ distance to the ``query_id`` row:
+    ADC(v) = Σ_m ‖q_sub_m − code(v)_m‖², computed as an element_at
+    into a per-query lookup table of m·k distances.
+
+    Plan shape: quantization is map-only (see ``pq_assign``); the LUT
+    is ONE row built from the query row (‖q_m‖² − 2⟨q_m,c⟩ + ‖c‖² per
+    cell, as a map column) and crossJoin(broadcast(…))-ed into the
+    scoring scan — the bm25 corpus-stats pattern; the final top-k is
+    TakeOrderedAndProject. Per-cell distances are cast to
+    DECIMAL(18,10) before the Σ_m so the total is accumulation-order-
+    independent and engine-exact (the repo's dsum discipline).
+
+    Output: (rnk, id) — the (rank, id) float discipline; distances
+    order the heap but never leave the plan."""
+    from pyspark.sql import Window
+
+    n_sub = len(codebooks)
+    k_codes = len(codebooks[0])
+    sub_dim = len(codebooks[0][0])
+    qvec = F.col(vec_col)
+
+    lut_keys, lut_vals = [], []
+    for m in range(n_sub):
+        qs = _sub_slice(qvec, m, sub_dim)
+        for c, code in enumerate(codebooks[m]):
+            lut_keys.append(F.lit(m * k_codes + c))
+            lut_vals.append(
+                F.aggregate(
+                    F.transform(qs, lambda x: x.cast("double") * x.cast("double")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                - F.lit(2.0) * _dot_lit(qs, code)
+                + F.lit(_code_norm2(code))
+            )
+    lut = (
+        embeddings.filter(F.col(id_col) == query_id)
+        .select(
+            F.map_from_arrays(F.array(*lut_keys), F.array(*lut_vals)).alias("_lut")
+        )
+    )
+
+    assigned = pq_assign(embeddings, codebooks, id_col, vec_col)
+    cells = [
+        F.element_at(
+            F.col("_lut"),
+            (F.lit(m * k_codes) + F.col(f"code_{m}")).cast("int"),
+        ).cast("decimal(18,10)")
+        for m in range(n_sub)
+    ]
+    total = cells[0]
+    for cexp in cells[1:]:
+        total = total + cexp
+    scored = (
+        assigned.crossJoin(F.broadcast(lut))
+        .filter(F.col(id_col) != query_id)
+        .select(F.col(id_col), total.alias("_adc"))
+    )
+    w = Window.orderBy(F.col("_adc").asc(), F.col(id_col).asc())
+    return (
+        scored.orderBy(F.col("_adc").asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            F.row_number().over(w).cast("bigint").alias("rnk"), F.col(id_col)
+        )
+    )

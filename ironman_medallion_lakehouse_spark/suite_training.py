@@ -618,3 +618,217 @@ def q100_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     return duplicate_span_coverage(docs, n=_Q100_N)
+
+
+# ------------------------------------------------ q101 hybrid RRF fusion
+
+_Q101_TOPN, _Q101_RRF_K, _Q101_OUT, _Q101_QID = 50, 60, 20, 1
+_Q101_CONTRIB = (
+    f"CAST(1.0 / ({float(_Q101_RRF_K)} + CAST(rnk AS DOUBLE)) AS DECIMAL(18,12))"
+)
+
+
+@register(
+    "q101_hybrid_rrf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_WORDS_ALL} AS w FROM documents
+    ),
+    per AS (
+      SELECT doc_id, len(w) AS dl,
+        {", ".join(f"len(list_filter(w, x -> x = '{t}')) AS tf_{i}" for i, t in enumerate(_Q91_TERMS))}
+      FROM toks WHERE len(w) > 0
+    ),
+    stats AS (
+      SELECT COUNT(*) AS N, SUM(dl) AS sum_dl,
+        {", ".join(f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}" for i in range(len(_Q91_TERMS)))}
+      FROM per
+    ),
+    lex0 AS (
+      SELECT doc_id,
+        ROUND({" + ".join(_bm25_term_sql(i, t) for i, t in enumerate(_Q91_TERMS))}, 4) AS score
+      FROM per, stats
+      ORDER BY score DESC, doc_id LIMIT {_Q101_TOPN}
+    ),
+    lex AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+      FROM lex0
+    ),
+    nv AS (
+      SELECT vec_id, embedding,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings
+    ),
+    qv AS (SELECT embedding AS q, nrm AS qn FROM nv WHERE vec_id = {_Q101_QID}),
+    dense0 AS (
+      SELECT vec_id,
+        {_DOT.format(a='nv.embedding', b='qv.q')} / (nv.nrm * qv.qn) AS cos
+      FROM nv CROSS JOIN qv WHERE vec_id != {_Q101_QID}
+      ORDER BY cos DESC, vec_id LIMIT {_Q101_TOPN}
+    ),
+    dense AS (
+      SELECT vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rnk
+      FROM dense0
+    ),
+    u AS (
+      SELECT doc_id, {_Q101_CONTRIB} AS contrib FROM lex
+      UNION ALL
+      SELECT doc_id, {_Q101_CONTRIB} AS contrib FROM dense
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_systems,
+           ROUND(CAST(SUM(contrib) AS DOUBLE), 6) AS rrf_score
+    FROM u GROUP BY doc_id
+    ORDER BY rrf_score DESC, doc_id LIMIT {_Q101_OUT}
+    """,
+)
+def q101_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (operators/ranking.
+    rrf_fuse — Cormack et al. 2009) of the lexical BM25 top-50 (q91's
+    scorer) and the dense cosine top-50 (q45's scorer, query vec_id=1;
+    doc_id and vec_id share the id space) — how a retrieval-augmented
+    pipeline actually combines the two without score calibration.
+    Contributions 1/(60+rank) are DECIMAL(18,12)-rounded before the
+    sum (order-free, engine-exact); both input rankers tie-break by
+    id, so the fused list is fully deterministic. The expensive work
+    happens inside the rankers; fusion itself is a union of two top-50
+    lists and one tiny aggregation."""
+    from pyspark.sql import Window
+
+    from ironman_medallion_lakehouse_spark.operators.ranking import rrf_fuse
+
+    t = load_tables(spark, sf_dir, "documents", "embeddings")
+    lex = R.bm25_topk(t["documents"], _Q91_TERMS, k=_Q101_TOPN)
+    wl = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    lexr = lex.select("doc_id", F.row_number().over(wl).alias("rnk"))
+    dense = S.cosine_topk(t["embeddings"], query_id=_Q101_QID, k=_Q101_TOPN)
+    wd = Window.orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+    denser = dense.select(
+        F.col("vec_id").alias("doc_id"), F.row_number().over(wd).alias("rnk")
+    )
+    return rrf_fuse([lexr, denser], k=_Q101_RRF_K, topk=_Q101_OUT)
+
+
+# ------------------------------------------------ q102 PQ-ADC ANN
+
+_Q102_M, _Q102_SUBDIM, _Q102_CODES = 8, 8, 16
+_Q102_QID, _Q102_K = 2, 10
+_Q102_BOOKS = S.pq_random_codebooks(_Q102_M, _Q102_SUBDIM, _Q102_CODES)
+
+
+def _q102_sl(m: int) -> str:
+    """Per-subspace assignment-score list [s_c0 … s_c15]:
+    s_c = ⟨c,c⟩ − 2⟨sub,c⟩ (the ‖sub‖² term is argmin-invariant)."""
+    a, b = m * _Q102_SUBDIM + 1, (m + 1) * _Q102_SUBDIM
+    return "[" + ", ".join(
+        f"{S._code_norm2(code)!r} - 2 * list_dot_product(v[{a}:{b}], {_hp_lit(code)})"
+        for code in _Q102_BOOKS[m]
+    ) + "]"
+
+
+def _q102_adc(m: int) -> str:
+    """CASE over the assigned code: full ‖q_sub − c‖² per cell."""
+    a, b = m * _Q102_SUBDIM + 1, (m + 1) * _Q102_SUBDIM
+    qs = f"qv[{a}:{b}]"
+    branches = " ".join(
+        f"WHEN {c} THEN list_dot_product({qs}, {qs}) "
+        f"- 2 * list_dot_product({qs}, {_hp_lit(code)}) + {S._code_norm2(code)!r}"
+        for c, code in enumerate(_Q102_BOOKS[m])
+    )
+    return f"CAST(CASE code_{m} {branches} END AS DECIMAL(18,10))"
+
+
+@register(
+    "q102_pq_adc_ann",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sl AS (
+      SELECT vec_id,
+        {", ".join(f"{_q102_sl(m)} AS sl_{m}" for m in range(_Q102_M))}
+      FROM e
+    ),
+    codes AS (
+      SELECT vec_id,
+        {", ".join(f"list_position(sl_{m}, list_aggregate(sl_{m}, 'min')) - 1 AS code_{m}" for m in range(_Q102_M))}
+      FROM sl
+    ),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = {_Q102_QID}),
+    scored AS (
+      SELECT c.vec_id,
+        {" + ".join(f"{_q102_adc(m)}" for m in range(_Q102_M))} AS adc
+      FROM codes c CROSS JOIN q WHERE c.vec_id != {_Q102_QID}
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY adc ASC, vec_id ASC) AS BIGINT) AS rnk,
+           vec_id
+    FROM scored ORDER BY adc ASC, vec_id ASC LIMIT {_Q102_K}
+    """,
+)
+def q102_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance scoring
+    (operators/similarity.pq_assign / pq_adc_topk — Jégou et al. 2011):
+    the third ANN scale path beside IVF (q46) and sign-LSH (q96), and
+    the one that COMPRESSES — m=8 byte codes replace 64 float32s
+    (32×), so a 100 TB corpus's quantized form rides in executor RAM.
+    Codebooks are md5-seeded (the signlsh_hyperplanes one-source-of-
+    truth pattern; production fits them per subspace with
+    kmeans_centroids); quantization is a literal-embedded MAP-ONLY
+    codegen stage (zero shuffles, nothing collected), the per-query
+    LUT is one broadcast row built from the query row, and per-cell
+    distances are DECIMAL(18,10)-cast before the Σ_m so the ADC total
+    is accumulation-order-free. Output is (rank, id) — the float
+    discipline."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    return S.pq_adc_topk(
+        t["embeddings"], _Q102_BOOKS, query_id=_Q102_QID, k=_Q102_K
+    )
+
+
+# -------------------------------------- q103 temperature mixture resample
+
+_Q103_BUDGET, _Q103_SALT = 200, "temp"
+
+
+@register(
+    "q103_temperature_mixture",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+    ),
+    shares AS (
+      SELECT lang, cnt,
+             CAST(sqrt(CAST(cnt AS DOUBLE)) AS DECIMAL(18,6)) AS s
+      FROM counts
+    ),
+    tot AS (SELECT SUM(s) AS stot FROM shares),
+    thr AS (
+      SELECT lang,
+        CAST(floor(LEAST(1.0,
+          {float(_Q103_BUDGET)} * CAST(s AS DOUBLE) / CAST(stot AS DOUBLE)
+            / CAST(cnt AS DOUBLE)) * {SA._DENOM}) AS BIGINT) AS t
+      FROM shares, tot
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN thr ON d.lang = thr.lang
+    WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':{_Q103_SALT}'), 1, 8))::UBIGINT
+          % {SA._DENOM} < thr.t
+    """,
+)
+def q103_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed mixture resampling (operators/sampling.
+    temperature_mixture_sample — Conneau & Lample 2019 / T5 §3.4.3):
+    per-language target shares ∝ count^0.5 under a 200-doc expected
+    budget, so the dominant language is downsampled hard while rare
+    ones keep rate ≈ 1 — the standard multilingual flattening, with
+    rates DERIVED FROM THE DATA (q93's rates are operator inputs).
+    Membership is the same deterministic md5 key hash as q93. Engine-
+    exact because sqrt is IEEE-correctly-rounded, smoothed counts are
+    DECIMAL(18,6)-rounded before the exact decimal normalization sum,
+    and the remaining double arithmetic is a fixed left-associated
+    expression — see the operator docstring. Two passes: a #langs-row
+    count aggregate broadcast back, then a map-only filter."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return SA.temperature_mixture_sample(
+        docs, "lang", "doc_id", _Q103_BUDGET, alpha=0.5, salt=_Q103_SALT
+    ).select("doc_id", "lang", "source")
