@@ -671,25 +671,6 @@ def pq_random_codebooks(n_sub: int, sub_dim: int, k_codes: int) -> list:
     ]
 
 
-def _sub_slice(vec: Column, m: int, sub_dim: int) -> Column:
-    return F.slice(vec, m * sub_dim + 1, sub_dim)
-
-
-def _dot_lit(sub: Column, code: list) -> Column:
-    """Ordered left-fold ⟨sub, code⟩ against a literal code vector —
-    the same association DuckDB's list_dot_product uses, so the double
-    is engine-identical."""
-    return F.aggregate(
-        F.zip_with(
-            sub,
-            F.array(*[F.lit(float(x)) for x in code]),
-            lambda x, y: x.cast("double") * y,
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def _code_norm2(code: list) -> float:
     """⟨code, code⟩ as the exact left-fold double Python computes —
     embedded as the same literal in both engines."""
@@ -709,43 +690,62 @@ def pq_assign(
     (Jégou, Douze & Schmid 2011, "Product Quantization for Nearest
     Neighbor Search"). The argmin drops the ‖sub‖² term common to all
     codes of a subspace: argmin_c ‖sub−c‖² = argmin_c (‖c‖² − 2⟨sub,c⟩).
-    Ties break to the lowest code index via struct ordering.
+    Ties break to the LOWEST code index (np.argmin's first-occurrence
+    rule ≡ the oracle's first-index-of-min).
 
-    100 TB design: the codebook is literal-embedded (m·k·d doubles —
-    a few KB), so quantization is a single MAP-ONLY codegen stage over
-    the corpus scan: zero shuffles, zero Python, nothing collected.
-    Compressing 100 TB of float32[64] to m=8 byte codes is 32× — the
-    point of PQ: the quantized table rides in a fraction of the RAM."""
+    Implementation note — why Arrow-batched mapInPandas and not pure
+    Column math: the distance grid is m·k dot products per row (128
+    at the q102 shape). As an F.aggregate fold it runs INTERPRETED
+    (the SCALING.md HOF policy — measured ~15 s for 5k rows at
+    sf0.1); fully unrolled it exceeds janino's 64 KB method limit,
+    which silently drops the WHOLE stage out of codegen (~26 s). So
+    this is one of the repo's justified vectorized-numeric Python
+    sites (with simhash's bit-majority and the covariance partials):
+    zero-copy Arrow batches, numpy elementwise ops, no shuffle.
+
+    Cross-engine determinism: accumulation is an explicit loop over
+    the sub-dimension (acc += v_d·c_d), i.e. the same left
+    association as DuckDB's list_dot_product — never np.dot/@, whose
+    BLAS kernels reorder the sum.
+
+    100 TB design: a map-only one-time ENCODE pass (the IVF-build
+    analogue, not a per-query cost) that compresses float32[64] to
+    m=8 small codes (32×) — the point of PQ: the quantized corpus
+    rides in executor RAM and ADC scans never touch the raw vectors."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
     n_sub = len(codebooks)
     sub_dim = len(codebooks[0][0])
-    from ironman_medallion_lakehouse_spark.functions.text import _let
-
-    def one_code(m: int):
-        def body(sub: Column) -> Column:
-            cands = F.array(
-                *[
-                    F.struct(
-                        (
-                            F.lit(_code_norm2(code))
-                            - F.lit(2.0) * _dot_lit(sub, code)
-                        ).alias("s"),
-                        F.lit(c).cast("bigint").alias("c"),
-                    )
-                    for c, code in enumerate(codebooks[m])
-                ]
-            )
-            return F.array_min(cands)["c"]
-
-        return body
-
-    vec = F.col(vec_col)
-    return embeddings.select(
-        F.col(id_col),
-        *[
-            _let(_sub_slice(vec, m, sub_dim), one_code(m)).alias(f"code_{m}")
-            for m in range(n_sub)
-        ],
+    codes_arr = [np.array(book, dtype=np.float64) for book in codebooks]  # (k, d)
+    norms = [
+        np.array([_code_norm2(code) for code in book], dtype=np.float64)
+        for book in codebooks
+    ]
+    schema = StructType(
+        [StructField(id_col, LongType())]
+        + [StructField(f"code_{m}", LongType()) for m in range(n_sub)]
     )
+
+    def encode(batches):
+        for pdf in batches:
+            import pandas as pd
+
+            v = np.array(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            out = {id_col: pdf[id_col].astype("int64")}
+            for m in range(n_sub):
+                off = m * sub_dim
+                acc = np.zeros((len(pdf), len(codes_arr[m])))
+                for d in range(sub_dim):
+                    # ordered accumulation == the engines' left fold
+                    acc += v[:, off + d, None] * codes_arr[m][None, :, d]
+                score = norms[m][None, :] - 2.0 * acc
+                out[f"code_{m}"] = np.argmin(score, axis=1).astype("int64")
+            yield pd.DataFrame(out)
+
+    return embeddings.select(id_col, vec_col).mapInPandas(encode, schema)
 
 
 def pq_adc_topk(
@@ -757,16 +757,18 @@ def pq_adc_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Top-k by asymmetric PQ distance to the ``query_id`` row:
-    ADC(v) = Σ_m ‖q_sub_m − code(v)_m‖², computed as an element_at
-    into a per-query lookup table of m·k distances.
+    ADC(v) = Σ_m ‖q_sub_m − code(v)_m‖², a per-subspace lookup into a
+    query-specific table of m·k precomputed distances.
 
-    Plan shape: quantization is map-only (see ``pq_assign``); the LUT
-    is ONE row built from the query row (‖q_m‖² − 2⟨q_m,c⟩ + ‖c‖² per
-    cell, as a map column) and crossJoin(broadcast(…))-ed into the
-    scoring scan — the bm25 corpus-stats pattern; the final top-k is
-    TakeOrderedAndProject. Per-cell distances are cast to
-    DECIMAL(18,10) before the Σ_m so the total is accumulation-order-
-    independent and engine-exact (the repo's dsum discipline).
+    Plan shape: quantization is a map-only encode (see ``pq_assign``);
+    the query row is collected ONCE (one row of dim floats — the
+    IvfIndex.probe_cells precedent) and the LUT becomes m literal
+    arrays, so scoring is element_at + a decimal sum inside codegen,
+    and the final top-k is TakeOrderedAndProject. Per-cell distances
+    are cast to DECIMAL(18,10) before the Σ_m so the total is
+    accumulation-order-independent and engine-exact (the repo's dsum
+    discipline). LUT doubles are computed with the same ordered
+    accumulation as the engines' left fold.
 
     Output: (rnk, id) — the (rank, id) float discipline; distances
     order the heap but never leave the plan."""
@@ -775,44 +777,41 @@ def pq_adc_topk(
     n_sub = len(codebooks)
     k_codes = len(codebooks[0])
     sub_dim = len(codebooks[0][0])
-    qvec = F.col(vec_col)
 
-    lut_keys, lut_vals = [], []
+    qrow = embeddings.filter(F.col(id_col) == query_id).select(vec_col).collect()
+    if not qrow:
+        raise ValueError(f"query_id {query_id} not found in embeddings")
+    qv = [float(x) for x in qrow[0][0]]
+
+    # LUT cell (m, c): ‖q_m‖² − 2⟨q_m, code⟩ + ‖code‖², every term the
+    # exact left-fold double both engines compute
+    lut: list[list[float]] = []
     for m in range(n_sub):
-        qs = _sub_slice(qvec, m, sub_dim)
-        for c, code in enumerate(codebooks[m]):
-            lut_keys.append(F.lit(m * k_codes + c))
-            lut_vals.append(
-                F.aggregate(
-                    F.transform(qs, lambda x: x.cast("double") * x.cast("double")),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                - F.lit(2.0) * _dot_lit(qs, code)
-                + F.lit(_code_norm2(code))
-            )
-    lut = (
-        embeddings.filter(F.col(id_col) == query_id)
-        .select(
-            F.map_from_arrays(F.array(*lut_keys), F.array(*lut_vals)).alias("_lut")
-        )
-    )
+        off = m * sub_dim
+        qself = 0.0
+        for d in range(sub_dim):
+            qself += qv[off + d] * qv[off + d]
+        row = []
+        for code in codebooks[m]:
+            dotqc = 0.0
+            for d in range(sub_dim):
+                dotqc += qv[off + d] * float(code[d])
+            row.append(qself - 2.0 * dotqc + _code_norm2(code))
+        lut.append(row)
 
     assigned = pq_assign(embeddings, codebooks, id_col, vec_col)
     cells = [
         F.element_at(
-            F.col("_lut"),
-            (F.lit(m * k_codes) + F.col(f"code_{m}")).cast("int"),
+            F.array(*[F.lit(v) for v in lut[m]]),
+            (F.col(f"code_{m}") + 1).cast("int"),
         ).cast("decimal(18,10)")
         for m in range(n_sub)
     ]
     total = cells[0]
     for cexp in cells[1:]:
         total = total + cexp
-    scored = (
-        assigned.crossJoin(F.broadcast(lut))
-        .filter(F.col(id_col) != query_id)
-        .select(F.col(id_col), total.alias("_adc"))
+    scored = assigned.filter(F.col(id_col) != query_id).select(
+        F.col(id_col), total.alias("_adc")
     )
     w = Window.orderBy(F.col("_adc").asc(), F.col(id_col).asc())
     return (

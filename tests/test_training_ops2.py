@@ -157,7 +157,9 @@ def test_pq_assign_is_map_only(spark):
         [Row(vec_id=i, embedding=[float(i), 1.0, 0.5, 2.0]) for i in range(8)]
     )
     plan = _plan_of(S.pq_assign(emb, books))
-    assert "Exchange" not in plan  # zero shuffles: literal-embedded codebook
+    # zero shuffles: one Arrow-batched encode pass over the scan
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
 
 
 def test_pq_adc_topk_finds_planted_neighbor(spark):
