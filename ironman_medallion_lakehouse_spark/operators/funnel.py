@@ -1,0 +1,133 @@
+"""Event-sequence analytics over the events table: conversion funnels
+and retention cohorts.
+
+Beyond-reference extensions (BASELINE.json north star: the event-
+analytics queries an engine serving product teams must answer).
+
+- ``funnel_stages``: the windowed conversion funnel — for an ordered
+  list of stages (view → click → purchase), each user's earliest
+  qualifying timestamp per stage, where stage i+1 must occur within
+  ``window_seconds`` AFTER the user's stage-i timestamp. The
+  conversion window is what makes a funnel a funnel: without it any
+  co-occurrence across a month counts as a "conversion".
+- ``retention_cohorts``: the classic cohort-retention matrix — users
+  grouped by the week of their first event, counted in each later
+  week they were active.
+
+100 TB design: every frame here is USER-cardinality, not event-
+cardinality — stage 1 collapses the event stream to one row per user
+immediately, and each later stage joins events against that compact
+frame. All shuffles hash on the same ``user_id`` key, so the stage
+joins and aggregations share co-partitioning; no events-side
+all-to-all beyond the per-stage aggregate. Retention's distinct
+(user, week) pre-aggregation bounds the second shuffle at
+users × active-weeks. Neither op sorts globally, collects, or leaves
+codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_stages(
+    events: DataFrame,
+    stages: list[str],
+    window_seconds: int = 3600,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(user, t_<stage0>, t_<stage1>, …): earliest qualifying timestamp
+    per stage, NULL once the funnel is abandoned. A user enters the
+    funnel at their EARLIEST stage-0 event; stage i+1 qualifies if it
+    lands in (t_i, t_i + window] — strictly after, the standard
+    "caused by" reading. Only users who entered stage 0 appear."""
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    ts = F.col(ts_col)
+
+    cur = (
+        events.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias(f"t_{stages[0]}"))
+    )
+    for prev, stage in zip(stages, stages[1:]):
+        nxt = (
+            events.filter(F.col(type_col) == stage)
+            .join(cur.select(user_col, f"t_{prev}"), user_col)
+            .filter(
+                (ts > F.col(f"t_{prev}"))
+                & (
+                    ts
+                    <= F.col(f"t_{prev}")
+                    + F.expr(f"INTERVAL {int(window_seconds)} SECOND")
+                )
+            )
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"t_{stage}"))
+        )
+        cur = cur.join(nxt, user_col, "left")
+    return cur
+
+
+def funnel_summary(
+    events: DataFrame,
+    stages: list[str],
+    window_seconds: int = 3600,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(stage_index, stage, n_users): how many users reached each
+    stage — the funnel chart itself. Derived from ``funnel_stages``
+    with one tiny aggregate (output = #stages rows)."""
+    per_user = funnel_stages(
+        events, stages, window_seconds, user_col, ts_col, type_col
+    )
+    counts = per_user.agg(
+        *[F.count(f"t_{s}").cast("bigint").alias(f"n_{i}") for i, s in enumerate(stages)]
+    )
+    pairs = []
+    for i, s in enumerate(stages):
+        pairs.append(
+            F.struct(
+                F.lit(i).cast("bigint").alias("stage_index"),
+                F.lit(s).alias("stage"),
+                F.col(f"n_{i}").alias("n_users"),
+            )
+        )
+    return counts.select(F.explode(F.array(*pairs)).alias("r")).select("r.*")
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(cohort_week, week_offset, n_users): users bucketed by the ISO
+    week of their first event, counted distinct in each week they were
+    active. ``week_offset`` 0 is the cohort week itself (so row 0 is
+    the cohort's size); offsets are exact multiples of 7 days /
+    7 — engine-portable without week-epoch conventions."""
+    week = F.date_trunc("week", F.col(ts_col))
+    first = (
+        events.groupBy(user_col)
+        .agg(F.min(ts_col).alias("_first_ts"))
+        .select(
+            user_col,
+            F.date_trunc("week", F.col("_first_ts")).alias("cohort_week"),
+        )
+    )
+    active = events.select(user_col, week.alias("active_week")).distinct()
+    return (
+        active.join(first, user_col)
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / F.lit(7))
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct(user_col).alias("n_users"))
+    )

@@ -745,6 +745,7 @@ def _load_all() -> None:
     """Import the sibling suite modules so their @register calls run.
     Deferred (not top-of-module) to avoid a circular import: those
     modules import ``register`` from here."""
+    import ironman_medallion_lakehouse_spark.suite_analytics  # noqa: F401
     import ironman_medallion_lakehouse_spark.suite_extensions  # noqa: F401
     import ironman_medallion_lakehouse_spark.suite_more  # noqa: F401
     import ironman_medallion_lakehouse_spark.suite_training  # noqa: F401

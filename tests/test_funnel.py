@@ -1,0 +1,103 @@
+"""Unit tests for operators/funnel.py — windowed conversion funnels
+and retention cohorts on hand-built event streams."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from ironman_medallion_lakehouse_spark.operators import funnel as FU
+
+
+def _ev(user, kind, minute):
+    return Row(
+        user_id=user,
+        event_type=kind,
+        ts=dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=minute),
+    )
+
+
+def test_funnel_hand_computed(spark):
+    events = spark.createDataFrame(
+        [
+            # user 1 converts fully: view@0, click@10, purchase@20
+            _ev(1, "view", 0), _ev(1, "click", 10), _ev(1, "purchase", 20),
+            # user 2 clicks but purchase is outside the window
+            _ev(2, "view", 0), _ev(2, "click", 30), _ev(2, "purchase", 300),
+            # user 3 clicks BEFORE the view — does not qualify
+            _ev(3, "click", 0), _ev(3, "view", 10),
+            # user 4 never views — not in the funnel at all
+            _ev(4, "click", 0), _ev(4, "purchase", 5),
+        ]
+    )
+    out = {
+        r.user_id: r
+        for r in FU.funnel_stages(
+            events, ["view", "click", "purchase"], window_seconds=3600
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1].t_purchase is not None
+    assert out[2].t_click is not None and out[2].t_purchase is None
+    assert out[3].t_click is None
+    # earliest QUALIFYING click, not earliest overall: user 3's minute-0
+    # click precedes the view and is skipped
+
+
+def test_funnel_picks_earliest_qualifying(spark):
+    events = spark.createDataFrame(
+        [
+            _ev(1, "view", 0),
+            _ev(1, "click", 5),
+            _ev(1, "click", 15),  # later click must not win
+        ]
+    )
+    row = FU.funnel_stages(events, ["view", "click"], 3600).collect()[0]
+    assert row.t_click.minute == 5
+
+
+def test_funnel_strictly_after(spark):
+    # click at the same instant as the view does NOT qualify
+    events = spark.createDataFrame([_ev(1, "view", 0), _ev(1, "click", 0)])
+    row = FU.funnel_stages(events, ["view", "click"], 3600).collect()[0]
+    assert row.t_click is None
+
+
+def test_funnel_summary_counts(spark):
+    events = spark.createDataFrame(
+        [
+            _ev(1, "view", 0), _ev(1, "click", 1),
+            _ev(2, "view", 0),
+        ]
+    )
+    rows = {r.stage: r.n_users for r in FU.funnel_summary(
+        events, ["view", "click"], 3600
+    ).collect()}
+    assert rows == {"view": 2, "click": 1}
+
+
+def test_retention_hand_computed(spark):
+    jan1 = dt.datetime(2024, 1, 1, 12, 0)  # a Monday
+    events = spark.createDataFrame(
+        [
+            # user 1: first week 0, active weeks 0 and 2
+            Row(user_id=1, event_type="view", ts=jan1),
+            Row(user_id=1, event_type="view", ts=jan1 + dt.timedelta(days=14)),
+            # user 2: first week 0, active week 0 only (two events same week)
+            Row(user_id=2, event_type="view", ts=jan1 + dt.timedelta(days=1)),
+            Row(user_id=2, event_type="view", ts=jan1 + dt.timedelta(days=2)),
+            # user 3: joins in week 1
+            Row(user_id=3, event_type="view", ts=jan1 + dt.timedelta(days=7)),
+        ]
+    )
+    got = {
+        (r.cohort_week.date(), r.week_offset): r.n_users
+        for r in FU.retention_cohorts(events).collect()
+    }
+    w0 = dt.date(2024, 1, 1)
+    w1 = dt.date(2024, 1, 8)
+    assert got[(w0, 0)] == 2          # users 1 and 2 in cohort week 0
+    assert got[(w0, 2)] == 1          # user 1 returns two weeks later
+    assert got[(w1, 0)] == 1          # user 3's own cohort
+    assert (w0, 1) not in got         # nobody from cohort 0 active week 1
