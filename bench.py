@@ -62,6 +62,10 @@ HEADLINE = [
     # across rounds): lexical ranking + incremental crawl-batch dedup
     "q91_bm25_topk",
     "q94_incremental_dedup",
+    # r5 continuation: cross-doc duplicate spans, PQ-ADC ANN, funnel
+    "q100_dup_span_coverage",
+    "q102_pq_adc_ann",
+    "q104_conversion_funnel",
 ]
 
 

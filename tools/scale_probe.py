@@ -36,7 +36,9 @@ from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
 from ironman_medallion_lakehouse_spark.session import get_spark, load_tables  # noqa: E402
 from ironman_medallion_lakehouse_spark import suite  # noqa: E402
+from ironman_medallion_lakehouse_spark.operators import contamination as C  # noqa: E402
 from ironman_medallion_lakehouse_spark.operators import dedup as D  # noqa: E402
+from ironman_medallion_lakehouse_spark.operators import funnel as FU  # noqa: E402
 from ironman_medallion_lakehouse_spark.streaming.event_windows import sessionize  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -85,6 +87,10 @@ def _probe_queries(spark, factor: int):
         "window": sessionize(ev),
         # q55 shape: zero-shuffle minhash
         "minhash": D.minhash_signatures(docs, k=16),
+        # q104 shape: user-cardinality stage frames joined on one key
+        "funnel": FU.funnel_stages(
+            ev, ["view", "click", "purchase"], window_seconds=86400
+        ),
     }
 
 
@@ -148,7 +154,17 @@ def _probe_dedup(spark, factor: int, out: dict) -> None:
 
         return build
 
-    for name, mk in [("dedup_groups_q83", groups), ("winnowing_q85", winnow)]:
+    def spans(d):
+        def build():
+            return C.duplicate_span_coverage(d, n=8)
+
+        return build
+
+    for name, mk in [
+        ("dedup_groups_q83", groups),
+        ("winnowing_q85", winnow),
+        ("dup_spans_q100", spans),
+    ]:
         _time_e2e(mk(docs1))  # warm codegen/JIT on the small side
         t1 = _time_e2e(mk(docs1))
         tn = _time_e2e(mk(docsn))
