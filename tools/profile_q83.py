@@ -4,7 +4,13 @@ own localCheckpoint so the wall time attributes to ONE stage; the
 total therefore slightly overstates the fused pipeline (extra
 materializations) but localizes the cost.
 
-Run on an otherwise-idle box:  python tools/profile_q83.py [sf_dir]
+Run on an otherwise-idle box:  python tools/profile_q83.py [sf_dir] [factor]
+
+``factor`` > 1 replicates the corpus with the scale probe's
+token-salted replicator (disjoint corpora, preserved internal
+near-dup structure) and stages the CONTRACTED pipeline exactly as
+``near_dedup_groups`` runs it — the tool for localizing which stage
+moves when the 8x end-to-end number swings.
 """
 
 from __future__ import annotations
@@ -25,12 +31,17 @@ from ironman_medallion_lakehouse_spark import suite_extensions as SE  # noqa: E4
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     spark = get_spark()
     t0 = time.perf_counter()
     t = load_tables(spark, sf_dir, "documents")
     docs = t["documents"]
+    if factor > 1:
+        from tools.scale_probe import _replicate_docs
+
+        docs = _replicate_docs(docs, factor).localCheckpoint(eager=True)
     n_docs = docs.count()
-    print(f"load+count {n_docs} docs: {time.perf_counter() - t0:.2f}s")
+    print(f"load+count {n_docs} docs (factor {factor}): {time.perf_counter() - t0:.2f}s")
 
     def stage(name, df):
         t0 = time.perf_counter()
@@ -42,7 +53,13 @@ def main() -> None:
     for run in ("cold", "warm"):
         print(f"--- {run} ---")
         t_all = time.perf_counter()
-        sigs = stage("signatures", D.minhash_signatures(docs, k=SE._LSH_K))
+        doc_rep = stage("set_contraction", D._set_rep_map(docs, "text", "doc_id"))
+        rep_docs = docs.join(
+            doc_rep.filter(D.F.col("doc_id") == D.F.col("_rep")).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        sigs = stage("signatures", D.minhash_signatures(rep_docs, k=SE._LSH_K))
         cand = stage(
             "lsh_band_join",
             D.lsh_candidate_pairs(sigs, k=SE._LSH_K, bands=SE._Q83_BANDS),
@@ -58,11 +75,11 @@ def main() -> None:
         pairs = stage(
             "jaccard_refine",
             D.jaccard_refine(
-                agree, docs, threshold=SE._Q83_THRESHOLD, hashed_tokens=True
+                agree, rep_docs, threshold=SE._Q83_THRESHOLD, hashed_tokens=True
             ),
         )
         t0 = time.perf_counter()
-        out = dedup_groups_from_pairs(docs, pairs)
+        out = dedup_groups_from_pairs(rep_docs, pairs)
         n = out.count()
         print(f"connected_components+assign: {time.perf_counter() - t0:.2f}s rows={n}")
         print(f"TOTAL (staged): {time.perf_counter() - t_all:.2f}s")
