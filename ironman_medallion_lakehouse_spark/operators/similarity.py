@@ -731,6 +731,10 @@ def pq_assign(
         for pdf in batches:
             import pandas as pd
 
+            if len(pdf) == 0:
+                # an empty Arrow batch would collapse np.array to 1-D
+                # and break the column indexing below
+                continue
             v = np.array(
                 [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
             )

@@ -235,3 +235,39 @@ def test_temperature_sample_is_deterministic(spark):
         ).collect()
     }
     assert a == b and a
+
+
+def test_pq_assign_survives_empty_partitions(spark):
+    books = S.pq_random_codebooks(2, 2, 4)
+    emb = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[1.0, 2.0, 3.0, 4.0])]
+    ).repartition(8)  # 7 empty partitions -> empty Arrow batches
+    assert S.pq_assign(emb, books).count() == 1
+
+
+def test_duplicate_span_coverage_full_copy_is_fully_covered(spark):
+    text = " ".join(f"t{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=text), Row(doc_id=2, text=text)]
+    )
+    out = {r.doc_id: r for r in C.duplicate_span_coverage(docs, n=8).collect()}
+    assert out[1].dup_fraction == 1.0 and out[2].dup_fraction == 1.0
+
+
+def test_benchmark_overlap_counts_distinct_grams_once(spark):
+    # the same contaminated 8-gram occurring twice in a training doc
+    # counts ONCE (distinct grams, the published protocol)
+    g = "w1 w2 w3 w4 w5 w6 w7 w8"
+    docs = spark.createDataFrame([Row(doc_id=1, text=g + " mid " + g)])
+    bench = spark.createDataFrame([Row(doc_id=9, text=g)])
+    row = C.benchmark_overlap(docs, bench, n=8).collect()[0]
+    assert row.n_overlap == 1
+
+
+def test_temperature_mixture_total_budget_respected(spark):
+    rows = [Row(k=i, lang=l) for l in ("a", "b", "c") for i in range(100)]
+    rows = [Row(k=i * 10 + j, lang=l) for j, l in enumerate(("a", "b", "c")) for i in range(100)]
+    df = spark.createDataFrame(rows)
+    kept = SA.temperature_mixture_sample(df, "lang", "k", total_budget=90).count()
+    # expected 90 (30 per equal stratum); hash noise stays well inside 2x
+    assert 50 <= kept <= 130
