@@ -93,6 +93,8 @@ def streaming_dedup_ingest(
     bands: int = 16,
     threshold: float = 0.9,
     commit_retries: int = 5,
+    benchmark=None,
+    decontaminate_n: int = 8,
 ):
     """The streaming crawl-ingest GATE — the training-data pipeline's
     front door, composed from this repo's own operators: every
@@ -115,8 +117,28 @@ def streaming_dedup_ingest(
     periodic retro-compaction — the gate's job is bounding per-batch
     work, the batch's own dups are one batch's worth by definition.
 
+    ``benchmark`` (optional) adds the DECONTAMINATION arm (q99's
+    8-gram collision test) in front of dedup: a static frame of
+    held-out eval documents whose distinct n-gram hashes are computed
+    ONCE at stream start (eval sets are static; re-shingling them per
+    batch would be corpus-independent but still wasteful) and
+    broadcast into each batch — any crawl doc sharing an n-gram with
+    the benchmark is rejected before it can enter the corpus. This is
+    the production ordering: leaking eval data into the corpus is
+    unrecoverable downstream, so the gate refuses it at the door.
+
     Returns the streaming query; caller drives it."""
+    from ironman_medallion_lakehouse_spark.operators import contamination as CO
     from ironman_medallion_lakehouse_spark.operators import dedup as D
+
+    bench_grams = None
+    if benchmark is not None:
+        bench_grams = (
+            CO.positional_ngram_hashes(benchmark, decontaminate_n, text_col, id_col)
+            .select("gram")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
 
     def _retrying(fn) -> None:
         for attempt in range(commit_retries + 1):
@@ -128,7 +150,18 @@ def streaming_dedup_ingest(
                     raise
 
     def _gate_batch(batch_df, batch_id: int) -> None:
-        batch_df = batch_df.dropDuplicates([id_col]).localCheckpoint(eager=True)
+        batch_df = batch_df.dropDuplicates([id_col])
+        if bench_grams is not None:
+            dirty = (
+                CO.positional_ngram_hashes(
+                    batch_df, decontaminate_n, text_col, id_col
+                )
+                .join(F.broadcast(bench_grams), "gram", "left_semi")
+                .select(id_col)
+                .distinct()
+            )
+            batch_df = batch_df.join(dirty, id_col, "left_anti")
+        batch_df = batch_df.localCheckpoint(eager=True)
         if store.table_exists(corpus_table):
             corpus = store.read(corpus_table).select(id_col, text_col)
             corpus_sigs = store.read(sig_table)

@@ -131,3 +131,43 @@ def test_streaming_dedup_ingest_gate(spark, tmp_path):
         assert {r.doc_id for r in store.read("corpus.doc_signatures").collect()} == {1, 2, 12}
     finally:
         query.stop()
+
+
+def test_streaming_gate_decontaminates_against_benchmark(spark, tmp_path):
+    """The decontamination arm: a crawl doc sharing an 8-gram with the
+    held-out benchmark is refused at the door — before dedup, before
+    the corpus ever sees it — while clean docs flow through."""
+    from ironman_medallion_lakehouse_spark.streaming.ingest import (
+        streaming_dedup_ingest,
+    )
+
+    src = str(tmp_path / "docs_src")
+    store = TableStore(spark, str(tmp_path / "wh"))
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta"
+    benchmark = spark.createDataFrame(
+        [Row(doc_id=900, text="prefix " + eval_text + " suffix")]
+    )
+    b1 = spark.createDataFrame([
+        # embeds the benchmark 8-gram verbatim -> contaminated
+        Row(doc_id=1, text="leading words then " + eval_text + " trailing words"),
+        Row(doc_id=2, text="entirely clean content about spark shuffles and partitions here"),
+    ])
+    b1.write.mode("append").parquet(src)
+    query = streaming_dedup_ingest(
+        spark, store, src, b1.schema, str(tmp_path / "ckpt"),
+        bands=16, threshold=0.8, benchmark=benchmark,
+    )
+    try:
+        query.processAllAvailable()
+        admitted = {r.doc_id for r in store.read("corpus.documents").collect()}
+        assert admitted == {2}
+        # later batch: another contaminated doc plus a clean novel one
+        spark.createDataFrame([
+            Row(doc_id=10, text=eval_text + " with extra tokens appended afterwards"),
+            Row(doc_id=11, text="totally novel text with no overlap whatsoever in any token plane"),
+        ]).write.mode("append").parquet(src)
+        query.processAllAvailable()
+        admitted = {r.doc_id for r in store.read("corpus.documents").collect()}
+        assert admitted == {2, 11}
+    finally:
+        query.stop()
