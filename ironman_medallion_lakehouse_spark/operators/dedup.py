@@ -726,3 +726,55 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
             yield pd.DataFrame({"doc_id": list(pdf[id_col]), "simhash": hashes})
 
     return docs.select(id_col, text_col).mapInPandas(_batch, _SIMHASH_SCHEMA)
+
+
+def containment_refine(
+    candidates: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.95,
+    jaccard_bar: float = 0.9,
+    hashed_tokens: bool = True,
+) -> DataFrame:
+    """Exact token-set CONTAINMENT over a candidate-pair set — Broder's
+    asymmetric resemblance: C(A,B) = |A∩B| / |A|. Whole-document
+    Jaccard misses subset-style duplication (a page embedded in a
+    longer page scores J = |A|/|B|, arbitrarily low as the host
+    grows); containment of the smaller side, max(C(A,B), C(B,A)) =
+    |A∩B| / min(|A|,|B|), is the signal exact-substring pipelines
+    (Lee et al. 2022) chase at the token-set level.
+
+    Emits pairs with containment ≥ ``threshold``:
+    (id_a, id_b, containment, jaccard, subset_style) where
+    ``subset_style`` marks the pairs Jaccard-based dedup (at
+    ``jaccard_bar``) would NOT have caught — the operator's reason to
+    exist. Cost is O(candidates) — two hash joins, same shape as
+    ``jaccard_refine``; note the size-compatibility guard does NOT
+    apply here (small-in-large is the point, so no size ratio rules a
+    pair out). Candidate recall is the generator's: MinHash banding
+    recalls subset pairs down to J ≈ its s-curve floor, i.e. size
+    ratio ≥ θ for true subsets — pair it with loose banding (r=4), or
+    winnowing fingerprints for locality-based recall."""
+    tok_expr = word_set(text_col)
+    if hashed_tokens:
+        tok_expr = F.transform(tok_expr, token_hash_raw)
+    ws = docs.select(F.col(id_col), tok_expr.alias("ws"))
+    a = ws.select(F.col(id_col).alias("id_a"), F.col("ws").alias("ws_a"))
+    b = ws.select(F.col(id_col).alias("id_b"), F.col("ws").alias("ws_b"))
+    sz_a, sz_b = F.size(F.col("ws_a")), F.size(F.col("ws_b"))
+    inter = F.size(F.array_intersect(F.col("ws_a"), F.col("ws_b")))
+    cont = inter.cast("double") / F.least(sz_a, sz_b).cast("double")
+    jac = inter.cast("double") / (sz_a + sz_b - inter).cast("double")
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cont, 6).alias("containment"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .withColumn("subset_style", F.col("jaccard") < F.lit(jaccard_bar))
+    )

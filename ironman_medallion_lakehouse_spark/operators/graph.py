@@ -231,6 +231,91 @@ def connected_components(
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge frame:
+    (node, rank) after ``iterations`` rounds of
+
+        rank_i(v) = (1-d)/N + d * Σ_{(u,v)∈E} rank_{i-1}(u) / outdeg(u)
+
+    — the power-iteration form of Brin & Page 1998, run a FIXED number
+    of rounds so the result is a deterministic function of the graph
+    (convergence-threshold stopping would make the answer depend on
+    float noise; pipelines that want convergence just pass a larger
+    ``iterations``). Nodes are every endpoint of ``edges``
+    (duplicates collapse; self-loops participate like any edge).
+    Dangling mass is NOT redistributed: a node with no out-edges
+    contributes nothing, matching the plain formula the oracle states.
+
+    Determinism (the repo policy, see SCALING.md "floating point"):
+    ranks live in DECIMAL(28,10) and per-edge contributions are
+    rounded into DECIMAL(28,14) BEFORE the incoming-edge sum, so the
+    only order-sensitive reduction is an exact decimal sum —
+    partition- and engine-independent. The scalar double math
+    ((1-d)/N + d·S) is a fixed left-to-right expression both engines
+    evaluate identically.
+
+    Scale shape: the rank frame is one row per node — |V| rows
+    against |E| edges, exactly CC's mapping-vs-edges asymmetry. Each
+    round is two joins that shuffle on the SAME key (src), then one
+    map-side-combined groupBy(dst); AQE broadcasts the rank frame
+    outright once |V| fits the threshold. Per-round frames are
+    localCheckpoint-ed so 50 iterations never accumulate lineage.
+    The degree frame and N are computed once, outside the loop.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n = nodes.count()  # one scalar — bounded driver state
+    base = (1.0 - damping) / float(n)
+    ranks = nodes.select(
+        "node", F.lit(1.0 / float(n)).cast("decimal(28,10)").alias("rank")
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(deg, "src")
+            .select(
+                "dst",
+                (F.col("rank").cast("double") / F.col("outdeg"))
+                .cast("decimal(28,14)")
+                .alias("c"),
+            )
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(sums, nodes["node"] == sums["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * F.coalesce(
+                        F.col("s"), F.lit(0).cast("decimal(38,14)")
+                    ).cast("double")
+                )
+                .cast("decimal(28,10)")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
 def dedup_groups_from_pairs(
     docs: DataFrame,
     pairs: DataFrame,

@@ -144,3 +144,78 @@ def temperature_mixture_sample(
         .filter(_uhash(F.col(key_col), salt) < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    is_target: Column,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by how much more likely its hashed-unigram bag is under the TARGET
+    distribution (rows where ``is_target``) than under the RAW corpus
+    distribution — the standard way to tilt a 100 TB crawl toward a
+    curated domain without training a classifier.
+
+        log w(x) = Σ_b c_b(x) · ( ln p̂_T[b] − ln p̂_R[b] )
+
+    with tokens hashed into ``n_buckets`` buckets and add-1 smoothed
+    bucket unigram models p̂. Output: (id, n_tokens, log_weight).
+
+    Plan shape: one explode+groupBy builds the per-doc bucket counts
+    (map-side combined, output bounded by docs × distinct-buckets);
+    the bucket models are ONE aggregate over the same token stream
+    (``n_buckets`` rows — broadcast); scoring is a broadcast join plus
+    a grouped decimal sum. Nothing driver-side, nothing quadratic.
+
+    Determinism: the per-bucket log-ratio is rounded into
+    DECIMAL(18,6) BEFORE the per-doc Σ c_b·lr_b, which is then an
+    exact integer×decimal sum — order-free across partitions and
+    engines (the q98 policy); ln's last-ulp wobble is absorbed by the
+    6-decimal rounding."""
+    from ironman_medallion_lakehouse_spark.operators.dedup import token_hash_raw, words
+
+    tf = docs.select(
+        F.col(id_col),
+        is_target.alias("_tgt"),
+        F.explode(words(text_col)).alias("tok"),
+    ).select(
+        F.col(id_col),
+        "_tgt",
+        F.pmod(token_hash_raw(F.col("tok")), F.lit(n_buckets)).alias("bucket"),
+    )
+    doc_bucket = tf.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    raw = tf.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt_raw"),
+        F.sum(F.col("_tgt").cast("long")).alias("cnt_tgt"),
+    )
+    tot = raw.agg(
+        F.sum("cnt_raw").alias("tot_raw"), F.sum("cnt_tgt").alias("tot_tgt")
+    )
+    b = F.lit(n_buckets)
+    lr = (
+        F.log(
+            (F.col("cnt_tgt") + 1).cast("double")
+            / (F.col("tot_tgt") + b).cast("double")
+        )
+        - F.log(
+            (F.col("cnt_raw") + 1).cast("double")
+            / (F.col("tot_raw") + b).cast("double")
+        )
+    ).cast("decimal(18,6)")
+    ratio = raw.crossJoin(F.broadcast(tot)).select(F.col("bucket"), lr.alias("lr"))
+    return (
+        doc_bucket.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.round(F.sum(F.col("cnt") * F.col("lr")).cast("double"), 4).alias(
+                "log_weight"
+            ),
+        )
+    )

@@ -825,3 +825,95 @@ def pq_adc_topk(
             F.row_number().over(w).cast("bigint").alias("rnk"), F.col(id_col)
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# scalar quantization — int8 symmetric (the compression path beside PQ)
+# ---------------------------------------------------------------------------
+
+def sq8_encode(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization of an embedding column:
+    (id, scale, codes array<int>) with code_i = round(x_i/scale·127),
+    scale = max|x_i| per vector — the 4× compression every vector
+    store ships (FAISS SQ8 / Milvus / pgvector halfvec-style) and the
+    cheap sibling of PQ (q102): no codebook to train, exact per-dim
+    reconstruction bound scale/127.
+
+    Map-only: two linear HOFs per row (an abs-max and the code
+    transform) — O(dim) each, inside the SCALING.md HOF policy (the
+    interpreted-HOF trap is QUADRATIC folds; linear per-row transforms
+    of a 64-wide array are fine and keep the op shuffle-free at any
+    scale). The ``greatest(…, 1e-12)`` guard makes the zero vector
+    encode to zeros instead of NaN."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12)
+    )
+    return (
+        embeddings.select(F.col(id_col), v.alias("_v"), scale.alias("_scale"))
+        .select(
+            F.col(id_col),
+            F.col("_scale").alias("scale"),
+            F.transform(
+                F.col("_v"),
+                lambda x: F.round(x / F.col("_scale") * 127).cast("int"),
+            ).alias("codes"),
+        )
+    )
+
+
+def sq8_recon_stats(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector int8 reconstruction audit: (id, scale_r, code_0,
+    codes_sig, mean_abs_err) where codes_sig is md5 over the
+    comma-joined code array (so the oracle certifies EVERY code, not a
+    sample, through one scalar column) and mean_abs_err averages
+    |dequant(code) − x| — the quality metric that decides whether SQ8
+    is enough or the index needs PQ/float.
+
+    Shape: encode is map-only; the error sum explodes to per-element
+    rows whose DECIMAL(18,9)-rounded errors are summed with map-side
+    combine — the explode never leaves the stage, and the decimal
+    rounding makes the mean partition- and engine-exact (q98 policy)."""
+    enc = sq8_encode(embeddings, id_col, vec_col)
+    sig = F.md5(
+        F.concat_ws(",", F.transform(F.col("codes"), lambda c: c.cast("string")))
+    )
+    base = embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    joined = base.join(enc, id_col).select(
+        F.col(id_col),
+        F.col("scale"),
+        sig.alias("codes_sig"),
+        F.element_at(F.col("codes"), 1).alias("code_0"),
+        F.posexplode(F.col("_v")),
+    )
+    err = F.abs(
+        F.round(F.col("col") / F.col("scale") * 127) / 127 * F.col("scale")
+        - F.col("col")
+    ).cast("decimal(18,9)")
+    return (
+        joined.select(
+            F.col(id_col), "scale", "codes_sig", "code_0", err.alias("_e")
+        )
+        .groupBy(id_col, "scale", "codes_sig", "code_0")
+        .agg(F.sum("_e").alias("_se"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            F.col(id_col),
+            F.round(F.col("scale"), 6).alias("scale_r"),
+            F.col("code_0"),
+            F.col("codes_sig"),
+            F.round(F.col("_se").cast("double") / F.col("_n"), 6).alias(
+                "mean_abs_err"
+            ),
+        )
+    )

@@ -9,7 +9,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from ironman_medallion_lakehouse_spark.operators import funnel as FU
+from ironman_medallion_lakehouse_spark.operators.graph import pagerank
 from ironman_medallion_lakehouse_spark.session import load_tables
 from ironman_medallion_lakehouse_spark.suite import register
 
@@ -98,3 +101,87 @@ def q105_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped count — all shuffles on user_id or the tiny cohort grid."""
     t = load_tables(spark, sf_dir, "events")
     return FU.retention_cohorts(t["events"])
+
+
+# -------------------------------------------------- q106 pagerank
+
+_Q106_ITER, _Q106_D = 5, 0.85
+
+
+def _pagerank_oracle(iterations: int, d: float) -> str:
+    """Unrolled power-iteration CTE chain mirroring operators/
+    graph.pagerank expression-for-expression: contributions rounded
+    into DECIMAL(28,14) before the (exact, order-free) sum, ranks into
+    DECIMAL(28,10) after the fixed scalar-double update."""
+    parts = [
+        """
+    WITH e AS (
+      SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+    r0 AS (
+      SELECT node, CAST(CAST(1 AS DOUBLE) / nn.n AS DECIMAL(28,10)) AS rank
+      FROM nodes CROSS JOIN nn
+    )"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+    c{i} AS (
+      SELECT e.dst,
+             CAST(CAST(r.rank AS DOUBLE) / deg.outdeg AS DECIMAL(28,14)) AS c
+      FROM e JOIN r{i - 1} r ON e.src = r.node JOIN deg ON e.src = deg.src
+    ),
+    r{i} AS (
+      SELECT nodes.node,
+             CAST((1 - {d}) / CAST(nn.n AS DOUBLE)
+                  + {d} * CAST(COALESCE(s.s, CAST(0 AS DECIMAL(38,14))) AS DOUBLE)
+                  AS DECIMAL(28,10)) AS rank
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (SELECT dst, SUM(c) AS s FROM c{i} GROUP BY dst) s
+        ON nodes.node = s.dst
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT n.n_name AS nation, ROUND(CAST(r.rank AS DOUBLE), 8) AS rank
+    FROM r{iterations} r JOIN nation n ON r.node = n.n_nationkey"""
+    )
+    return "".join(parts)
+
+
+@register("q106_pagerank", oracle=_pagerank_oracle(_Q106_ITER, _Q106_D))
+def q106_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation-level trade graph (operators/
+    graph.pagerank): a directed edge supplier-nation → customer-nation
+    for every lineitem, deduplicated — the second iterative graph
+    algorithm beside connected components, and the beyond-reference
+    shape a link-graph crawl-curation pipeline needs (rank-weighted
+    sampling of pages by host authority). 5 fixed power iterations,
+    d = 0.85. The edge build is the q04 broadcast star join; each
+    iteration shuffles only on the 25-node rank/degree frames, which
+    AQE broadcasts. Hash-exact: decimal-rounded contributions make
+    every reduction order-free (see operator docstring)."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "customer",
+                    "supplier", "nation")
+    edges = (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
+        .join(t["customer"], F.col("o_custkey") == t["customer"].c_custkey)
+        .join(t["supplier"], F.col("l_suppkey") == t["supplier"].s_suppkey)
+        .select(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+    )
+    ranks = pagerank(edges, iterations=_Q106_ITER, damping=_Q106_D)
+    nation = t["nation"]
+    return ranks.join(nation, ranks["node"] == nation["n_nationkey"]).select(
+        F.col("n_name").alias("nation"),
+        F.round(F.col("rank").cast("double"), 8).alias("rank"),
+    )

@@ -27,6 +27,7 @@ from ironman_medallion_lakehouse_spark.suite import register
 from ironman_medallion_lakehouse_spark.suite_extensions import (
     _band_selects,
     _HASHED_WORDS,
+    _LSH_K,
     _SIG_EXPRS,
     _WORDS,
 )
@@ -832,3 +833,165 @@ def q103_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.temperature_mixture_sample(
         docs, "lang", "doc_id", _Q103_BUDGET, alpha=0.5, salt=_Q103_SALT
     ).select("doc_id", "lang", "source")
+
+
+# --------------------------------------------- q107 DSIR importance weights
+
+_Q107_BUCKETS = 256
+_Q107_TARGET = ("src0", "src1", "src2")
+_Q107_IN = ", ".join(f"'{s}'" for s in _Q107_TARGET)
+
+
+@register(
+    "q107_dsir_importance",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest({_WORDS_ALL}) AS tok FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, (source IN ({_Q107_IN})) AS tgt,
+             CAST(('0x' || substr(md5(tok), 1, 15))::UBIGINT % {_Q107_BUCKETS} AS BIGINT) AS bucket
+      FROM toks
+    ),
+    db AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM tf GROUP BY 1, 2),
+    raw AS (
+      SELECT bucket, COUNT(*) AS cnt_raw,
+             SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS cnt_tgt
+      FROM tf GROUP BY 1
+    ),
+    tot AS (SELECT SUM(cnt_raw) AS tot_raw, SUM(cnt_tgt) AS tot_tgt FROM raw),
+    ratio AS (
+      SELECT bucket,
+             CAST(ln(CAST(cnt_tgt + 1 AS DOUBLE) / CAST(tot_tgt + {_Q107_BUCKETS} AS DOUBLE))
+                - ln(CAST(cnt_raw + 1 AS DOUBLE) / CAST(tot_raw + {_Q107_BUCKETS} AS DOUBLE))
+                AS DECIMAL(18,6)) AS lr
+      FROM raw CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(cnt * lr) AS DOUBLE), 4) AS log_weight
+    FROM db JOIN ratio USING (bucket)
+    GROUP BY doc_id
+    """,
+)
+def q107_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (operators/sampling.dsir_logweights —
+    Xie et al. 2023): hashed-unigram bucket models (B=256, add-1
+    smoothing) for a curated target slice (source ∈ src0-src2) vs the
+    raw corpus; per-doc log importance weight = Σ c_b·(ln p̂_T − ln
+    p̂_R). The domain-tilt selector a pretraining mixture runs before
+    sampling — complements q93's explicit rates (there the mixture is
+    GIVEN; here it is LEARNED from a target sample). Plan: two
+    aggregates over one token stream + a 256-row broadcast join;
+    decimal-rounded log-ratios make the score partition- and
+    engine-exact."""
+    t = load_tables(spark, sf_dir, "documents")
+    return SA.dsir_logweights(
+        t["documents"],
+        F.col("source").isin(*_Q107_TARGET),
+        n_buckets=_Q107_BUCKETS,
+    )
+
+
+# ------------------------------------------- q108 int8 scalar quantization
+
+
+@register(
+    "q108_sq8_quantization",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sc AS (
+      SELECT vec_id, v,
+             greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) AS scale
+      FROM base
+    ),
+    enc AS (
+      SELECT vec_id, v, scale,
+             list_transform(v, x -> CAST(round(x / scale * 127) AS INTEGER)) AS codes
+      FROM sc
+    ),
+    ex AS (
+      SELECT vec_id, scale,
+             md5(array_to_string(list_transform(codes, c -> CAST(c AS VARCHAR)), ',')) AS codes_sig,
+             codes[1] AS code_0,
+             unnest(v) AS x
+      FROM enc
+    ),
+    err AS (
+      SELECT vec_id, scale, codes_sig, code_0,
+             CAST(abs(round(x / scale * 127) / 127 * scale - x) AS DECIMAL(18,9)) AS e
+      FROM ex
+    )
+    SELECT vec_id, ROUND(scale, 6) AS scale_r, code_0, codes_sig,
+           ROUND(CAST(SUM(e) AS DOUBLE) / COUNT(*), 6) AS mean_abs_err
+    FROM err GROUP BY vec_id, scale, codes_sig, code_0
+    """,
+)
+def q108_sq8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization audit (operators/similarity.sq8_encode
+    / sq8_recon_stats): symmetric per-vector SQ8 — the 4× embedding
+    compression beside PQ's 32× (q102), with codes_sig (md5 over the
+    joined code array) certifying every code cross-engine and
+    mean_abs_err the reconstruction-quality metric. Encode is map-only
+    linear HOFs; the error mean is a decimal-rounded explode+combine."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    return S.sq8_recon_stats(t["embeddings"])
+
+
+# ------------------------------------------ q109 containment (subset dups)
+
+_Q109_THRESHOLD, _Q109_JBAR = 0.95, 0.9
+
+
+@register(
+    "q109_containment_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_WORDS}) AS tok FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id,
+        {_SIG_EXPRS}
+      FROM toks GROUP BY doc_id
+    ),
+    bands AS (
+      {_band_selects(32)}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    ws AS (
+      SELECT doc_id, {_HASHED_WORDS} AS w FROM documents
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+        ROUND(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+              / least(len(a.w), len(b.w)), 6) AS containment,
+        ROUND(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+              / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))), 6) AS jaccard
+      FROM cand c JOIN ws a ON a.doc_id = c.id_a JOIN ws b ON b.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, containment, jaccard,
+           (jaccard < {_Q109_JBAR}) AS subset_style
+    FROM scored WHERE containment >= {_Q109_THRESHOLD}
+    """,
+)
+def q109_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (operators/dedup.containment_refine
+    — Broder resemblance/containment): |A∩B|/min(|A|,|B|) ≥ 0.95 over
+    the loose-banding LSH candidates (q43's 32×4, s-curve floor ≈0.42
+    — the regime that still recalls subset pairs whose JACCARD is low
+    because one doc swallows the other). ``subset_style`` marks pairs
+    a 0.9-Jaccard dedup would have missed — 58k of 67k c≥0.9 pairs on
+    this corpus at sf0.01, the operator's reason to exist. Same
+    O(candidates) two-join shape as jaccard_refine; hashed-BIGINT
+    intersections."""
+    t = load_tables(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(t["documents"], k=_LSH_K)
+    cand = D.lsh_candidate_pairs(sigs, k=_LSH_K, bands=32)
+    return D.containment_refine(
+        cand, t["documents"], threshold=_Q109_THRESHOLD, jaccard_bar=_Q109_JBAR
+    )

@@ -1,0 +1,236 @@
+"""Round-5 continuation operators: PageRank (operators/graph.py),
+DSIR importance weights (operators/sampling.py), int8 scalar
+quantization (operators/similarity.py), containment refine
+(operators/dedup.py). Cross-engine value agreement is pinned by the
+suite oracles (q106-q109); these tests pin the algebraic properties
+and edge cases the oracles can't see."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ironman_medallion_lakehouse_spark.operators.dedup import containment_refine
+from ironman_medallion_lakehouse_spark.operators.graph import pagerank
+from ironman_medallion_lakehouse_spark.operators.sampling import dsir_logweights
+from ironman_medallion_lakehouse_spark.operators.similarity import (
+    sq8_encode,
+    sq8_recon_stats,
+)
+
+
+# ------------------------------------------------------------ pagerank
+
+def _edges(spark, pairs):
+    return spark.createDataFrame([Row(src=a, dst=b) for a, b in pairs])
+
+
+def test_pagerank_symmetric_cycle_is_uniform(spark):
+    """On a directed cycle every node has in=out=1, so rank stays at
+    the uniform 1/N fixpoint for any iteration count."""
+    ranks = pagerank(_edges(spark, [(1, 2), (2, 3), (3, 1)]), iterations=4)
+    vals = {r.node: float(r.rank) for r in ranks.collect()}
+    assert set(vals) == {1, 2, 3}
+    for v in vals.values():
+        assert abs(v - 1 / 3) < 1e-9
+
+
+def test_pagerank_sink_hub_ordering_and_mass(spark):
+    """Star into a hub: the hub must outrank the spokes; spokes (no
+    in-edges) sit at the (1-d)/N floor. Dangling mass (the hub has no
+    out-edges) is deliberately NOT redistributed — total mass < 1,
+    matching the plain power-iteration formula the oracle states."""
+    ranks = pagerank(_edges(spark, [(1, 9), (2, 9), (3, 9)]), iterations=5)
+    vals = {r.node: float(r.rank) for r in ranks.collect()}
+    n = 4
+    floor = 0.15 / n
+    assert vals[9] > vals[1] == vals[2] == vals[3]
+    assert abs(vals[1] - floor) < 1e-9
+    assert sum(vals.values()) < 1.0
+
+
+def test_pagerank_duplicate_edges_collapse(spark):
+    """Edge multiplicity must not change the result (distinct)."""
+    once = pagerank(_edges(spark, [(1, 2), (2, 1), (1, 3)]), iterations=3)
+    dup = pagerank(
+        _edges(spark, [(1, 2), (1, 2), (2, 1), (1, 3), (1, 3)]), iterations=3
+    )
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, dup.collect()))
+
+
+def test_pagerank_partitioning_invariance(spark):
+    """Decimal-rounded contributions make the result independent of
+    the input's partition layout (the determinism contract)."""
+    pairs = [(i, (i * 7) % 23) for i in range(23)] + [(i, (i + 1) % 23) for i in range(23)]
+    e1 = _edges(spark, pairs).repartition(1)
+    e2 = _edges(spark, pairs).repartition(17)
+    r1 = sorted(map(tuple, pagerank(e1, iterations=4).collect()))
+    r2 = sorted(map(tuple, pagerank(e2, iterations=4).collect()))
+    assert r1 == r2
+
+
+# ---------------------------------------------------------------- DSIR
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t, source=s) for i, (t, s) in enumerate(rows)]
+    )
+
+
+def test_dsir_tilts_toward_target_vocabulary(spark):
+    """Docs made of target-slice tokens must outweigh docs made of
+    raw-only tokens; a doc mixing both lands between."""
+    target = "alpha beta gamma delta"
+    raw = "zeta eta theta iota"
+    docs = _docs(
+        spark,
+        [(target, "tgt")] * 4
+        + [(raw, "raw")] * 4
+        + [("alpha beta zeta eta", "raw")],
+    )
+    out = dsir_logweights(docs, F.col("source") == "tgt", n_buckets=64)
+    w = {r.doc_id: r.log_weight for r in out.collect()}
+    assert w[0] > w[8] > w[4]
+    assert w[0] > 0 > w[4]
+
+
+def test_dsir_weight_scales_with_length(spark):
+    """log w is a sum over tokens: doubling a doc's tokens doubles its
+    weight (same bucket profile, twice the counts)."""
+    docs = _docs(
+        spark,
+        [("alpha beta", "tgt"), ("alpha beta alpha beta", "raw"),
+         ("zeta eta", "raw")],
+    )
+    out = dsir_logweights(docs, F.col("source") == "tgt", n_buckets=64)
+    w = {r.doc_id: r.log_weight for r in out.collect()}
+    assert abs(w[1] - 2 * w[0]) <= 0.0002  # 2x the 1e-4 rounding grain
+
+
+def test_dsir_partitioning_invariance(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = [
+        (" ".join(rng.choices(vocab, k=30)), rng.choice(["a", "b"]))
+        for _ in range(40)
+    ]
+    d1 = _docs(spark, rows).repartition(1)
+    d2 = _docs(spark, rows).repartition(13)
+    o1 = sorted(map(tuple, dsir_logweights(d1, F.col("source") == "a").collect()))
+    o2 = sorted(map(tuple, dsir_logweights(d2, F.col("source") == "a").collect()))
+    assert o1 == o2
+
+
+# ----------------------------------------------------------------- SQ8
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    )
+
+
+def test_sq8_codes_exact_on_grid(spark):
+    """Vectors already on the scale/127 grid reconstruct exactly."""
+    v = [127.0, -127.0, 0.0, 64.0]
+    out = sq8_encode(_emb(spark, [v]), vec_col="embedding").collect()[0]
+    assert out.scale == 127.0
+    assert out.codes == [127, -127, 0, 64]
+    stats = sq8_recon_stats(_emb(spark, [v])).collect()[0]
+    assert stats.mean_abs_err == 0.0
+    assert stats.code_0 == 127
+
+
+def test_sq8_error_bound(spark):
+    """Per-dim reconstruction error is bounded by scale/254 after
+    rounding (half a quantization step)."""
+    import random
+
+    rng = random.Random(3)
+    vecs = [[rng.uniform(-5, 5) for _ in range(16)] for _ in range(20)]
+    rows = sq8_recon_stats(_emb(spark, vecs)).collect()
+    for r in rows:
+        assert r.mean_abs_err <= float(r.scale_r) / 254 + 1e-6
+
+
+def test_sq8_zero_vector_guard(spark):
+    """All-zero vector: eps guard yields zero codes, zero error —
+    not NaN."""
+    stats = sq8_recon_stats(_emb(spark, [[0.0] * 8])).collect()[0]
+    assert stats.mean_abs_err == 0.0
+    assert stats.code_0 == 0
+
+
+def test_sq8_codes_sig_certifies_whole_array(spark):
+    """Two vectors differing in ONE dimension get different sigs;
+    identical vectors get identical sigs."""
+    a = [1.0, 2.0, 3.0]
+    b = [1.0, 2.0, 3.01]
+    rows = {r.vec_id: r.codes_sig for r in sq8_recon_stats(_emb(spark, [a, a, b])).collect()}
+    assert rows[0] == rows[1] != rows[2]
+
+
+# --------------------------------------------------------- containment
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A ⊂ B with |A|=4, |B|=12: containment 1.0 but J = 1/3 — flagged
+    subset_style. The candidate feed is explicit, isolating refine
+    semantics from the LSH generator."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d"),
+            Row(doc_id=2, text="a b c d e f g h i j k l"),
+            Row(doc_id=3, text="x y z w"),
+        ]
+    )
+    cand = spark.createDataFrame([Row(id_a=1, id_b=2), Row(id_a=1, id_b=3)])
+    out = containment_refine(cand, docs, threshold=0.95).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.containment == 1.0
+    assert r.subset_style is True
+    assert abs(r.jaccard - round(4 / 12, 6)) < 1e-9
+
+
+def test_containment_symmetric_near_dup_not_subset_style(spark):
+    """High-Jaccard pairs pass but are NOT subset_style."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e f g h i j"),
+            Row(doc_id=2, text="a b c d e f g h i j"),
+        ]
+    )
+    cand = spark.createDataFrame([Row(id_a=1, id_b=2)])
+    r = containment_refine(cand, docs, threshold=0.95).collect()[0]
+    assert r.containment == 1.0 and r.jaccard == 1.0
+    assert r.subset_style is False
+
+
+def test_containment_hashed_vs_string_tokens_agree(spark):
+    """hashed_tokens is a cost knob, not a semantics knob."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"tok{i}" for i in range(30)]
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=" ".join(rng.choices(vocab, k=25)))
+            for i in range(12)
+        ]
+    )
+    cand = spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a in range(12) for b in range(a + 1, 12)]
+    )
+    h = sorted(map(tuple, containment_refine(cand, docs, threshold=0.5).collect()))
+    s = sorted(
+        map(
+            tuple,
+            containment_refine(cand, docs, threshold=0.5, hashed_tokens=False).collect(),
+        )
+    )
+    assert h == s
