@@ -878,19 +878,29 @@ def sq8_recon_stats(
     |dequant(code) − x| — the quality metric that decides whether SQ8
     is enough or the index needs PQ/float.
 
-    Shape: encode is map-only; the error sum explodes to per-element
-    rows whose DECIMAL(18,9)-rounded errors are summed with map-side
-    combine — the explode never leaves the stage, and the decimal
-    rounding makes the mean partition- and engine-exact (q98 policy)."""
-    enc = sq8_encode(embeddings, id_col, vec_col)
+    Shape: ONE scan — encode, signature, and the error explode all
+    derive from the same row, so there is no self-join anywhere; the
+    DECIMAL(18,9)-rounded errors are summed with map-side combine (the
+    explode never leaves the stage), and the decimal rounding makes
+    the mean partition- and engine-exact (q98 policy)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12)
+    )
+    enc = embeddings.select(
+        F.col(id_col), v.alias("_v"), scale.alias("scale")
+    ).select(
+        F.col(id_col),
+        "scale",
+        "_v",
+        F.transform(
+            F.col("_v"), lambda x: F.round(x / F.col("scale") * 127).cast("int")
+        ).alias("codes"),
+    )
     sig = F.md5(
         F.concat_ws(",", F.transform(F.col("codes"), lambda c: c.cast("string")))
     )
-    base = embeddings.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
-    )
-    joined = base.join(enc, id_col).select(
+    joined = enc.select(
         F.col(id_col),
         F.col("scale"),
         sig.alias("codes_sig"),
@@ -916,4 +926,97 @@ def sq8_recon_stats(
                 "mean_abs_err"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (dimensionality reduction)
+# ---------------------------------------------------------------------------
+
+def jl_signs(in_dim: int, out_dim: int, salt: str = "jl") -> list[list[int]]:
+    """Deterministic Rademacher ±1 sign matrix from md5(i:j:salt) —
+    the Achlioptas 2003 database-friendly JL construction (signs
+    instead of Gaussians: same distance-preservation guarantee, integer
+    multiplies). Python-side, like ``minhash_coeffs``: ONE source of
+    truth both the Spark plan and the DuckDB oracle embed as
+    literals."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{i}:{j}:{salt}".encode()).hexdigest()[:8], 16) % 2
+            == 0
+            else -1
+            for j in range(out_dim)
+        ]
+        for i in range(in_dim)
+    ]
+
+
+def jl_project(
+    embeddings: DataFrame,
+    out_dim: int = 16,
+    salt: str = "jl",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    in_dim: int | None = None,
+) -> DataFrame:
+    """Project an embedding column to ``out_dim`` dimensions with a
+    seeded Rademacher matrix:  proj_j = (Σ_i x_i·s_ij) / √out_dim —
+    the classic JL sketch that preserves pairwise distances within
+    (1±ε) for out_dim = O(ln n / ε²), the preprocessing step that
+    makes 100 TB ANN/clustering affordable (4× fewer bytes per vector
+    here; compose with SQ8/PQ for more).
+
+    Output: (id, proj_0 … proj_{out_dim-1}), each rounded to 6
+    decimals. Plan: ONE posexplode (×in_dim rows, collapsed by
+    map-side combine) joined to a broadcast in_dim-row sign table,
+    then out_dim conditional decimal sums in ONE groupBy — no
+    quadratic HOF folds (the q102 lesson), no shuffle beyond the
+    grouped aggregate, which re-hashes the id key the table is often
+    already partitioned by.
+
+    Determinism: x_i·(±1) is an exact double; each term is rounded
+    into DECIMAL(18,9) before the (exact, order-free) sum, and the
+    final /√out_dim divides by the SAME Python double literal the
+    oracle embeds — partition- and engine-exact at 6 decimals.
+
+    ``in_dim`` defaults to the width of the first vector (vectors must
+    be uniform-width — ragged inputs would silently drop terms, so the
+    explode join is inner and the sign table authoritative)."""
+    import math
+
+    spark = embeddings.sparkSession
+    if in_dim is None:
+        in_dim = len(
+            embeddings.select(F.col(vec_col)).limit(1).collect()[0][0]
+        )
+    signs = jl_signs(in_dim, out_dim, salt)
+    sdf = spark.createDataFrame(
+        [(i, *signs[i]) for i in range(in_dim)],
+        ["pos"] + [f"s_{j}" for j in range(out_dim)],
+    )
+    ex = embeddings.select(
+        F.col(id_col),
+        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))),
+    )
+    joined = ex.join(F.broadcast(sdf), "pos")
+    root = math.sqrt(float(out_dim))
+    g = joined.groupBy(id_col).agg(
+        *[
+            F.sum((F.col("col") * F.col(f"s_{j}")).cast("decimal(18,9)")).alias(
+                f"d_{j}"
+            )
+            for j in range(out_dim)
+        ]
+    )
+    return g.select(
+        F.col(id_col),
+        *[
+            F.round(F.col(f"d_{j}").cast("double") / F.lit(root), 6).alias(
+                f"proj_{j}"
+            )
+            for j in range(out_dim)
+        ],
     )

@@ -995,3 +995,66 @@ def q109_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_refine(
         cand, t["documents"], threshold=_Q109_THRESHOLD, jaccard_bar=_Q109_JBAR
     )
+
+
+# --------------------------------------------- q110 JL random projection
+
+_Q110_IN, _Q110_OUT, _Q110_SALT = 64, 16, "jl"
+
+
+def _jl_oracle() -> str:
+    import math
+
+    signs = S.jl_signs(_Q110_IN, _Q110_OUT, _Q110_SALT)
+    cols = ", ".join(f"s_{j}" for j in range(_Q110_OUT))
+    values = ",\n      ".join(
+        "({}, {})".format(i, ", ".join(str(s) for s in signs[i]))
+        for i in range(_Q110_IN)
+    )
+    d_sums = ",\n             ".join(
+        f"SUM(CAST(ex.x * s.s_{j} AS DECIMAL(18,9))) AS d_{j}"
+        for j in range(_Q110_OUT)
+    )
+    root = repr(math.sqrt(float(_Q110_OUT)))
+    projs = ",\n           ".join(
+        f"ROUND(CAST(d_{j} AS DOUBLE) / {root}, 6) AS proj_{j}"
+        for j in range(_Q110_OUT)
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    ex AS (
+      SELECT vec_id, pos, v[pos + 1] AS x
+      FROM base CROSS JOIN (SELECT unnest(generate_series(0, {_Q110_IN - 1})) AS pos) p
+    ),
+    signs(pos, {cols}) AS (VALUES
+      {values}
+    ),
+    g AS (
+      SELECT vec_id,
+             {d_sums}
+      FROM ex JOIN signs s USING (pos) GROUP BY vec_id
+    )
+    SELECT vec_id,
+           {projs}
+    FROM g
+    """
+
+
+@register("q110_jl_projection", oracle=_jl_oracle())
+def q110_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (operators/
+    similarity.jl_project — Achlioptas 2003 Rademacher form): 64 → 16
+    dims through an md5-seeded ±1 matrix, /√16 scaling — the
+    dimensionality-reduction step that makes corpus-scale
+    ANN/clustering affordable, composing with SQ8 (q108) and PQ
+    (q102) into the full compression toolbox. One posexplode + one
+    broadcast sign join + one grouped decimal aggregate; every output
+    component oracle-exact at 6 decimals (terms rounded into
+    DECIMAL(18,9) pre-sum, both engines embed the same sign
+    literals)."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    return S.jl_project(
+        t["embeddings"], out_dim=_Q110_OUT, salt=_Q110_SALT, in_dim=_Q110_IN
+    )

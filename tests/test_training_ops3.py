@@ -234,3 +234,62 @@ def test_containment_hashed_vs_string_tokens_agree(spark):
         )
     )
     assert h == s
+
+
+# -------------------------------------------------------- JL projection
+
+def test_jl_signs_deterministic_rademacher():
+    from ironman_medallion_lakehouse_spark.operators.similarity import jl_signs
+
+    s1 = jl_signs(8, 4)
+    s2 = jl_signs(8, 4)
+    assert s1 == s2
+    assert all(v in (-1, 1) for row in s1 for v in row)
+    assert jl_signs(8, 4, salt="other") != s1
+
+
+def test_jl_projection_preserves_norms_on_average(spark):
+    """E[‖proj‖²] = ‖v‖² for Rademacher JL — the distance-preservation
+    contract, checked loosely over a batch (single-vector variance is
+    large at out_dim=16)."""
+    import random
+
+    from ironman_medallion_lakehouse_spark.operators.similarity import jl_project
+
+    rng = random.Random(5)
+    vecs = [[rng.gauss(0, 1) for _ in range(32)] for _ in range(60)]
+    emb = _emb(spark, vecs)
+    out = jl_project(emb, out_dim=16, in_dim=32).collect()
+    ratios = []
+    for r in out:
+        orig = sum(x * x for x in vecs[r.vec_id])
+        proj = sum(
+            getattr(r, f"proj_{j}") ** 2 for j in range(16)
+        )
+        ratios.append(proj / orig)
+    mean_ratio = sum(ratios) / len(ratios)
+    assert 0.8 < mean_ratio < 1.2
+
+
+def test_jl_projection_partitioning_invariance(spark):
+    import random
+
+    from ironman_medallion_lakehouse_spark.operators.similarity import jl_project
+
+    rng = random.Random(9)
+    vecs = [[rng.uniform(-2, 2) for _ in range(16)] for _ in range(25)]
+    o1 = sorted(
+        map(tuple, jl_project(_emb(spark, vecs).repartition(1), out_dim=4, in_dim=16).collect())
+    )
+    o2 = sorted(
+        map(tuple, jl_project(_emb(spark, vecs).repartition(11), out_dim=4, in_dim=16).collect())
+    )
+    assert o1 == o2
+
+
+def test_jl_projection_infers_width(spark):
+    from ironman_medallion_lakehouse_spark.operators.similarity import jl_project
+
+    out = jl_project(_emb(spark, [[1.0] * 8, [2.0] * 8]), out_dim=2)
+    assert out.columns == ["vec_id", "proj_0", "proj_1"]
+    assert out.count() == 2
