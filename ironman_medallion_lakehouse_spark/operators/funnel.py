@@ -131,3 +131,50 @@ def retention_cohorts(
         )
         .agg(F.count_distinct(user_col).alias("n_users"))
     )
+
+
+def top_event_paths(
+    events: DataFrame,
+    n: int = 3,
+    k: int = 10,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Sequential pattern mining over per-user event streams: count
+    every length-``n`` consecutive event-type sequence (path n-gram)
+    across all users and return the ``k`` most frequent — the
+    "common journeys" query behind funnel design (which 3-step paths
+    actually happen, vs the one the funnel assumes).
+
+    (path, n_occurrences) with path = types joined by '>'.
+
+    Plan: ONE window shuffle on user_id (lead(1..n-1) share the same
+    sort), one map-side-combined count on the path string, then
+    TakeOrderedAndProject. Per-user ordering ties on ts are broken by
+    the unique event id, so the mined paths are deterministic —
+    engine-exact. Skew note: a hot user is one window partition, but
+    the window state is O(n) rows (lead buffers), not the partition;
+    the path-count shuffle keys are low-cardinality but combine
+    map-side to one row per path per task."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, n)
+    ]
+    seq = events.select(*[s.alias(f"_e{i}") for i, s in enumerate(steps)])
+    complete = seq
+    for i in range(n):
+        complete = complete.filter(F.col(f"_e{i}").isNotNull())
+    path = F.concat_ws(">", *[F.col(f"_e{i}") for i in range(n)])
+    return (
+        complete.select(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
+        .limit(k)
+    )

@@ -219,3 +219,51 @@ def dsir_logweights(
             ),
         )
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight: Column,
+    k: int,
+    key_col: str,
+    salt: str = "wsamp",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis
+    & Spirakis 2006, algorithm A-ES): each row draws u ~ U(0,1) from
+    the md5 hash of its key and gets priority ln(u)/w; the k largest
+    priorities are exactly a weight-proportional sample without
+    replacement. The selection step after DSIR (q107) or any quality
+    score: sample ∝ weight, reproducibly — same rows on every run,
+    engine, and partitioning (what rand()-based sampling can't
+    promise), so sampled datasets stay diffable and incremental runs
+    never flip membership.
+
+    Non-positive or null weights are excluded (their inclusion
+    probability is 0 in the limit; A-ES is undefined there).
+
+    Plan: a map-only priority column + TakeOrderedAndProject
+    (per-partition heaps, no global sort) — the same top-k shape as
+    cosine_topk, absorbed by any scan at 100 TB.
+
+    Determinism: u = (h+0.5)/2²⁴ is an exact rational from 6 md5 hex
+    digits; ln(u)/w is rounded into DECIMAL(18,12) so an engine's
+    last-ulp ln wobble cannot reorder near-ties, and the remaining
+    tiebreak is the unique key. Output: the sampled rows plus their
+    rounded ``priority``."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(key_col).cast("string"), F.lit(salt))),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 24))
+    prio = (F.log(u) / weight.cast("double")).cast("decimal(18,12)")
+    return (
+        df.filter(weight.isNotNull() & (weight.cast("double") > 0))
+        .withColumn("priority", prio)
+        .orderBy(F.col("priority").desc(), F.col(key_col).asc())
+        .limit(k)
+    )

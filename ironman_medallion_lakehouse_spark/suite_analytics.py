@@ -185,3 +185,38 @@ def q106_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("nation"),
         F.round(F.col("rank").cast("double"), 8).alias("rank"),
     )
+
+
+# ----------------------------------------------- q112 event path mining
+
+_Q112_N, _Q112_K = 3, 10
+
+
+@register(
+    "q112_event_paths",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type AS e0,
+             lead(event_type, 1) OVER w AS e1,
+             lead(event_type, 2) OVER w AS e2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT e0 || '>' || e1 || '>' || e2 AS path, COUNT(*) AS n_occurrences
+    FROM seq
+    WHERE e0 IS NOT NULL AND e1 IS NOT NULL AND e2 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n_occurrences DESC, path ASC
+    LIMIT {_Q112_K}
+    """,
+)
+def q112_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential path mining (operators/funnel.top_event_paths): the
+    10 most frequent consecutive 3-step event-type journeys across all
+    users — the "what paths actually happen" complement to q104's
+    assumed-order funnel. One window shuffle (lead(1), lead(2) share
+    the user sort, tie-broken by the unique event id), one map-side-
+    combined path count, TakeOrderedAndProject. Counts + strings only
+    — hash-exact."""
+    t = load_tables(spark, sf_dir, "events")
+    return FU.top_event_paths(t["events"], n=_Q112_N, k=_Q112_K)

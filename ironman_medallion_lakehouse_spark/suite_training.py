@@ -1058,3 +1058,41 @@ def q110_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.jl_project(
         t["embeddings"], out_dim=_Q110_OUT, salt=_Q110_SALT, in_dim=_Q110_IN
     )
+
+
+# ------------------------------------------ q111 weighted sample (A-ES)
+
+_Q111_K, _Q111_SALT = 200, "wsamp"
+
+
+@register(
+    "q111_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source, CAST(priority AS DOUBLE) AS priority
+    FROM (
+      SELECT doc_id, lang, source,
+             CAST(ln((('0x' || substr(md5(doc_id::VARCHAR || ':{_Q111_SALT}'), 1, 6))::UBIGINT
+                      + 0.5) / 16777216.0)
+                  / CAST(n_chars AS DOUBLE) AS DECIMAL(18,12)) AS priority
+      FROM documents
+      WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0
+      ORDER BY priority DESC, doc_id
+      LIMIT {_Q111_K}
+    )
+    """,
+)
+def q111_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (operators/
+    sampling.weighted_sample_topk — Efraimidis & Spirakis A-ES):
+    200 documents drawn ∝ n_chars via hash-derived exponential
+    priorities — the deterministic selection step that turns DSIR/
+    quality weights into an actual subset. Map-only priority +
+    TakeOrderedAndProject; ln values DECIMAL(18,12)-rounded so
+    ordering is engine-exact, unique-key tiebreak."""
+    t = load_tables(spark, sf_dir, "documents")
+    return SA.weighted_sample_topk(
+        t["documents"], F.col("n_chars"), _Q111_K, "doc_id", salt=_Q111_SALT
+    ).select(
+        "doc_id", "lang", "source",
+        F.col("priority").cast("double").alias("priority"),
+    )

@@ -293,3 +293,105 @@ def test_jl_projection_infers_width(spark):
     out = jl_project(_emb(spark, [[1.0] * 8, [2.0] * 8]), out_dim=2)
     assert out.columns == ["vec_id", "proj_0", "proj_1"]
     assert out.count() == 2
+
+
+# ------------------------------------------------- weighted sampling
+
+def test_weighted_sample_respects_weights(spark):
+    """With weights 1000:1 over two halves, the heavy half must
+    dominate a k=20 sample from 200 rows (probability of the light
+    half taking even 5 slots is negligible)."""
+    from ironman_medallion_lakehouse_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    rows = [Row(doc_id=i, w=1000.0 if i < 100 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows)
+    out = weighted_sample_topk(df, F.col("w"), 20, "doc_id").collect()
+    assert len(out) == 20
+    heavy = sum(1 for r in out if r.doc_id < 100)
+    assert heavy >= 16
+
+
+def test_weighted_sample_deterministic_and_excludes_nonpositive(spark):
+    from ironman_medallion_lakehouse_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    rows = [Row(doc_id=i, w=float(i - 2)) for i in range(10)]  # w<=0 for i<=2
+    df = spark.createDataFrame(rows)
+    o1 = sorted(r.doc_id for r in weighted_sample_topk(df, F.col("w"), 5, "doc_id").collect())
+    o2 = sorted(
+        r.doc_id
+        for r in weighted_sample_topk(df.repartition(7), F.col("w"), 5, "doc_id").collect()
+    )
+    assert o1 == o2
+    assert all(i > 2 for i in o1)
+
+
+def test_weighted_sample_salt_changes_sample(spark):
+    from ironman_medallion_lakehouse_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    rows = [Row(doc_id=i, w=1.0) for i in range(100)]
+    df = spark.createDataFrame(rows)
+    a = sorted(r.doc_id for r in weighted_sample_topk(df, F.col("w"), 10, "doc_id", salt="a").collect())
+    b = sorted(r.doc_id for r in weighted_sample_topk(df, F.col("w"), 10, "doc_id", salt="b").collect())
+    assert a != b
+
+
+# --------------------------------------------------- event path mining
+
+def test_event_paths_hand_computed(spark):
+    """u1: a,b,c,b → paths a>b>c, b>c>b; u2: a,b,c → a>b>c.
+    a>b>c count 2, b>c>b count 1."""
+    from datetime import datetime
+
+    from ironman_medallion_lakehouse_spark.operators.funnel import top_event_paths
+
+    def ev(eid, uid, t, typ):
+        return Row(event_id=eid, user_id=uid, ts=datetime(2024, 1, 1, 0, 0, t), event_type=typ)
+
+    events = spark.createDataFrame(
+        [
+            ev(1, 1, 1, "a"), ev(2, 1, 2, "b"), ev(3, 1, 3, "c"), ev(4, 1, 4, "b"),
+            ev(5, 2, 1, "a"), ev(6, 2, 2, "b"), ev(7, 2, 3, "c"),
+        ]
+    )
+    out = {r.path: r.n_occurrences for r in top_event_paths(events, n=3, k=10).collect()}
+    assert out == {"a>b>c": 2, "b>c>b": 1}
+
+
+def test_event_paths_tie_order_by_event_id(spark):
+    """Equal timestamps: the unique event id breaks the order, so the
+    path is deterministic."""
+    from datetime import datetime
+
+    from ironman_medallion_lakehouse_spark.operators.funnel import top_event_paths
+
+    t0 = datetime(2024, 1, 1)
+    events = spark.createDataFrame(
+        [
+            Row(event_id=3, user_id=1, ts=t0, event_type="c"),
+            Row(event_id=1, user_id=1, ts=t0, event_type="a"),
+            Row(event_id=2, user_id=1, ts=t0, event_type="b"),
+        ]
+    )
+    out = top_event_paths(events, n=3, k=5).collect()
+    assert len(out) == 1 and out[0].path == "a>b>c"
+
+
+def test_event_paths_no_cross_user_grams(spark):
+    """n-grams never span users."""
+    from datetime import datetime
+
+    from ironman_medallion_lakehouse_spark.operators.funnel import top_event_paths
+
+    events = spark.createDataFrame(
+        [
+            Row(event_id=i, user_id=i, ts=datetime(2024, 1, 1), event_type="x")
+            for i in range(5)
+        ]
+    )
+    assert top_event_paths(events, n=2, k=5).count() == 0

@@ -175,6 +175,82 @@ def _probe_dedup(spark, factor: int, out: dict) -> None:
         }
 
 
+def _probe_more(spark, factor: int, out: dict) -> None:
+    """Round-5b families: DSIR importance weights (token-stream
+    aggregates + broadcast ratio join), containment refine over LSH
+    candidates (pair-generating — token-salted replicator so pair
+    volume grows k×, not k²), JL projection (posexplode + broadcast
+    sign join + grouped decimal aggregate), and PageRank end-to-end
+    (iterative — per-round driver-coordinated jobs, so e2e timing like
+    the components probe; node/edge cardinality scales with the
+    replicated fact tables)."""
+    from ironman_medallion_lakehouse_spark.operators import sampling as SA
+    from ironman_medallion_lakehouse_spark.operators import similarity as SI
+    from ironman_medallion_lakehouse_spark.operators.graph import pagerank
+
+    t = load_tables(
+        spark, SF_DIR,
+        "documents", "embeddings", "lineitem", "orders", "customer", "supplier",
+    )
+    docs1 = t["documents"].localCheckpoint(eager=True)
+    docsn = _replicate_docs(t["documents"], factor).localCheckpoint(eager=True)
+    emb1, embn = t["embeddings"], _replicate(t["embeddings"], factor, ["vec_id"])
+
+    def dsir(d):
+        return SA.dsir_logweights(d, F.col("source").isin("src0", "src1", "src2"))
+
+    def contain(d):
+        sigs = D.minhash_signatures(d, k=128)
+        cand = D.lsh_candidate_pairs(sigs, k=128, bands=16)
+        return D.containment_refine(cand, d, threshold=0.95)
+
+    for name, df1, dfn in [
+        ("dsir_q107", dsir(docs1), dsir(docsn)),
+        ("containment_q109", contain(docs1), contain(docsn)),
+        ("jl_projection_q110", SI.jl_project(emb1, out_dim=16, in_dim=64),
+         SI.jl_project(embn, out_dim=16, in_dim=64)),
+    ]:
+        t1, tn = _time(df1), _time(dfn)
+        out["queries"][name] = {
+            "t_1x": t1,
+            f"t_{factor}x": tn,
+            "ratio": round(tn / t1, 2) if t1 > 0 else None,
+        }
+
+    def edges(li, o, c, s):
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, F.col("o_custkey") == c.c_custkey)
+            .join(s, F.col("l_suppkey") == s.s_suppkey)
+            .select(
+                F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+            )
+        )
+
+    li1, o1, c1, s1 = t["lineitem"], t["orders"], t["customer"], t["supplier"]
+    lin = _replicate(li1, factor, ["l_orderkey", "l_suppkey"])
+    on = _replicate(o1, factor, ["o_orderkey", "o_custkey"])
+    cn = _replicate(c1, factor, ["c_custkey"])
+    sn = _replicate(s1, factor, ["s_suppkey"])
+    # replicated dims keep nationkeys — k disjoint supplier/customer id
+    # spaces over the same 25 nations: the edge frame dedups back to the
+    # same graph, so scale-up exercises the edge BUILD (the star join +
+    # distinct), the realistic growth axis (the rank loop is |V|-bound)
+    def pr1():
+        return pagerank(edges(li1, o1, c1, s1), iterations=3)
+
+    def prn():
+        return pagerank(edges(lin, on, cn, sn), iterations=3)
+
+    _time_e2e(pr1)
+    t1, tn = _time_e2e(pr1), _time_e2e(prn)
+    out["queries"]["pagerank_q106"] = {
+        "t_1x": t1,
+        f"t_{factor}x": tn,
+        "ratio": round(tn / t1, 2) if t1 > 0 else None,
+    }
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     which = sys.argv[2] if len(sys.argv) > 2 else "all"
@@ -194,6 +270,8 @@ def main() -> None:
             }
     if which in ("dedup", "all"):
         _probe_dedup(spark, factor, out)
+    if which in ("more", "all"):
+        _probe_more(spark, factor, out)
     print(json.dumps(out))
 
 
