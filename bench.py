@@ -66,6 +66,10 @@ HEADLINE = [
     "q100_dup_span_coverage",
     "q102_pq_adc_ann",
     "q104_conversion_funnel",
+    # r5 third session: iterative graph, learned mixture tilt, JL sketch
+    "q106_pagerank",
+    "q107_dsir_importance",
+    "q110_jl_projection",
 ]
 
 

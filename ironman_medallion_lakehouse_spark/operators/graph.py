@@ -281,6 +281,13 @@ def pagerank(
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     n = nodes.count()  # one scalar — bounded driver state
+    if n == 0:
+        # empty edge frame: no nodes, empty result with the contract
+        # schema (node type preserved, rank decimal) instead of a
+        # divide-by-zero on the uniform prior
+        return nodes.select(
+            "node", F.lit(None).cast("decimal(28,10)").alias("rank")
+        )
     base = (1.0 - damping) / float(n)
     ranks = nodes.select(
         "node", F.lit(1.0 / float(n)).cast("decimal(28,10)").alias("rank")

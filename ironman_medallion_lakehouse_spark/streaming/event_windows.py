@@ -168,3 +168,88 @@ def streaming_tumbling_counts(
         .start()
     )
     return query, sink_name
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Equi + time-interval join condition shared by the batch and
+    streaming paths: rows match when keys are equal and |t_l − t_r| ≤
+    window. Batch input → a plain join Catalyst plans normally;
+    streaming inputs (with watermarks set by ``streaming_interval_join``)
+    → Spark's stream-stream inner join, where THIS condition shape
+    (an equality plus a two-sided time bound on both event-time
+    columns) is exactly what lets the engine derive the state
+    watermark and evict buffered rows — an unbounded or one-sided
+    condition would buffer forever."""
+    l_ts, r_ts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (r_ts >= l_ts - F.expr(f"INTERVAL {window_seconds} SECONDS"))
+        & (r_ts <= l_ts + F.expr(f"INTERVAL {window_seconds} SECONDS"))
+    )
+    return left.alias("l").join(right.alias("r"), cond)
+
+
+def streaming_interval_join(
+    spark,
+    source_path: str,
+    schema,
+    left_type: str = "purchase",
+    right_type: str = "error",
+    window_seconds: int = 3600,
+    watermark: str = "2 hours",
+    sink_name: str = "interval_join_sink",
+):
+    """Stream-stream interval join — the streaming twin of the batch
+    binned range join (q75): purchases paired with same-user errors
+    within ±window, both sides unbounded streams. One file-source
+    stream filtered two ways (at scale: two Kafka topics), watermarks
+    on BOTH event-time columns + the two-sided interval condition let
+    Spark bound the join state (each side buffers only watermark +
+    window worth of rows — the stream-stream join state eviction
+    contract). Append mode: a pair is emitted exactly once.
+
+    Returns (query, sink_name); caller runs processAllAvailable() then
+    reads spark.table(sink_name). Output: (purchase_id, error_id,
+    user_id) — proven pair-for-pair equal to the batch range join in
+    tests/test_streaming.py."""
+    stream = spark.readStream.schema(schema).format("parquet").load(source_path)
+    purchases = (
+        stream.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("pts"),
+        )
+        .withWatermark("pts", watermark)
+    )
+    errors = (
+        stream.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user_id"),
+            F.col("ts").alias("ets"),
+        )
+        .withWatermark("ets", watermark)
+    )
+    cond = (
+        (purchases["user_id"] == errors["e_user_id"])
+        & (errors["ets"] >= purchases["pts"] - F.expr(f"INTERVAL {window_seconds} SECONDS"))
+        & (errors["ets"] <= purchases["pts"] + F.expr(f"INTERVAL {window_seconds} SECONDS"))
+    )
+    joined = purchases.join(errors, cond).select(
+        "purchase_id", "error_id", "user_id"
+    )
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .start()
+    )
+    return query, sink_name

@@ -1011,3 +1011,66 @@ def q59_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, "embeddings")
     return cosine_neardup_pairs(t["embeddings"], threshold=0.45)
+
+
+# ===========================================================================
+# analytic window-function battery: ntile / percent_rank / cume_dist /
+# first_value / last_value / lag-with-default (the §2.6 functions the
+# earlier entries don't touch)
+# ===========================================================================
+
+@register(
+    "q113_window_battery",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cum_dist,
+           CAST(dense_rank() OVER w AS BIGINT) AS drank,
+           first_value(o_totalprice) OVER w AS cheapest,
+           last_value(o_totalprice)
+             OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice ASC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS priciest,
+           lag(o_totalprice, 1, 0.0) OVER w AS prev_price
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND EXTRACT(year FROM o_orderdate) = 1997
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def q113_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window battery over one shared sort (SURVEY §2.6
+    beyond the dedup-rank/argmax/share entries): ntile quartiles,
+    percent_rank, cume_dist, dense_rank, first/last value with an
+    explicit unbounded frame (last_value under the DEFAULT frame is
+    the famous wrong-answer trap — the frame is stated), and
+    lag-with-default. All eight functions share ONE window spec →
+    Catalyst plans a single Exchange + sort. Ties are impossible (the
+    unique order key is in the sort), so every rank-derived value is
+    an exact rational — engine-exact at 6 decimals."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, "orders")
+    o = t["orders"].filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & (F.year("o_orderdate") == 1997)
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        F.dense_rank().over(w).cast("bigint").alias("drank"),
+        F.first("o_totalprice").over(w).alias("cheapest"),
+        F.last("o_totalprice").over(wfull).alias("priciest"),
+        F.lag("o_totalprice", 1, 0.0).over(w).alias("prev_price"),
+    )
