@@ -1020,3 +1020,57 @@ def jl_project(
             for j in range(out_dim)
         ],
     )
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    hyperplanes: list[list[float]],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-NN GRAPH construction — every vector's top-k
+    cosine neighbors among its sign-LSH bucket mates: (src, rnk, dst).
+    The corpus-wide batch sibling of the single-query ANN paths
+    (q45/q46/q96/q102) and the substrate for graph-based semantic
+    dedup, label propagation, and HNSW-style index seeding.
+
+    Plan: one map-only bucketing pass (Charikar hyperplanes — pass the
+    ``signlsh_hyperplanes`` output so an oracle can replay the
+    geometry), one bucket equi-self-join (Σ m_b² pairs, never n² —
+    the q92 shape), one cosine per candidate pair, one per-src window
+    for the top-k cut. The join and the window shuffle on uniformly
+    distributed keys (md5-seeded buckets, then src ids). Approximate
+    by construction: neighbors outside the bucket are missed
+    (collision probability (1−θ/π)^bits), and a vector alone in its
+    bucket emits no rows — raise recall with fewer bits or by probing
+    neighbor buckets (the q96 multiprobe dial) at (1+bits)× join
+    cost.
+
+    Skew: a hot bucket contributes m² pairs — the LSH-bucket twin of
+    ``lsh_candidate_pairs``'s mega-buckets; at corpus scale cap it the
+    same way (drop or split buckets above a ceiling) before the
+    self-join. Determinism: ties in cosine break on the neighbor id,
+    so the graph is engine-exact (ids only in the output — the q59
+    float discipline)."""
+    from pyspark.sql import Window
+
+    b = signlsh_buckets(embeddings, hyperplanes, id_col, vec_col)
+    a = b.select(
+        F.col(id_col).alias("src"), F.col(vec_col).alias("_va"), "bucket"
+    )
+    bb = b.select(
+        F.col(id_col).alias("dst"), F.col(vec_col).alias("_vb"), "bucket"
+    )
+    pairs = a.join(bb, "bucket").filter(F.col("src") != F.col("dst"))
+    scored = pairs.select(
+        "src", "dst", cosine(F.col("_va"), F.col("_vb")).alias("_sim")
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("_sim").desc(), F.col("dst").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("src", F.col("rnk").cast("bigint").alias("rnk"), "dst")
+    )

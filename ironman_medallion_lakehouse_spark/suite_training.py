@@ -1096,3 +1096,115 @@ def q111_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source",
         F.col("priority").cast("double").alias("priority"),
     )
+
+
+# ------------------------------------------------- q114 k-NN graph build
+
+_Q114_BITS, _Q114_K = 5, 3
+_Q114_HPS = S.signlsh_hyperplanes(_Q114_BITS, 64)
+_Q114_BUCKET = " + ".join(
+    f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {_hp_lit(hp)}) > 0 "
+    f"THEN {1 << i} ELSE 0 END)"
+    for i, hp in enumerate(_Q114_HPS)
+)
+
+
+@register(
+    "q114_knn_graph",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             CAST({_Q114_BUCKET} AS BIGINT) AS bucket
+      FROM embeddings
+    ),
+    n AS (SELECT vec_id, v, bucket, sqrt(list_dot_product(v, v)) AS nrm FROM b),
+    pairs AS (
+      SELECT a.vec_id AS src, c.vec_id AS dst,
+             list_dot_product(a.v, c.v) / (a.nrm * c.nrm) AS sim
+      FROM n a JOIN n c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+    )
+    SELECT src, CAST(rnk AS BIGINT) AS rnk, dst FROM (
+      SELECT src, dst,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rnk
+      FROM pairs
+    ) WHERE rnk <= {_Q114_K}
+    """,
+)
+def q114_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN graph (operators/similarity.knn_graph): each
+    vector's top-3 cosine neighbors among its 5-bit sign-LSH bucket
+    mates — the corpus-wide BATCH sibling of the single-query ANN
+    entries and the substrate for graph dedup / label propagation /
+    HNSW seeding. Bucket self-join bounds work at Σ m_b² (the q92
+    shape), per-src window takes the top-k; ids only in the output,
+    cosine ties broken by neighbor id. The md5-seeded hyperplanes are
+    embedded as identical double literals in the oracle."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    return S.knn_graph(t["embeddings"], _Q114_HPS, k=_Q114_K)
+
+
+# ------------------------------------- q115 CMS join-size estimation
+
+@register(
+    "q115_cms_join_size",
+    oracle="""
+    WITH depths AS (SELECT unnest(range(4)) AS j),
+    pa AS (
+      SELECT j,
+        (('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#cms' || j), 1, 15))::UBIGINT % 256) AS cell,
+        COUNT(*) AS cnt
+      FROM events CROSS JOIN depths WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    pb AS (
+      SELECT j,
+        (('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#cms' || j), 1, 15))::UBIGINT % 256) AS cell,
+        COUNT(*) AS cnt
+      FROM events CROSS JOIN depths WHERE event_type = 'error'
+      GROUP BY 1, 2
+    ),
+    ip AS (
+      SELECT pa.j, SUM(pa.cnt * pb.cnt) AS p
+      FROM pa JOIN pb ON pa.j = pb.j AND pa.cell = pb.cell
+      GROUP BY 1
+    ),
+    est AS (SELECT CAST(MIN(p) AS BIGINT) AS est_join_size FROM ip),
+    exact AS (
+      SELECT COUNT(*) AS exact_join_size
+      FROM (SELECT user_id FROM events WHERE event_type = 'purchase') a
+      JOIN (SELECT user_id FROM events WHERE event_type = 'error') b
+        ON a.user_id = b.user_id
+    )
+    SELECT e.est_join_size, x.exact_join_size,
+           (e.est_join_size >= x.exact_join_size) AS dominates
+    FROM est e CROSS JOIN exact x
+    """,
+)
+def q115_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS join-size estimation (operators/sketches.cms_inner_product
+    — Cormode & Muthukrishnan): |purchases ⋈ errors on user_id|
+    estimated from two 4×256 counter sketches via the min-over-depths
+    cell product sum, next to the exact join count it must dominate —
+    the sketch-only cardinality input a cost-based join-order/
+    broadcast decision needs WITHOUT scanning either side (extends the
+    ANALYZE sidecar story, q86). Hash-exact: CMS is order-independent,
+    the oracle replays every counter."""
+    from ironman_medallion_lakehouse_spark.operators import sketches as SK
+
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id")
+    sa = SK.cms_sketch(purchases, [], "user_id")
+    sb = SK.cms_sketch(errors, [], "user_id")
+    est = SK.cms_inner_product(sa, sb).select(
+        F.col("est_inner_product").alias("est_join_size")
+    )
+    exact = purchases.join(errors, "user_id").agg(
+        F.count(F.lit(1)).alias("exact_join_size")
+    )
+    return est.crossJoin(exact).select(
+        "est_join_size",
+        "exact_join_size",
+        (F.col("est_join_size") >= F.col("exact_join_size")).alias("dominates"),
+    )

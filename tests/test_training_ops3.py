@@ -395,3 +395,96 @@ def test_event_paths_no_cross_user_grams(spark):
         ]
     )
     assert top_event_paths(events, n=2, k=5).count() == 0
+
+
+# ------------------------------------------------------- k-NN graph
+
+def test_knn_graph_planted_neighbors(spark):
+    """Two tight clusters in opposite half-spaces: every vector's
+    neighbors come from its own cluster, ranked by cosine."""
+    import random
+
+    from ironman_medallion_lakehouse_spark.operators.similarity import (
+        knn_graph,
+        signlsh_hyperplanes,
+    )
+
+    rng = random.Random(2)
+    base_a = [1.0] * 8
+    base_b = [-1.0] * 8
+    vecs = []
+    for i in range(6):
+        vecs.append([x + rng.uniform(-0.05, 0.05) for x in base_a])
+    for i in range(6):
+        vecs.append([x + rng.uniform(-0.05, 0.05) for x in base_b])
+    hps = signlsh_hyperplanes(4, 8)
+    g = knn_graph(_emb(spark, vecs), hps, k=2).collect()
+    assert len(g) > 0
+    for r in g:
+        same_cluster = (r.src < 6) == (r.dst < 6)
+        assert same_cluster, f"{r.src}->{r.dst} crossed clusters"
+
+
+def test_knn_graph_rank_contract_and_determinism(spark):
+    """rnk is 1..k dense per src; repartitioning changes nothing."""
+    import random
+
+    from ironman_medallion_lakehouse_spark.operators.similarity import (
+        knn_graph,
+        signlsh_hyperplanes,
+    )
+
+    rng = random.Random(4)
+    vecs = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(30)]
+    hps = signlsh_hyperplanes(3, 8)
+    emb = _emb(spark, vecs)
+    g1 = sorted(map(tuple, knn_graph(emb.repartition(1), hps, k=3).collect()))
+    g2 = sorted(map(tuple, knn_graph(emb.repartition(9), hps, k=3).collect()))
+    assert g1 == g2
+    from collections import defaultdict
+
+    ranks = defaultdict(list)
+    for src, rnk, dst in g1:
+        ranks[src].append(rnk)
+    for src, rs in ranks.items():
+        assert sorted(rs) == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+
+
+# ------------------------------------------- CMS inner product (join size)
+
+def test_cms_inner_product_dominates_exact(spark):
+    """Estimate must be ≥ the true inner product (collisions only
+    add), and equal when width ≫ key cardinality."""
+    from ironman_medallion_lakehouse_spark.operators.sketches import (
+        cms_inner_product,
+        cms_sketch,
+    )
+
+    a = spark.createDataFrame([Row(k=i % 5) for i in range(50)])   # 10 each
+    b = spark.createDataFrame([Row(k=i % 10) for i in range(30)])  # 3 each
+    sa = cms_sketch(a, [], "k")
+    sb = cms_sketch(b, [], "k")
+    est = cms_inner_product(sa, sb).collect()[0].est_inner_product
+    exact = a.join(b, "k").count()
+    assert exact == 5 * 10 * 3
+    assert est >= exact
+    # width 256 vs 10 distinct keys: collision-free w.h.p. -> exact
+    assert est == exact
+
+
+def test_cms_inner_product_empty_side(spark):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ironman_medallion_lakehouse_spark.operators.sketches import (
+        cms_inner_product,
+        cms_sketch,
+    )
+
+    schema = StructType([StructField("k", LongType())])
+    a = spark.createDataFrame([Row(k=1), Row(k=2)])
+    empty = spark.createDataFrame([], schema)
+    est = cms_inner_product(
+        cms_sketch(a, [], "k"), cms_sketch(empty, [], "k")
+    ).collect()[0]
+    assert est.est_inner_product == 0
