@@ -58,3 +58,62 @@ def range_join_within(
     # row's three replica bins are distinct, so each qualifying pair
     # meets in exactly one bucket
     return joined.filter(exact)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_seconds: int,
+) -> DataFrame:
+    """Interval × interval OVERLAP join (closed intervals):
+    pairs where l_start ≤ r_end AND r_start ≤ l_end, equi-scoped by
+    ``on`` — the span-vs-span θ shape (concurrent sessions, log spans,
+    reservation conflicts) that ``range_join_within``'s point-vs-window
+    rewrite cannot express.
+
+    Rewrite: each interval is replicated to every ``bin_seconds``
+    bucket it touches (sequence + explode — replication factor
+    ⌈span/bin⌉+1), the θ-join becomes an equi-join on (on…, bin), and
+    a distinct collapses pairs that meet in several buckets before the
+    exact predicate filters. Cost O(n·spans/bin + candidate pairs),
+    never O(n·m). Pick ``bin_seconds`` near the TYPICAL span: bins ≫
+    span inflate candidates (everything in one bucket — degenerate at
+    bin → ∞), bins ≪ span inflate replication (degenerate at bin → 0);
+    the optimum balances replication ≈ candidates, and span-quantile
+    stats (ANALYZE / KLL, q86/q82) give it without guesswork.
+
+    Start/end columns must be epoch seconds (BIGINT) — cast/floor
+    timestamps explicitly at the call site so engines agree on the
+    integer (double→int truncation vs rounding is an engine
+    divergence; floor() is not).
+
+    Output: left columns + right columns (names must be disjoint).
+    Empty/negative spans (end < start) match nothing."""
+    b = int(bin_seconds)
+    ls, le = F.col(left_start), F.col(left_end)
+    rs, re_ = F.col(right_start), F.col(right_end)
+    # filter BEFORE the explode: sequence(start, stop) with stop < start
+    # generates a DESCENDING sequence (step -1), so a negative span
+    # would silently replicate into wrong bins instead of vanishing
+    lb = left.filter(ls <= le).withColumn(
+        "_bin",
+        F.explode(F.sequence(F.floor(ls / b), F.floor(le / b))),
+    )
+    rb = right.filter(rs <= re_).withColumn(
+        "_bin",
+        F.explode(F.sequence(F.floor(rs / b), F.floor(re_ / b))),
+    )
+    joined = (
+        lb.join(rb, [*on, "_bin"])
+        .drop("_bin")
+        .distinct()  # pairs meeting in >1 shared bucket collapse
+    )
+    overlap = (F.col(left_start) <= F.col(right_end)) & (
+        F.col(right_start) <= F.col(left_end)
+    )
+    return joined.filter(overlap)

@@ -1074,3 +1074,78 @@ def knn_graph(
         .filter(F.col("rnk") <= k)
         .select("src", F.col("rnk").cast("bigint").alias("rnk"), "dst")
     )
+
+
+def feature_hash_vectors(
+    docs: DataFrame,
+    dim: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): every document
+    becomes an L2-normalized ``dim``-vector of SIGNED hashed unigram
+    counts — f_j = Σ_{tok: h(tok)=j} s(tok)·count(tok), s ∈ {±1} from
+    an independent hash (the sign unbiases E[⟨φ(a),φ(b)⟩] toward the
+    true token-overlap kernel). The zero-training featurizer that
+    turns raw text into vectors the rest of the toolbox consumes —
+    kNN graph (q114), JL (q110), SQ8/PQ compression, cosine ANN —
+    without any embedding model in the loop.
+
+    Output: (id, n_tokens, f_0 … f_{dim-1}) with components rounded
+    to 6 decimals; all-empty docs (norm 0) emit zero vectors.
+
+    Plan: one explode + ONE grouped aggregate with ``dim``
+    conditional integer sums (map-side combined — the q110 shape);
+    the norm is an exact integer sum-of-squares under a deterministic
+    sqrt, so components are engine-exact."""
+    from ironman_medallion_lakehouse_spark.operators.dedup import (
+        token_hash_raw,
+        words,
+    )
+
+    tf = docs.select(
+        F.col(id_col), F.explode(words(text_col)).alias("tok")
+    ).select(
+        F.col(id_col),
+        F.pmod(token_hash_raw(F.col("tok")), F.lit(dim)).alias("_b"),
+        F.when(
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.col("tok"), F.lit("#sign"))), 1, 8),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(2),
+            )
+            == 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("_s"),
+    )
+    g = tf.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        *[
+            F.sum(F.when(F.col("_b") == j, F.col("_s")).otherwise(F.lit(0)))
+            .alias(f"_f{j}")
+            for j in range(dim)
+        ],
+    )
+    norm2 = None
+    for j in range(dim):
+        term = F.col(f"_f{j}") * F.col(f"_f{j}")
+        norm2 = term if norm2 is None else norm2 + term
+    nrm = F.sqrt(norm2.cast("double"))
+    return g.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        *[
+            F.round(
+                F.when(nrm == 0, F.lit(0.0)).otherwise(
+                    F.col(f"_f{j}").cast("double") / nrm
+                ),
+                6,
+            ).alias(f"f_{j}")
+            for j in range(dim)
+        ],
+    )

@@ -1074,3 +1074,69 @@ def q113_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(wfull).alias("priciest"),
         F.lag("o_totalprice", 1, 0.0).over(w).alias("prev_price"),
     )
+
+
+# ===========================================================================
+# interval × interval overlap join (binned θ→equi rewrite, span form)
+# ===========================================================================
+
+_Q117_BIN = 21600  # 6 h ≈ the max span (8.2 h) — replication ≤ 3 bins
+
+
+@register(
+    "q117_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT) + CAST(floor(value * 60) AS BIGINT) AS e
+      FROM events
+    )
+    SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id,
+           CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT) AS overlap_sec
+    FROM iv a JOIN iv b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def q117_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join (operators/rangejoin.
+    interval_overlap_join): per-user activity spans [ts, ts + value
+    minutes] paired where they overlap in time — the span-vs-span θ
+    shape (concurrent sessions / reservation conflicts) that the
+    point-vs-window rewrite (q75) can't express. Bin-replicate both
+    sides (6 h bins ≈ max span → ≤3 replicas), equi-join on (user,
+    bin), distinct, exact predicate — O(n·3 + pairs), never O(n²); the
+    oracle states the naive θ-join. Durations floor()ed to integers on
+    both engines (cast-rounding divergence avoided); 763 pairs at
+    sf0.01."""
+    from ironman_medallion_lakehouse_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    t = load_tables(spark, sf_dir, "events")
+    sec = F.col("ts").cast("long")
+    iv = t["events"].select(
+        "event_id",
+        "user_id",
+        sec.alias("s"),
+        (sec + F.floor(F.col("value") * 60).cast("long")).alias("e"),
+    )
+    a = iv.select(
+        F.col("event_id").alias("a_id"), "user_id",
+        F.col("s").alias("a_s"), F.col("e").alias("a_e"),
+    )
+    b = iv.select(
+        F.col("event_id").alias("b_id"), "user_id",
+        F.col("s").alias("b_s"), F.col("e").alias("b_e"),
+    )
+    pairs = interval_overlap_join(
+        a, b, on=["user_id"], left_start="a_s", left_end="a_e",
+        right_start="b_s", right_end="b_e", bin_seconds=_Q117_BIN,
+    ).filter(F.col("a_id") < F.col("b_id"))
+    return pairs.select(
+        "a_id", "b_id", "user_id",
+        (F.least("a_e", "b_e") - F.greatest("a_s", "b_s"))
+        .cast("bigint")
+        .alias("overlap_sec"),
+    )

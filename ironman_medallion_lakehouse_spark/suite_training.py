@@ -1208,3 +1208,49 @@ def q115_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_join_size",
         (F.col("est_join_size") >= F.col("exact_join_size")).alias("dominates"),
     )
+
+
+# --------------------------------------------- q116 feature hashing
+
+_Q116_DIM = 16
+_Q116_BUCKET = "CAST(('0x' || substr(md5(tok), 1, 15))::UBIGINT % 16 AS BIGINT)"
+_Q116_SIGN = (
+    "CASE WHEN ('0x' || substr(md5(tok || '#sign'), 1, 8))::UBIGINT % 2 = 0 "
+    "THEN 1 ELSE -1 END"
+)
+
+
+@register(
+    "q116_feature_hashing",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id,
+             {_Q116_BUCKET} AS b,
+             {_Q116_SIGN} AS s
+      FROM (SELECT doc_id, unnest({_WORDS_ALL}) AS tok FROM documents)
+    ),
+    g AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+        {", ".join(f"SUM(CASE WHEN b = {j} THEN s ELSE 0 END) AS f{j}" for j in range(_Q116_DIM))}
+      FROM tf GROUP BY doc_id
+    ),
+    n AS (
+      SELECT *, sqrt(CAST({" + ".join(f"f{j} * f{j}" for j in range(_Q116_DIM))} AS DOUBLE)) AS nrm
+      FROM g
+    )
+    SELECT doc_id, n_tokens,
+      {", ".join(f"ROUND(CASE WHEN nrm = 0 THEN 0.0 ELSE CAST(f{j} AS DOUBLE) / nrm END, 6) AS f_{j}" for j in range(_Q116_DIM))}
+    FROM n
+    """,
+)
+def q116_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (operators/similarity.feature_hash_vectors —
+    Weinberger et al. 2009): signed hashed unigram counts, L2-
+    normalized into 16-dim document vectors — the zero-training
+    featurizer feeding this repo's vector toolbox (kNN graph, JL,
+    SQ8/PQ, cosine ANN) straight from raw text. One explode + one
+    grouped aggregate of 16 conditional integer sums; exact integer
+    norm under one sqrt makes every component engine-exact at 6
+    decimals."""
+    t = load_tables(spark, sf_dir, "documents")
+    return S.feature_hash_vectors(t["documents"], dim=_Q116_DIM)

@@ -488,3 +488,122 @@ def test_cms_inner_product_empty_side(spark):
         cms_sketch(a, [], "k"), cms_sketch(empty, [], "k")
     ).collect()[0]
     assert est.est_inner_product == 0
+
+
+# --------------------------------------------- interval overlap join
+
+def _iv(spark, rows):
+    """rows: (id, key, s, e)"""
+    return spark.createDataFrame(
+        [Row(iid=i, key=k, s=s, e=e) for i, k, s, e in rows]
+    )
+
+
+def test_interval_overlap_matches_naive(spark):
+    """Binned rewrite ≡ naive θ-join, including spans crossing many
+    bins and pairs meeting in several buckets (distinct collapse)."""
+    import random
+
+    rng = random.Random(6)
+    rows = []
+    for i in range(40):
+        s = rng.randrange(0, 10_000)
+        rows.append((i, rng.choice(["a", "b"]), s, s + rng.randrange(0, 5_000)))
+    from ironman_medallion_lakehouse_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    left = _iv(spark, rows).select(
+        F.col("iid").alias("a_id"), F.col("key"),
+        F.col("s").alias("a_s"), F.col("e").alias("a_e"),
+    )
+    right = _iv(spark, rows).select(
+        F.col("iid").alias("b_id"), F.col("key"),
+        F.col("s").alias("b_s"), F.col("e").alias("b_e"),
+    )
+    got = {
+        (r.a_id, r.b_id)
+        for r in interval_overlap_join(
+            left, right, on=["key"], left_start="a_s", left_end="a_e",
+            right_start="b_s", right_end="b_e", bin_seconds=1000,
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .collect()
+    }
+    naive = {
+        (a[0], b[0])
+        for a in rows
+        for b in rows
+        if a[0] < b[0] and a[1] == b[1] and a[2] <= b[3] and b[2] <= a[3]
+    }
+    assert got == naive
+    assert len(naive) > 0
+
+
+def test_interval_overlap_negative_span_drops(spark):
+    from ironman_medallion_lakehouse_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    left = _iv(spark, [(1, "k", 100, 50)]).select(  # end < start
+        F.col("iid").alias("a_id"), "key",
+        F.col("s").alias("a_s"), F.col("e").alias("a_e"),
+    )
+    right = _iv(spark, [(2, "k", 0, 1000)]).select(
+        F.col("iid").alias("b_id"), "key",
+        F.col("s").alias("b_s"), F.col("e").alias("b_e"),
+    )
+    assert (
+        interval_overlap_join(
+            left, right, on=["key"], left_start="a_s", left_end="a_e",
+            right_start="b_s", right_end="b_e", bin_seconds=100,
+        ).count()
+        == 0
+    )
+
+
+# ------------------------------------------------------ feature hashing
+
+def test_feature_hash_unit_norm_and_determinism(spark):
+    from ironman_medallion_lakehouse_spark.operators.similarity import (
+        feature_hash_vectors,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon"),
+            Row(doc_id=2, text="alpha beta gamma delta epsilon"),
+            Row(doc_id=3, text="zeta eta theta iota kappa lambada"),
+        ]
+    )
+    out = {r.doc_id: r for r in feature_hash_vectors(docs, dim=8).collect()}
+    v1 = [getattr(out[1], f"f_{j}") for j in range(8)]
+    v2 = [getattr(out[2], f"f_{j}") for j in range(8)]
+    v3 = [getattr(out[3], f"f_{j}") for j in range(8)]
+    assert v1 == v2 != v3
+    assert abs(sum(x * x for x in v1) - 1.0) < 1e-4
+    assert out[1].n_tokens == 5
+
+
+def test_feature_hash_kernel_tracks_overlap(spark):
+    """Docs sharing most tokens have higher feature-space cosine than
+    disjoint docs (the hashing-trick kernel property, in expectation —
+    checked with dim comfortably above vocab)."""
+    from ironman_medallion_lakehouse_spark.operators.similarity import (
+        feature_hash_vectors,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e f g h"),
+            Row(doc_id=2, text="a b c d e f g zz"),
+            Row(doc_id=3, text="p q r s t u v w"),
+        ]
+    )
+    out = {r.doc_id: r for r in feature_hash_vectors(docs, dim=64).collect()}
+
+    def cos(u, v):
+        return sum(x * y for x, y in zip(u, v))
+
+    v = {i: [getattr(out[i], f"f_{j}") for j in range(64)] for i in (1, 2, 3)}
+    assert cos(v[1], v[2]) > cos(v[1], v[3])
