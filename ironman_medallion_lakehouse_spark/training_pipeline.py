@@ -1,11 +1,13 @@
 """End-to-end training-data curation — the engine's operators composed
 into the pipeline a 100 TB corpus actually runs:
 
-    quality gate → near-dup grouping (survivors) → stratified mixture
-    sampling → sliding-window chunking → sequence packing → TableStore
+    quality gate → near-dup grouping (survivors) → mixture control
+    (explicit per-stratum rates, and/or the LEARNED arm: DSIR
+    importance weights → weighted sample without replacement) →
+    sliding-window chunking → sequence packing → TableStore
 
 Each stage is the SAME operator the suite oracles individually (q89,
-q83, q93, q95, q84), so correctness of the composition reduces to
+q83, q93/q107/q111, q95, q84), so correctness of the composition reduces to
 correctness of the stages plus this module's glue — which the e2e test
 covers. Stage costs at scale (see SCALING.md): the gate is a map-only
 pass at scan speed, dedup is the contracted LSH pipeline, sampling is
@@ -52,6 +54,8 @@ def curate(
     dedup_bands: int = 16,
     sample_rates: dict[str, float] | None = None,
     strata_col: str = "lang",
+    dsir_target=None,
+    dsir_sample_n: int | None = None,
     chunk_size: int = 128,
     chunk_overlap: int = 32,
     pack_budget: int = 2048,
@@ -85,13 +89,39 @@ def curate(
     survivors = survivors.localCheckpoint(eager=True)
     n_survivors = survivors.count()
 
-    # 3. mixture control — deterministic per-stratum rates (no-op if None)
+    # 3. mixture control — two deterministic arms, composable:
+    #    (a) explicit per-stratum rates (the GIVEN mixture, q93);
+    #    (b) DSIR domain tilt (the LEARNED mixture, q107+q111):
+    #        importance weights against `dsir_target` (a boolean Column
+    #        over the docs), then a weighted sample without
+    #        replacement of `dsir_sample_n` docs — selection ∝ e^w via
+    #        A-ES priorities, reproducible across runs/partitionings
     if sample_rates is not None:
         sampled = stratified_sample(
             survivors, strata_col, sample_rates, "doc_id"
         ).localCheckpoint(eager=True)
     else:
         sampled = survivors
+    if dsir_target is not None and dsir_sample_n is not None:
+        from ironman_medallion_lakehouse_spark.operators.sampling import (
+            dsir_logweights,
+            weighted_sample_topk,
+        )
+
+        lw = dsir_logweights(sampled, dsir_target)
+        # A-ES weights must be positive: w = exp(log_weight) tilts
+        # selection toward target-like docs exactly ∝ importance
+        weights = lw.select(
+            "doc_id", F.exp(F.col("log_weight")).alias("_w")
+        )
+        chosen = weighted_sample_topk(
+            sampled.join(weights, "doc_id"),
+            F.col("_w"),
+            dsir_sample_n,
+            "doc_id",
+            salt="dsir",
+        ).drop("_w", "priority")
+        sampled = chosen.localCheckpoint(eager=True)
     n_sampled = sampled.count()
 
     # 4. sliding-window chunking (map-only)

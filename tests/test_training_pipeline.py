@@ -68,3 +68,34 @@ def test_curate_sample_rates_apply(spark):
     sampled = curate(spark, docs, min_words=5, sample_rates={"en": 1.0})
     # only English kept; everything else (de/es/zh/fr) dropped by the mixture
     assert 0 < sampled.n_sampled < full.n_sampled
+
+
+def test_curate_dsir_arm_tilts_selection(spark):
+    """The learned-mixture arm: DSIR weights against an en-target +
+    A-ES weighted sampling must (a) cut the corpus to exactly n, (b)
+    overrepresent the target slice vs its survivor-population share,
+    (c) reproduce exactly on a re-run (determinism)."""
+    docs = load_tables(spark, SF, "documents")["documents"].select(
+        "doc_id", "text", "lang"
+    )
+    n = 60
+    res1 = curate(
+        spark, docs, min_words=5,
+        dsir_target=F.col("lang") == "en", dsir_sample_n=n,
+    )
+    assert res1.n_sampled == n
+    base = curate(spark, docs, min_words=5)
+    # population en-share among survivors
+    chunks_ids = base.chunks.select("doc_id").distinct()
+    pop = docs.join(chunks_ids, "doc_id")
+    pop_en = pop.filter(F.col("lang") == "en").count() / pop.count()
+    sel = docs.join(res1.chunks.select("doc_id").distinct(), "doc_id")
+    sel_en = sel.filter(F.col("lang") == "en").count() / sel.count()
+    assert sel_en > pop_en  # the tilt is real
+    res2 = curate(
+        spark, docs, min_words=5,
+        dsir_target=F.col("lang") == "en", dsir_sample_n=n,
+    )
+    ids1 = sorted(r.doc_id for r in res1.chunks.select("doc_id").distinct().collect())
+    ids2 = sorted(r.doc_id for r in res2.chunks.select("doc_id").distinct().collect())
+    assert ids1 == ids2
