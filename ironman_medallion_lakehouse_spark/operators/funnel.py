@@ -178,3 +178,60 @@ def top_event_paths(
         .orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
         .limit(k)
     )
+
+
+def daily_count_anomalies(
+    events: DataFrame,
+    z_threshold: float = 2.0,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Volume anomaly detection: per event type, flag days whose event
+    count deviates ≥ ``z_threshold`` standard deviations from that
+    type's own daily mean — the monitoring query behind every ingest
+    dashboard (traffic spikes, crawler outages, bot bursts).
+
+    (event_type, day, n_events, z, is_anomaly), z rounded to 6
+    decimals and the flag computed ON the rounded value so the
+    boundary is engine-exact.
+
+    Determinism: daily counts are integers, so Σx and Σx² are EXACT
+    integer aggregates (order-free without any decimal machinery);
+    mean and the sample variance (Σx² − (Σx)²/n)/(n−1) are then fixed
+    scalar double expressions both engines evaluate identically —
+    clamped at 0 before the sqrt (the subtraction can go epsilon-
+    negative in doubles). Constant series (σ = 0) get z = 0, not a
+    division blow-up.
+
+    Plan: one grouped count (types × days rows), one tiny per-type
+    stats aggregate broadcast back — two map-side-combined shuffles
+    over low-cardinality keys; nothing scales with raw event volume
+    beyond the first count."""
+    daily = events.groupBy(
+        F.col(type_col), F.date_trunc("day", F.col(ts_col)).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = daily.groupBy(type_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("n_events").alias("_s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("_s2"),
+    )
+    joined = daily.join(F.broadcast(stats), type_col)
+    n = F.col("_n").cast("double")
+    mean = F.col("_s1").cast("double") / n
+    var = F.greatest(
+        (F.col("_s2").cast("double") - F.col("_s1").cast("double") * F.col("_s1").cast("double") / n)
+        / (n - F.lit(1.0)),
+        F.lit(0.0),
+    )
+    std = F.sqrt(var)
+    z = F.when(std == 0, F.lit(0.0)).otherwise(
+        (F.col("n_events").cast("double") - mean) / std
+    )
+    zr = F.round(z, 6)
+    return joined.select(
+        F.col(type_col),
+        "day",
+        "n_events",
+        zr.alias("z"),
+        (F.abs(zr) >= F.lit(z_threshold)).alias("is_anomaly"),
+    )

@@ -93,6 +93,9 @@ def interval_overlap_join(
     divergence; floor() is not).
 
     Output: left columns + right columns (names must be disjoint).
+    Each side's rows must be unique (carry an id column): the
+    post-join distinct that collapses multi-bucket meets would also
+    collapse pairs arising from fully-duplicate input rows.
     Empty/negative spans (end < start) match nothing."""
     b = int(bin_seconds)
     ls, le = F.col(left_start), F.col(left_end)

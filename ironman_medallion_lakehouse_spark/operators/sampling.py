@@ -246,10 +246,13 @@ def weighted_sample_topk(
     cosine_topk, absorbed by any scan at 100 TB.
 
     Determinism: u = (h+0.5)/2²⁴ is an exact rational from 6 md5 hex
-    digits; ln(u)/w is rounded into DECIMAL(18,12) so an engine's
+    digits; ln(u)/w is rounded into DECIMAL(28,12) so an engine's
     last-ulp ln wobble cannot reorder near-ties, and the remaining
-    tiebreak is the unique key. Output: the sampled rows plus their
-    rounded ``priority``."""
+    tiebreak is the unique key. The 16 integer digits hold any
+    |ln(u)/w| up to 10¹⁶ — i.e. weights down to ~2·10⁻¹⁵ — without
+    the null-on-overflow that would order differently across engines
+    (Spark sorts nulls last DESC, DuckDB first). Output: the sampled
+    rows plus their rounded ``priority``."""
     h = F.conv(
         F.substring(
             F.md5(F.concat_ws(":", F.col(key_col).cast("string"), F.lit(salt))),
@@ -260,7 +263,7 @@ def weighted_sample_topk(
         10,
     ).cast("bigint")
     u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 24))
-    prio = (F.log(u) / weight.cast("double")).cast("decimal(18,12)")
+    prio = (F.log(u) / weight.cast("double")).cast("decimal(28,12)")
     return (
         df.filter(weight.isNotNull() & (weight.cast("double") > 0))
         .withColumn("priority", prio)

@@ -220,3 +220,52 @@ def q112_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     — hash-exact."""
     t = load_tables(spark, sf_dir, "events")
     return FU.top_event_paths(t["events"], n=_Q112_N, k=_Q112_K)
+
+
+# ------------------------------------------ q118 daily volume anomalies
+
+_Q118_Z = 2.0
+
+
+@register(
+    "q118_volume_anomalies",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, COUNT(*) AS n, SUM(n_events) AS s1,
+             SUM(n_events * n_events) AS s2
+      FROM daily GROUP BY 1
+    ),
+    scored AS (
+      SELECT d.event_type, d.day, d.n_events,
+        CASE
+          WHEN sqrt(greatest(
+                 (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0), 0.0)) = 0
+          THEN 0.0
+          ELSE (CAST(d.n_events AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+               / sqrt(greatest(
+                   (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0), 0.0))
+        END AS z_raw
+      FROM daily d JOIN stats s ON d.event_type = s.event_type
+    )
+    SELECT event_type, day, n_events, ROUND(z_raw, 6) AS z,
+           (abs(ROUND(z_raw, 6)) >= {_Q118_Z}) AS is_anomaly
+    FROM scored
+    """,
+)
+def q118_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly detection (operators/funnel.
+    daily_count_anomalies): per event type, z-score each day's count
+    against the type's own daily distribution; |z| ≥ 2 flags the
+    spike/outage days an ingest monitor alerts on. Integer Σx/Σx²
+    make mean and sample variance exact-input doubles — engine-exact
+    at 6 decimals with the flag computed on the ROUNDED z. Two
+    low-cardinality shuffles; nothing scales with raw event volume
+    past the first count."""
+    t = load_tables(spark, sf_dir, "events")
+    return FU.daily_count_anomalies(t["events"], z_threshold=_Q118_Z)

@@ -1073,7 +1073,7 @@ _Q111_K, _Q111_SALT = 200, "wsamp"
       SELECT doc_id, lang, source,
              CAST(ln((('0x' || substr(md5(doc_id::VARCHAR || ':{_Q111_SALT}'), 1, 6))::UBIGINT
                       + 0.5) / 16777216.0)
-                  / CAST(n_chars AS DOUBLE) AS DECIMAL(18,12)) AS priority
+                  / CAST(n_chars AS DOUBLE) AS DECIMAL(28,12)) AS priority
       FROM documents
       WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0
       ORDER BY priority DESC, doc_id

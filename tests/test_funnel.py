@@ -101,3 +101,50 @@ def test_retention_hand_computed(spark):
     assert got[(w0, 2)] == 1          # user 1 returns two weeks later
     assert got[(w1, 0)] == 1          # user 3's own cohort
     assert (w0, 1) not in got         # nobody from cohort 0 active week 1
+
+
+def test_daily_anomalies_flags_planted_spike(spark):
+    """29 quiet days (1 event) + one 50-event spike: the spike day
+    must be the only anomaly, with a large positive z."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+
+    from ironman_medallion_lakehouse_spark.operators.funnel import (
+        daily_count_anomalies,
+    )
+
+    rows, eid = [], 0
+    base = datetime(2024, 1, 1)
+    for d in range(30):
+        n = 50 if d == 15 else 1
+        for i in range(n):
+            rows.append(
+                Row(event_id=eid, user_id=1, event_type="click",
+                    ts=base + timedelta(days=d, minutes=i))
+            )
+            eid += 1
+    out = daily_count_anomalies(spark.createDataFrame(rows)).collect()
+    flagged = [r for r in out if r.is_anomaly]
+    assert len(flagged) == 1
+    assert flagged[0].day.day == 16 and flagged[0].n_events == 50
+    assert flagged[0].z > 5
+
+
+def test_daily_anomalies_constant_series_zero_z(spark):
+    """σ = 0 must give z = 0 everywhere, not a division blow-up."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+
+    from ironman_medallion_lakehouse_spark.operators.funnel import (
+        daily_count_anomalies,
+    )
+
+    rows = [
+        Row(event_id=d, user_id=1, event_type="view",
+            ts=datetime(2024, 1, 1) + timedelta(days=d))
+        for d in range(10)
+    ]
+    out = daily_count_anomalies(spark.createDataFrame(rows)).collect()
+    assert all(r.z == 0.0 and not r.is_anomaly for r in out)
