@@ -269,3 +269,88 @@ def q118_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     past the first count."""
     t = load_tables(spark, sf_dir, "events")
     return FU.daily_count_anomalies(t["events"], z_threshold=_Q118_Z)
+
+
+# ---------------------------------------------------- q120 CUPED A/B
+
+_Q120_SPLIT = "2024-01-16 00:00:00"
+
+
+@register(
+    "q120_cuped_experiment",
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    xa AS (
+      SELECT user_id, COUNT(*) AS x FROM events
+      WHERE ts < TIMESTAMP '{_Q120_SPLIT}' GROUP BY 1
+    ),
+    ya AS (
+      SELECT user_id, SUM(CAST(value AS DECIMAL(18,4))) AS y FROM events
+      WHERE ts >= TIMESTAMP '{_Q120_SPLIT}' AND event_type = 'purchase'
+      GROUP BY 1
+    ),
+    per AS (
+      SELECT u.user_id, CAST(u.user_id % 2 AS BIGINT) AS variant,
+             CAST(COALESCE(xa.x, 0) AS DECIMAL(18,4)) AS x,
+             CAST(COALESCE(ya.y, 0) AS DECIMAL(18,4)) AS y
+      FROM u LEFT JOIN xa USING (user_id) LEFT JOIN ya USING (user_id)
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM per
+    ),
+    adj AS (
+      SELECT variant, y,
+        CAST(CAST(y AS DOUBLE)
+             - (CASE WHEN CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) <= 0
+                     THEN 0.0
+                     ELSE (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                          / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                END)
+               * (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             AS DECIMAL(18,6)) AS ya
+      FROM per CROSS JOIN stats
+    )
+    SELECT variant, COUNT(*) AS n_units,
+           ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS mean_y,
+           ROUND(CAST(SUM(ya) AS DOUBLE) / COUNT(*), 6) AS mean_y_adj
+    FROM adj GROUP BY variant
+    """,
+)
+def q120_cuped_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (operators/experiment.
+    cuped_adjusted_means — Deng et al. WSDM'13): variant = user_id
+    parity, covariate X = each user's pre-period event count (before
+    Jan 16), metric Y = post-period purchase value; per-variant raw
+    vs adjusted means. Exact decimal ΣX/ΣY/ΣXY/ΣX² make θ and both
+    means engine-exact at 6 decimals. One stats broadcast + one
+    map-only adjustment + one tiny per-variant aggregate."""
+    from ironman_medallion_lakehouse_spark.operators.experiment import (
+        cuped_adjusted_means,
+    )
+
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"]
+    split = F.lit(_Q120_SPLIT).cast("timestamp")
+    users = ev.select("user_id").distinct()
+    xa = (
+        ev.filter(F.col("ts") < split)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    ya = (
+        ev.filter((F.col("ts") >= split) & (F.col("event_type") == "purchase"))
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("y"))
+    )
+    per = (
+        users.join(xa, "user_id", "left")
+        .join(ya, "user_id", "left")
+        .select(
+            (F.col("user_id") % 2).cast("bigint").alias("variant"),
+            F.coalesce(F.col("x"), F.lit(0)).cast("decimal(18,4)").alias("x"),
+            F.coalesce(F.col("y"), F.lit(0)).cast("decimal(18,4)").alias("y"),
+        )
+    )
+    return cuped_adjusted_means(per)

@@ -1140,3 +1140,37 @@ def q117_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("overlap_sec"),
     )
+
+
+# ===========================================================================
+# blocked fuzzy entity matching (levenshtein + lossless length band)
+# ===========================================================================
+
+@register(
+    "q119_fuzzy_match",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS distance
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def q119_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity matching (operators/dedup.
+    fuzzy_match_pairs): same-nation customer-name pairs within 2
+    Levenshtein edits — the entity-resolution primitive, with the
+    provably-lossless length-band guard (lev ≥ length diff) gating
+    the O(len²) kernel behind codegen integer compares. The oracle
+    states block + threshold semantics directly; 8.3k pairs at
+    sf0.01. Nation blocking is demonstration-grade — the operator
+    docstring routes production blocking to q-gram/LSH keys."""
+    t = load_tables(spark, sf_dir, "customer")
+    from ironman_medallion_lakehouse_spark.operators.dedup import (
+        fuzzy_match_pairs,
+    )
+
+    return fuzzy_match_pairs(
+        t["customer"], ["c_nationkey"], "c_name", "c_custkey", max_distance=2
+    )

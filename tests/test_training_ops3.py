@@ -607,3 +607,89 @@ def test_feature_hash_kernel_tracks_overlap(spark):
 
     v = {i: [getattr(out[i], f"f_{j}") for j in range(64)] for i in (1, 2, 3)}
     assert cos(v[1], v[2]) > cos(v[1], v[3])
+
+
+# -------------------------------------------------- fuzzy entity match
+
+def test_fuzzy_match_blocked_and_banded(spark):
+    """Same-block near-names match; cross-block identicals don't;
+    the length band never drops a true match (lev >= len diff)."""
+    from ironman_medallion_lakehouse_spark.operators.dedup import (
+        fuzzy_match_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(cid=1, blk="A", name="acme corp"),
+            Row(cid=2, blk="A", name="acme corp."),     # lev 1
+            Row(cid=3, blk="A", name="acme corporation"),  # lev 7 from #1
+            Row(cid=4, blk="B", name="acme corp"),      # other block
+            Row(cid=5, blk="A", name="zzz totally other"),
+        ]
+    )
+    out = fuzzy_match_pairs(df, ["blk"], "name", "cid", max_distance=2).collect()
+    pairs = {(r.id_a, r.id_b): r.distance for r in out}
+    assert pairs == {(1, 2): 1}
+
+
+def test_fuzzy_match_distance_threshold(spark):
+    from ironman_medallion_lakehouse_spark.operators.dedup import (
+        fuzzy_match_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(cid=1, blk="A", name="abcdef"),
+            Row(cid=2, blk="A", name="abcxyz"),  # lev 3
+        ]
+    )
+    assert fuzzy_match_pairs(df, ["blk"], "name", "cid", 2).count() == 0
+    assert fuzzy_match_pairs(df, ["blk"], "name", "cid", 3).count() == 1
+
+
+# ---------------------------------------------------------------- CUPED
+
+def test_cuped_perfect_covariate_removes_all_variance(spark):
+    """Y = 2X exactly: θ = 2, so every unit's Y_adj collapses to the
+    global mean — both variants' adjusted means equal it."""
+    from ironman_medallion_lakehouse_spark.operators.experiment import (
+        cuped_adjusted_means,
+    )
+
+    rows = [Row(variant=i % 2, x=float(i), y=2.0 * i) for i in range(20)]
+    out = {r.variant: r for r in cuped_adjusted_means(spark.createDataFrame(rows)).collect()}
+    gm = sum(2.0 * i for i in range(20)) / 20
+    assert abs(out[0].mean_y_adj - gm) < 1e-4
+    assert abs(out[1].mean_y_adj - gm) < 1e-4
+    assert out[0].mean_y != out[1].mean_y  # raw means differ (parity)
+
+
+def test_cuped_zero_variance_covariate_is_noop(spark):
+    from ironman_medallion_lakehouse_spark.operators.experiment import (
+        cuped_adjusted_means,
+    )
+
+    rows = [Row(variant=i % 2, x=5.0, y=float(i)) for i in range(10)]
+    out = cuped_adjusted_means(spark.createDataFrame(rows)).collect()
+    for r in out:
+        assert abs(r.mean_y - r.mean_y_adj) < 1e-9
+
+
+def test_cuped_preserves_treatment_effect_direction(spark):
+    """A real lift survives adjustment: variant 1's Y is variant 0's
+    plus a constant effect, X independent of variant."""
+    import random
+
+    from ironman_medallion_lakehouse_spark.operators.experiment import (
+        cuped_adjusted_means,
+    )
+
+    rng = random.Random(8)
+    rows = []
+    for i in range(200):
+        x = rng.uniform(0, 10)
+        v = i % 2
+        rows.append(Row(variant=v, x=x, y=3.0 * x + rng.uniform(-1, 1) + (5.0 if v else 0.0)))
+    out = {r.variant: r for r in cuped_adjusted_means(spark.createDataFrame(rows)).collect()}
+    lift_adj = out[1].mean_y_adj - out[0].mean_y_adj
+    assert 4.0 < lift_adj < 6.0
