@@ -170,32 +170,6 @@ def streaming_tumbling_counts(
     return query, sink_name
 
 
-def interval_join(
-    left: DataFrame,
-    right: DataFrame,
-    on: str,
-    left_ts: str,
-    right_ts: str,
-    window_seconds: int,
-) -> DataFrame:
-    """Equi + time-interval join condition shared by the batch and
-    streaming paths: rows match when keys are equal and |t_l − t_r| ≤
-    window. Batch input → a plain join Catalyst plans normally;
-    streaming inputs (with watermarks set by ``streaming_interval_join``)
-    → Spark's stream-stream inner join, where THIS condition shape
-    (an equality plus a two-sided time bound on both event-time
-    columns) is exactly what lets the engine derive the state
-    watermark and evict buffered rows — an unbounded or one-sided
-    condition would buffer forever."""
-    l_ts, r_ts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
-    cond = (
-        (F.col(f"l.{on}") == F.col(f"r.{on}"))
-        & (r_ts >= l_ts - F.expr(f"INTERVAL {window_seconds} SECONDS"))
-        & (r_ts <= l_ts + F.expr(f"INTERVAL {window_seconds} SECONDS"))
-    )
-    return left.alias("l").join(right.alias("r"), cond)
-
-
 def streaming_interval_join(
     spark,
     source_path: str,
