@@ -235,3 +235,50 @@ def daily_count_anomalies(
         zr.alias("z"),
         (F.abs(zr) >= F.lit(z_threshold)).alias("is_anomaly"),
     )
+
+
+def trending_items(
+    events: DataFrame,
+    item: F.Column,
+    reference_ts: str,
+    half_life_days: float = 7.0,
+    k: int = 20,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exponentially time-decayed item counts — the "trending now"
+    query: each occurrence contributes 0.5^(age/half_life), so an
+    item's score is its recency-weighted frequency and yesterday's
+    spike outranks last month's sustained volume. (item, score,
+    n_raw) for the top ``k`` by decayed score.
+
+    ``item`` is any Column (an id, a type, a JSON-extracted field) —
+    the caller picks the trending dimension.
+
+    Plan: map-only contribution per event + ONE map-side-combined
+    grouped sum + TakeOrderedAndProject. Nothing rescans history to
+    re-age scores: with score_t = score·0.5^(Δ/half_life), a stored
+    score decays by pure multiplication at read time — the decayed
+    counter is mergeable across partitions AND across time
+    checkpoints (store fine-grained, roll up coarse, the sketch-store
+    discipline).
+
+    Determinism: the only transcendental is pow(0.5, age) on doubles
+    derived from exact integer-second ages; each contribution is
+    rounded into DECIMAL(18,9) before the (exact, order-free) sum —
+    last-ulp pow wobble across engines vanishes at the 9th decimal
+    (q98 policy), and the tie-break is the item itself."""
+    ref = F.lit(reference_ts).cast("timestamp").cast("long")
+    age_days = (ref - F.col(ts_col).cast("long")).cast("double") / F.lit(86400.0)
+    contrib = F.pow(F.lit(0.5), age_days / F.lit(float(half_life_days))).cast(
+        "decimal(18,9)"
+    )
+    return (
+        events.select(item.alias("item"), contrib.alias("_c"))
+        .groupBy("item")
+        .agg(
+            F.round(F.sum("_c").cast("double"), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_raw"),
+        )
+        .orderBy(F.col("score").desc(), F.col("item").asc())
+        .limit(k)
+    )

@@ -360,3 +360,99 @@ def dedup_groups_from_pairs(
         F.count(F.lit(1)).over(w).alias("group_size"),
         (F.col(id_col) == F.col("group_id")).alias("is_survivor"),
     )
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Triangle counting + global clustering coefficient for an
+    undirected graph (edges in either/both directions; self-loops and
+    duplicates ignored): ONE row
+    (n_nodes, n_edges, n_wedges, n_triangles, global_clustering),
+    clustering = 3·triangles / wedges (0 when wedge-free).
+
+    The third graph algorithm beside connected components and
+    PageRank — the density/cohesion probe (spam-farm detection in link
+    graphs, community strength) and the classic MapReduce-scale
+    benchmark. Algorithm: degree-ordered orientation (Schank/
+    Suri-Vassilvitskii): orient every canonical edge from the
+    (degree, id)-smaller endpoint to the larger, which (a) counts
+    each triangle exactly once at its smallest corner and (b) bounds
+    every node's out-degree at O(√m), so the wedge self-join
+    generates O(m^1.5) candidates instead of Σ deg² — the difference
+    between a star node costing d² and costing nothing at 100 TB.
+    The closing-edge check is a broadcast-or-shuffle semi-join on the
+    oriented edge set. Wedge count is the exact Σ d(d−1)/2 — one
+    aggregate over the degree frame.
+
+    Determinism: every output is an exact integer except clustering
+    = an exact-integer ratio rounded to 6 decimals."""
+    canon = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        canon.select(F.col("u").alias("node"))
+        .unionByName(canon.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # one sortable rank value: degree-major, id-minor (ids fit 32 bits
+    # in every driver table; document the assumption rather than a
+    # struct compare, which joins can't use as cleanly)
+    rank = deg.select(
+        "node",
+        (F.col("deg").cast("long") * F.lit(1 << 32) + F.col("node")).alias("rnk"),
+    )
+    ra = rank.select(F.col("node").alias("u"), F.col("rnk").alias("_ru"))
+    rb = rank.select(F.col("node").alias("v"), F.col("rnk").alias("_rv"))
+    oriented = (
+        canon.join(ra, "u")
+        .join(rb, "v")
+        .select(
+            F.when(F.col("_ru") < F.col("_rv"), F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(F.col("_ru") < F.col("_rv"), F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(F.col("_ru") < F.col("_rv"), F.col("_rv")).otherwise(F.col("_ru")).alias("rb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e1 = oriented.select(F.col("a"), F.col("b").alias("x"), F.col("rb").alias("rx"))
+    e2 = oriented.select(F.col("a"), F.col("b").alias("y"), F.col("rb").alias("ry"))
+    wedges = e1.join(e2, "a").filter(F.col("rx") < F.col("ry"))
+    closed = wedges.join(
+        oriented.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"],
+        "left_semi",
+    )
+    tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    counts = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint").alias("n_wedges"),
+    )
+    n_edges = canon.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        counts.crossJoin(n_edges)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(F.col("n_wedges") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.lit(3.0) * F.col("n_triangles").cast("double")
+                    / F.col("n_wedges").cast("double"),
+                    6,
+                )
+            )
+            .alias("global_clustering"),
+        )
+    )

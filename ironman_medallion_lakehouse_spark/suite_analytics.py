@@ -354,3 +354,111 @@ def q120_cuped_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cuped_adjusted_means(per)
+
+
+# ------------------------------------------------ q121 triangle counting
+
+_Q121_MINQTY = 50
+
+
+@register(
+    "q121_triangle_count",
+    oracle=f"""
+    WITH sp AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+      FROM lineitem WHERE l_quantity >= {_Q121_MINQTY}
+    ),
+    canon AS (
+      SELECT DISTINCT least(a.s, b.s) AS u, greatest(a.s, b.s) AS v
+      FROM sp a JOIN sp b ON a.p = b.p AND a.s <> b.s
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM canon UNION ALL SELECT v FROM canon
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM canon a JOIN canon b ON a.v = b.u JOIN canon c
+        ON a.u = c.u AND b.v = c.v
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+      FROM deg
+    ),
+    ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM canon)
+    SELECT agg.n_nodes, ne.n_edges, agg.n_wedges,
+           CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+           CASE WHEN agg.n_wedges = 0 THEN 0.0
+                ELSE ROUND(3.0 * CAST(tri.n_triangles AS DOUBLE)
+                           / CAST(agg.n_wedges AS DOUBLE), 6)
+           END AS global_clustering
+    FROM agg CROSS JOIN ne CROSS JOIN tri
+    """,
+)
+def q121_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + clustering coefficient (operators/graph.
+    triangle_stats — Schank / Suri-Vassilvitskii degree-ordered
+    orientation): the supplier co-supply graph (suppliers sharing a
+    max-quantity part — 340 edges, 111 triangles at sf0.01, genuinely
+    sparse), each triangle counted once at its smallest corner with
+    out-degrees bounded O(√m) so the wedge join is O(m^1.5), never
+    Σ deg². The third graph algorithm beside components and PageRank;
+    the oracle states the naive triple join. All-integer outputs plus
+    one exact ratio."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    sp = (
+        t["lineitem"]
+        .filter(F.col("l_quantity") >= _Q121_MINQTY)
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = sp.select(F.col("p"), F.col("s").alias("src"))
+    b = sp.select(F.col("p"), F.col("s").alias("dst"))
+    edges = a.join(b, "p").filter(F.col("src") != F.col("dst")).select("src", "dst")
+    from ironman_medallion_lakehouse_spark.operators.graph import triangle_stats
+
+    return triangle_stats(edges)
+
+
+# --------------------------------------------- q122 decayed trending
+
+_Q122_REF, _Q122_HL, _Q122_K = "2024-01-31 00:00:00", 7.0, 20
+
+
+@register(
+    "q122_trending_items",
+    oracle=f"""
+    WITH c AS (
+      SELECT json_extract_string(props, '$.k') AS item,
+        CAST(power(0.5,
+          (CAST(floor(epoch(TIMESTAMP '{_Q122_REF}') ) AS BIGINT)
+           - CAST(floor(epoch(ts)) AS BIGINT)) / 86400.0 / {_Q122_HL})
+          AS DECIMAL(18,9)) AS contrib
+      FROM events
+    )
+    SELECT item, ROUND(CAST(SUM(contrib) AS DOUBLE), 6) AS score,
+           COUNT(*) AS n_raw
+    FROM c GROUP BY item
+    ORDER BY score DESC, item ASC
+    LIMIT {_Q122_K}
+    """,
+)
+def q122_trending_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed trending counters (operators/funnel.
+    trending_items): top-20 `props.k` values by exponentially decayed
+    frequency (half-life 7 d against a fixed reference instant) — the
+    "trending now" rollup, with the JSON-field extraction surface
+    (get_json_object ↔ json_extract_string) exercised on the item
+    dimension. Map-only contributions, one combined sum, top-k heap;
+    DECIMAL(18,9)-rounded pow keeps the decayed sum engine- and
+    partition-exact."""
+    t = load_tables(spark, sf_dir, "events")
+    return FU.trending_items(
+        t["events"],
+        F.get_json_object("props", "$.k"),
+        _Q122_REF,
+        half_life_days=_Q122_HL,
+        k=_Q122_K,
+    )

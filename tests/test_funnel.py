@@ -148,3 +148,50 @@ def test_daily_anomalies_constant_series_zero_z(spark):
     ]
     out = daily_count_anomalies(spark.createDataFrame(rows)).collect()
     assert all(r.z == 0.0 and not r.is_anomaly for r in out)
+
+
+def test_trending_recency_beats_volume(spark):
+    """3 recent occurrences of A outscore 5 month-old occurrences of
+    B at a 7-day half-life (5·0.5^(30/7) ≈ 0.26 < 3)."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from ironman_medallion_lakehouse_spark.operators.funnel import trending_items
+
+    ref = datetime(2024, 1, 31)
+    rows = [
+        Row(event_id=i, ts=ref - timedelta(hours=1), item_id="A") for i in range(3)
+    ] + [
+        Row(event_id=10 + i, ts=ref - timedelta(days=30), item_id="B")
+        for i in range(5)
+    ]
+    out = trending_items(
+        spark.createDataFrame(rows), F.col("item_id"), "2024-01-31 00:00:00"
+    ).collect()
+    assert out[0].item == "A" and out[1].item == "B"
+    assert out[0].score > out[1].score
+    assert out[0].n_raw == 3 and out[1].n_raw == 5
+
+
+def test_trending_partitioning_invariance(spark):
+    from datetime import datetime, timedelta
+    import random
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from ironman_medallion_lakehouse_spark.operators.funnel import trending_items
+
+    rng = random.Random(3)
+    ref = datetime(2024, 1, 31)
+    rows = [
+        Row(event_id=i, ts=ref - timedelta(hours=rng.randrange(1, 700)),
+            item_id=f"i{rng.randrange(8)}")
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows)
+    o1 = [tuple(r) for r in trending_items(df.repartition(1), F.col("item_id"), "2024-01-31 00:00:00").collect()]
+    o2 = [tuple(r) for r in trending_items(df.repartition(13), F.col("item_id"), "2024-01-31 00:00:00").collect()]
+    assert o1 == o2

@@ -103,3 +103,54 @@ def test_long_chain_converges_logarithmically(spark):
     )
     got = {(r.node, r.component) for r in comp.collect()}
     assert got == {(i, 1) for i in range(1, 41)}
+
+
+# ---------------------------------------------------- triangle stats
+
+def _e(spark, pairs):
+    return spark.createDataFrame([Row(src=a, dst=b) for a, b in pairs])
+
+
+def test_triangles_k4_complete(spark):
+    """K4: 4 triangles, 12 wedges, clustering 1.0."""
+    from ironman_medallion_lakehouse_spark.operators.graph import triangle_stats
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    r = triangle_stats(_e(spark, k4)).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 6, 12, 4)
+    assert r.global_clustering == 1.0
+
+
+def test_triangles_duplicates_directions_loops_ignored(spark):
+    """Both directions + duplicates + self-loops must not change the
+    count; a path graph has zero triangles."""
+    from ironman_medallion_lakehouse_spark.operators.graph import triangle_stats
+
+    tri = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (3, 1)]
+    r = triangle_stats(_e(spark, tri)).collect()[0]
+    assert r.n_triangles == 1 and r.n_edges == 3
+    path = [(1, 2), (2, 3), (3, 4)]
+    r2 = triangle_stats(_e(spark, path)).collect()[0]
+    assert r2.n_triangles == 0 and r2.n_wedges == 2
+    assert r2.global_clustering == 0.0
+
+
+def test_triangles_matches_naive_on_random_graph(spark):
+    import itertools
+    import random
+
+    from ironman_medallion_lakehouse_spark.operators.graph import triangle_stats
+
+    rng = random.Random(12)
+    nodes = list(range(18))
+    edges = [
+        (a, b) for a, b in itertools.combinations(nodes, 2) if rng.random() < 0.3
+    ]
+    adj = set(edges)
+    naive = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj
+    )
+    r = triangle_stats(_e(spark, edges)).collect()[0]
+    assert r.n_triangles == naive
