@@ -462,3 +462,158 @@ def q122_trending_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         half_life_days=_Q122_HL,
         k=_Q122_K,
     )
+
+
+# ---------------------------------------- q123 last-touch attribution
+
+_Q123_LOOKBACK = 3  # days
+
+
+@register(
+    "q123_last_touch_attribution",
+    oracle=f"""
+    WITH purchases AS (
+      SELECT event_id AS pid, user_id, ts AS pts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT user_id, ts AS tts, event_type AS channel, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS dd
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    t2 AS (SELECT user_id, tts, channel FROM touches WHERE dd = 1),
+    cand AS (
+      SELECT p.pid, p.value, p.pts, t.tts, t.channel,
+             ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY t.tts DESC) AS rn
+      FROM purchases p JOIN t2 t
+        ON t.user_id = p.user_id AND t.tts <= p.pts
+    ),
+    best AS (
+      SELECT pid,
+             CASE WHEN tts >= pts - INTERVAL {_Q123_LOOKBACK} DAY
+                  THEN channel ELSE 'unattributed' END AS channel
+      FROM cand WHERE rn = 1
+    ),
+    att AS (
+      SELECT p.pid, p.value, COALESCE(b.channel, 'unattributed') AS channel
+      FROM purchases p LEFT JOIN best b ON p.pid = b.pid
+    )
+    SELECT channel, COUNT(*) AS n_purchases,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+    FROM att GROUP BY channel
+    """,
+)
+def q123_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution (operators/asof.as_of_join in
+    its second driver-attested configuration): each purchase credits
+    the user's LATEST view/click at-or-before it — but only if that
+    touch is within a 3-day lookback; older-or-absent → 'unattributed'
+    (1,774 of 1,981 purchases attribute at sf0.01 — a real split).
+    Touches are deduped per (user, instant) by max event id so the
+    as-of pick is unambiguous. Per-channel purchase counts + decimal-
+    exact revenue. One as-of union-window shuffle + one tiny grouped
+    aggregate."""
+    from ironman_medallion_lakehouse_spark.operators.asof import as_of_join
+
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id",
+        F.col("ts").alias("pts"), "value",
+    )
+    from pyspark.sql import Window
+
+    wdd = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    touches = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .withColumn("_dd", F.row_number().over(wdd))
+        .filter(F.col("_dd") == 1)
+        .select("user_id", F.col("ts").alias("tts"),
+                F.col("event_type").alias("channel"))
+    )
+    joined = as_of_join(
+        purchases, touches, on=["user_id"], left_ts="pts", right_ts="tts",
+        right_payload=["channel"],
+    )
+    lookback = F.col("pts") - F.expr(f"INTERVAL {_Q123_LOOKBACK} DAYS")
+    channel = F.when(
+        F.col("tts_asof") >= lookback, F.col("channel_asof")
+    ).otherwise(F.lit("unattributed"))
+    return (
+        joined.select(channel.alias("channel"), "value")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("revenue"),
+        )
+    )
+
+
+# ------------------------------------------- q126 calendar gap-fill + LOCF
+
+_Q126_START, _Q126_END, _Q126_MINV = "2024-01-01", "2024-01-30", 300
+
+
+@register(
+    "q126_gapfill_locf",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_events,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS rev
+      FROM events
+      WHERE event_type = 'purchase' AND value >= {_Q126_MINV}
+      GROUP BY 1
+    ),
+    spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '{_Q126_START}',
+                                    TIMESTAMP '{_Q126_END}',
+                                    INTERVAL 1 DAY)) AS day
+    )
+    SELECT s.day,
+           (d.n_events IS NULL) AS was_missing,
+           COALESCE(d.n_events, 0) AS n_events,
+           last_value(d.rev IGNORE NULLS)
+             OVER (ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_locf
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+)
+def q126_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap filling with LOCF (operators/timeseries.
+    daily_spine_locf): high-value purchase revenue is observed on only
+    5 of 30 January days at sf0.01 — the spine makes every day a row,
+    zero-fills the flow (count), carries the level (last observed
+    daily revenue) forward, and flags synthesized rows. The
+    regularization step between sparse aggregates and any dashboard/
+    forecasting consumer. Map-only spine + one left join + one ordered
+    window."""
+    from ironman_medallion_lakehouse_spark.operators.timeseries import (
+        daily_spine_locf,
+    )
+
+    t = load_tables(spark, sf_dir, "events")
+    daily = (
+        t["events"]
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("value") >= _Q126_MINV)
+        )
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("rev"),
+        )
+    )
+    out = daily_spine_locf(
+        daily,
+        start=f"{_Q126_START} 00:00:00",
+        end=f"{_Q126_END} 00:00:00",
+        zero_cols=["n_events"],
+        carry_cols=["rev"],
+    )
+    return out.select(
+        "day", "was_missing", "n_events", F.col("rev").alias("rev_locf")
+    )

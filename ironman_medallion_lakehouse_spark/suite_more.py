@@ -1174,3 +1174,73 @@ def q119_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_match_pairs(
         t["customer"], ["c_nationkey"], "c_name", "c_custkey", max_distance=2
     )
+
+
+# ===========================================================================
+# ABC / Pareto classification (cumulative-share window over exact decimals)
+# ===========================================================================
+
+@register(
+    "q125_abc_analysis",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS r
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT SUM(r) AS t FROM rev),
+    c AS (
+      SELECT l_partkey, r,
+             SUM(r) OVER (ORDER BY r DESC, l_partkey ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM rev
+    )
+    SELECT l_partkey,
+           ROUND(CAST(r AS DOUBLE), 4) AS revenue,
+           ROUND(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE), 6) AS cum_share,
+           CASE WHEN ROUND(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE), 6) <= 0.80 THEN 'A'
+                WHEN ROUND(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE), 6) <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c CROSS JOIN tot
+    """,
+)
+def q125_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification — the classic BI cut: parts ranked
+    by revenue, cumulative share thresholds 80/95% splitting A/B/C
+    tiers. The cumulative sum runs over EXACT decimals (per-row
+    revenue cast DECIMAL(18,4) before any sum), so the running total
+    — the one place sequential double addition would drift across
+    engines — is order-free by construction; shares and class
+    boundaries compare on the ROUNDED value. One grouped aggregate +
+    one ordered window (single Exchange) + a broadcast scalar."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, "lineitem")
+    rev = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("r")
+        )
+    )
+    tot = rev.agg(F.sum("r").alias("t"))
+    w = Window.orderBy(F.col("r").desc(), F.col("l_partkey").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    share = F.round(F.sum("r").over(w).cast("double") / F.col("t").cast("double"), 6)
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            F.round(F.col("r").cast("double"), 4).alias("revenue"),
+            share.alias("cum_share"),
+            F.when(share <= 0.80, F.lit("A"))
+            .when(share <= 0.95, F.lit("B"))
+            .otherwise(F.lit("C"))
+            .alias("abc_class"),
+        )
+    )

@@ -693,3 +693,61 @@ def test_cuped_preserves_treatment_effect_direction(spark):
     out = {r.variant: r for r in cuped_adjusted_means(spark.createDataFrame(rows)).collect()}
     lift_adj = out[1].mean_y_adj - out[0].mean_y_adj
     assert 4.0 < lift_adj < 6.0
+
+
+# ---------------------------------------------------- gap-fill + LOCF
+
+def test_gapfill_locf_hand_computed(spark):
+    """5-day spine over observations on days 1 and 4: zeros for the
+    flow, carried level, leading null before first observation."""
+    from datetime import datetime
+
+    from ironman_medallion_lakehouse_spark.operators.timeseries import (
+        daily_spine_locf,
+    )
+
+    daily = spark.createDataFrame(
+        [
+            Row(day=datetime(2024, 1, 2), n=3, level=10.0),
+            Row(day=datetime(2024, 1, 4), n=1, level=7.5),
+        ]
+    )
+    out = {
+        r.day.day: r
+        for r in daily_spine_locf(
+            daily, "2024-01-01", "2024-01-05",
+            zero_cols=["n"], carry_cols=["level"],
+        ).collect()
+    }
+    assert len(out) == 5
+    assert out[1].level is None and out[1].n == 0 and out[1].was_missing
+    assert out[2].level == 10.0 and not out[2].was_missing
+    assert out[3].level == 10.0 and out[3].n == 0 and out[3].was_missing
+    assert out[4].level == 7.5
+    assert out[5].level == 7.5 and out[5].was_missing
+
+
+def test_gapfill_locf_grouped(spark):
+    """Groups fill independently: each group gets its own spine and
+    its own carry chain."""
+    from datetime import datetime
+
+    from ironman_medallion_lakehouse_spark.operators.timeseries import (
+        daily_spine_locf,
+    )
+
+    daily = spark.createDataFrame(
+        [
+            Row(g="a", day=datetime(2024, 1, 1), n=1, level=1.0),
+            Row(g="b", day=datetime(2024, 1, 3), n=2, level=9.0),
+        ]
+    )
+    out = daily_spine_locf(
+        daily, "2024-01-01", "2024-01-03",
+        zero_cols=["n"], carry_cols=["level"], group_cols=["g"],
+    ).collect()
+    assert len(out) == 6
+    rows = {(r.g, r.day.day): r for r in out}
+    assert rows[("a", 3)].level == 1.0       # carried within a
+    assert rows[("b", 1)].level is None      # b has nothing to carry yet
+    assert rows[("b", 3)].level == 9.0
