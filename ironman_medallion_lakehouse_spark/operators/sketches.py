@@ -382,3 +382,48 @@ def cms_inner_product(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("est_inner_product")
     )
+
+
+def bloom_filtered_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    bits: int = BLOOM_BITS,
+    hashes: int = BLOOM_HASHES,
+    how: str = "inner",
+) -> DataFrame:
+    """Runtime-filter join: build a Bloom filter of the SMALL side's
+    join keys, embed its ≤ bits/32 words as a literal array, and
+    PRE-FILTER the big side map-side — before the shuffle — so rows
+    that cannot match never leave their scan stage. The explicit,
+    engine-portable form of Spark's own runtime row-group filters,
+    and the pattern that matters when the big side is 100 TB and the
+    join keys hit 0.1% of it: the shuffle shrinks by the selectivity,
+    the join result does not change AT ALL (false positives only let
+    extra rows into the shuffle; the join itself drops them) — so a
+    plain-join oracle certifies it.
+
+    Driver state is the word array: bits/32 BIGINTs (4096 bits = 128
+    words = 1 KB) — a bounded collect of an already-aggregated frame,
+    the same order as any broadcast. The membership predicate is pure
+    codegen Column math (md5 positions + array index + bitwiseAND).
+    ``how`` supports inner/left_semi (join types where dropping
+    non-matching big rows early is semantics-preserving)."""
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"bloom pre-filtering preserves semantics only for inner/"
+            f"left_semi joins, got {how!r}"
+        )
+    sk = bloom_sketch(small.select(F.col(small_key)), [], small_key, bits, hashes)
+    words = {r.word: r.mask for r in sk.collect()}  # ≤ bits/32 rows
+    arr = F.array(*[F.lit(int(words.get(w, 0))) for w in range(bits // _BLOOM_WORD)])
+    pred = None
+    for i in range(hashes):
+        pos = _bloom_pos(F.col(big_key), i, bits)
+        word_val = F.element_at(arr, (pos / _BLOOM_WORD).cast("int") + 1)
+        bit = F.pow(F.lit(2.0), pos % _BLOOM_WORD).cast("bigint")
+        c = word_val.bitwiseAND(bit) != 0
+        pred = c if pred is None else pred & c
+    pruned = big.filter(pred)
+    return pruned.join(small, pruned[big_key] == small[small_key], how)

@@ -617,3 +617,143 @@ def q126_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "day", "was_missing", "n_events", F.col("rev").alias("rev_locf")
     )
+
+
+# ---------------------------------------- q124 event transition matrix
+
+
+@register(
+    "q124_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type, 1) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ) AS to_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT from_type, SUM(n) AS t FROM pairs GROUP BY 1)
+    SELECT p.from_type, p.to_type, p.n,
+           ROUND(CAST(p.n AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS prob
+    FROM pairs p JOIN tot t ON p.from_type = t.from_type
+    """,
+)
+def q124_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: P(next type | current type) — the normalized counterpart
+    of q112's raw path mining, the input to journey simulation and
+    next-action prediction. One lead window (unique-id tiebreak), one
+    pair count, one per-from normalization join (25-row broadcast);
+    probabilities are exact integer ratios rounded to 6 decimals."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = t["events"].select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type", 1).over(w).alias("to_type"),
+    )
+    pairs = (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("t"))
+    return pairs.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("t").cast("double"), 6).alias(
+            "prob"
+        ),
+    )
+
+
+# ------------------------------------------- q127 sliding windows
+
+_Q127_DUR, _Q127_SLIDE = 7200, 3600  # 2 h windows sliding hourly
+
+
+@register(
+    "q127_sliding_windows",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT CAST(floor(floor(epoch(MIN(ts))) / {_Q127_SLIDE}) AS BIGINT) * {_Q127_SLIDE}
+               - {_Q127_DUR} + {_Q127_SLIDE} AS lo,
+             CAST(floor(floor(epoch(MAX(ts))) / {_Q127_SLIDE}) AS BIGINT) * {_Q127_SLIDE} AS hi
+      FROM events
+    ),
+    starts AS (
+      SELECT unnest(generate_series(lo, hi, {_Q127_SLIDE})) AS ws FROM bounds
+    ),
+    assigned AS (
+      SELECT s.ws, e.event_type
+      FROM events e JOIN starts s
+        ON CAST(floor(epoch(e.ts)) AS BIGINT) >= s.ws
+       AND CAST(floor(epoch(e.ts)) AS BIGINT) < s.ws + {_Q127_DUR}
+    )
+    SELECT to_timestamp(ws) AS window_start, event_type,
+           COUNT(*) AS n_events
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def q127_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING event-time windows (2 h duration, 1 h slide) — the
+    overlapping-window aggregation surface q51's tumbling windows
+    don't touch: every event lands in duration/slide = 2 windows, the
+    shape behind rolling health metrics and smoothed rate dashboards.
+    Spark's native F.window(ts, '2 hours', '1 hour') handles
+    assignment via internal window expansion; the oracle replays the
+    same grid with an epoch-arithmetic window-start join. Counts only
+    — hash-exact. Streaming note: the identical expression runs under
+    readStream + watermark (q51's streaming twin covers the
+    mechanics)."""
+    t = load_tables(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+
+
+# --------------------------------------------- q128 bloom-pruned join
+
+
+@register(
+    "q128_bloom_join",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'MACHINERY' AND c.c_nationkey = 5
+    """,
+)
+def q128_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned join (operators/sketches.bloom_filtered_join —
+    the explicit runtime-filter pattern): a 1 KB Bloom filter of the
+    tiny customer subset's keys pre-filters the orders scan map-side,
+    so non-matching orders never enter the shuffle; the ORACLE IS THE
+    PLAIN JOIN — false positives are dropped by the join itself, so
+    the optimization is provably semantics-free. The lever that
+    matters when the big side is 100 TB and the key set hits 0.1%."""
+    from ironman_medallion_lakehouse_spark.operators.sketches import (
+        bloom_filtered_join,
+    )
+
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    small = t["customer"].filter(
+        (F.col("c_mktsegment") == "MACHINERY") & (F.col("c_nationkey") == 5)
+    )
+    return bloom_filtered_join(
+        t["orders"], small, "o_custkey", "c_custkey"
+    ).select("o_orderkey", "o_totalprice", "c_name")

@@ -263,3 +263,64 @@ def test_bloom_definite_absence(spark):
     # 5 items * 3 bits in 4096 -> false-positive odds ~(15/4096)^3 per
     # probe; all 20 absent probes must read false
     assert all(r.maybe_present is False for r in rows)
+
+
+# ------------------------------------------------- bloom-pruned join
+
+def test_bloom_join_equals_plain_join(spark):
+    """Pre-filtering is semantics-free: output ≡ plain inner join,
+    keys absent from the small side never appear."""
+    from pyspark.sql import Row
+
+    from ironman_medallion_lakehouse_spark.operators.sketches import (
+        bloom_filtered_join,
+    )
+
+    big = spark.createDataFrame(
+        [Row(k=i % 200, payload=i) for i in range(2000)]
+    )
+    small = spark.createDataFrame(
+        [Row(sk=3, name="a"), Row(sk=77, name="b"), Row(sk=150, name="c")]
+    )
+    got = sorted(
+        (r.k, r.payload, r.name)
+        for r in bloom_filtered_join(big, small, "k", "sk").collect()
+    )
+    want = sorted(
+        (r.k, r.payload, r.name)
+        for r in big.join(small, big["k"] == small["sk"]).collect()
+    )
+    assert got == want
+    assert len(got) == 30  # 3 keys x 10 rows each
+
+
+def test_bloom_join_filter_sits_before_join(spark):
+    """The membership predicate must be a map-side Filter on the big
+    side (md5 position math in the plan), not a post-join filter."""
+    from pyspark.sql import Row
+
+    from ironman_medallion_lakehouse_spark.operators.sketches import (
+        bloom_filtered_join,
+    )
+
+    big = spark.createDataFrame([Row(k=i, payload=i) for i in range(100)])
+    small = spark.createDataFrame([Row(sk=5, name="x")])
+    plan = bloom_filtered_join(big, small, "k", "sk")._jdf.queryExecution().optimizedPlan().toString()
+    join_pos = plan.index("Join")
+    assert "md5" in plan
+    assert plan.index("md5") > join_pos  # big side is a child of the join
+
+
+def test_bloom_join_rejects_outer(spark):
+    from pyspark.sql import Row
+
+    import pytest as _pytest
+
+    from ironman_medallion_lakehouse_spark.operators.sketches import (
+        bloom_filtered_join,
+    )
+
+    big = spark.createDataFrame([Row(k=1, payload=1)])
+    small = spark.createDataFrame([Row(sk=1, name="x")])
+    with _pytest.raises(ValueError, match="inner/"):
+        bloom_filtered_join(big, small, "k", "sk", how="left")
