@@ -757,3 +757,108 @@ def q128_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_filtered_join(
         t["orders"], small, "o_custkey", "c_custkey"
     ).select("o_orderkey", "o_totalprice", "c_name")
+
+
+# ------------------------------------------------ q129 grouped OLS
+
+
+@register(
+    "q129_grouped_ols",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag AS grp,
+             CAST(l_quantity AS DECIMAL(12,4)) AS x,
+             CAST(l_extendedprice AS DECIMAL(12,4)) AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT grp, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             -- one operand widened to DECIMAL(19,4): forces DuckDB's
+             -- int128 multiply path (the int64 fast path overflows at
+             -- ~10^9-scale scaled integers); values are exact either way
+             SUM(CAST(x AS DECIMAL(19,4)) * y) AS sxy,
+             SUM(CAST(x AS DECIMAL(19,4)) * x) AS sxx,
+             SUM(CAST(y AS DECIMAL(19,4)) * y) AS syy
+      FROM base GROUP BY grp
+    )
+    SELECT grp, n,
+      CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0 THEN NULL
+           ELSE ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+      END AS slope,
+      CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0 THEN NULL
+           ELSE ROUND((CAST(sy AS DOUBLE)
+                       - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+      END AS intercept,
+      CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0
+             OR CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <= 0 THEN NULL
+           ELSE ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      END AS r2
+    FROM m
+    """,
+)
+def q129_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS (operators/experiment.grouped_ols): price-vs-
+    quantity slope, intercept, and r² per return flag — regression as
+    ONE map-side-combined moment aggregate, no ML library, no
+    iteration, engine-exact via exact decimal moments (the CUPED
+    policy). The per-segment trend question every BI layer eventually
+    asks."""
+    from ironman_medallion_lakehouse_spark.operators.experiment import (
+        grouped_ols,
+    )
+
+    t = load_tables(spark, sf_dir, "lineitem")
+    return grouped_ols(
+        t["lineitem"], "l_quantity", "l_extendedprice", ["l_returnflag"]
+    ).withColumnRenamed("l_returnflag", "grp")
+
+
+# ------------------------------------------ q130 chi-square test
+
+
+@register(
+    "q130_chisquare",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS r, o_orderstatus AS c, COUNT(*) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    rt AS (SELECT r, SUM(o) AS rt FROM cells GROUP BY r),
+    ct AS (SELECT c, SUM(o) AS ct FROM cells GROUP BY c),
+    tot AS (SELECT SUM(o) AS n FROM cells),
+    terms AS (
+      SELECT cells.r, cells.c, cells.o, rt.rt, ct.ct, tot.n,
+        CAST((CAST(cells.o AS DOUBLE)
+              - CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(tot.n AS DOUBLE))
+             * (CAST(cells.o AS DOUBLE)
+              - CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(tot.n AS DOUBLE))
+             / (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(tot.n AS DOUBLE))
+             AS DECIMAL(18,9)) AS t
+      FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN tot
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST((COUNT(DISTINCT r) - 1) * (COUNT(DISTINCT c) - 1) AS BIGINT) AS dof,
+           ROUND(CAST(SUM(t) AS DOUBLE), 6) AS chi2
+    FROM terms
+    """,
+)
+def q130_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test (operators/experiment.
+    chi_square_independence): order priority × order status — the
+    crosstab-dependence screen beside CUPED (q120) and the volume
+    z-scores (q118) in the statistical-testing family. Exact integer
+    contingency counts; per-cell (O−E)²/E terms DECIMAL(18,9)-rounded
+    before the one order-free sum; dof from distinct LEVELS on both
+    sides (marginal totals can collide — they did here)."""
+    from ironman_medallion_lakehouse_spark.operators.experiment import (
+        chi_square_independence,
+    )
+
+    t = load_tables(spark, sf_dir, "orders")
+    return chi_square_independence(t["orders"], "o_orderpriority", "o_orderstatus")

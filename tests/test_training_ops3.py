@@ -751,3 +751,59 @@ def test_gapfill_locf_grouped(spark):
     assert rows[("a", 3)].level == 1.0       # carried within a
     assert rows[("b", 1)].level is None      # b has nothing to carry yet
     assert rows[("b", 3)].level == 9.0
+
+
+# ------------------------------------------------------- grouped OLS
+
+def test_grouped_ols_recovers_planted_line(spark):
+    """y = 3x + 2 exactly -> slope 3, intercept 2, r² 1 per group."""
+    from ironman_medallion_lakehouse_spark.operators.experiment import grouped_ols
+
+    rows = [
+        Row(g="a", x=float(i), y=3.0 * i + 2.0) for i in range(10)
+    ] + [
+        Row(g="b", x=float(i), y=-1.5 * i + 4.0) for i in range(10)
+    ]
+    out = {r.g: r for r in grouped_ols(spark.createDataFrame(rows), "x", "y", ["g"]).collect()}
+    assert abs(out["a"].slope - 3.0) < 1e-6 and abs(out["a"].intercept - 2.0) < 1e-6
+    assert out["a"].r2 == 1.0
+    assert abs(out["b"].slope + 1.5) < 1e-6
+
+
+def test_grouped_ols_degenerate_group_nulls(spark):
+    """Zero x-variance -> NULL coefficients, no blow-up."""
+    from ironman_medallion_lakehouse_spark.operators.experiment import grouped_ols
+
+    rows = [Row(g="c", x=5.0, y=float(i)) for i in range(5)]
+    r = grouped_ols(spark.createDataFrame(rows), "x", "y", ["g"]).collect()[0]
+    assert r.slope is None and r.intercept is None and r.r2 is None
+
+
+# -------------------------------------------------------- chi-square
+
+def test_chisquare_independent_table_near_zero(spark):
+    """A perfectly proportional table -> chi2 == 0."""
+    from ironman_medallion_lakehouse_spark.operators.experiment import (
+        chi_square_independence,
+    )
+
+    rows = []
+    for r_, n1, n2 in [("x", 10, 20), ("y", 30, 60)]:
+        rows += [Row(a=r_, b="p")] * n1 + [Row(a=r_, b="q")] * n2
+    out = chi_square_independence(spark.createDataFrame(rows), "a", "b").collect()[0]
+    assert out.chi2 == 0.0
+    assert out.dof == 1 and out.n == 120
+
+
+def test_chisquare_hand_computed(spark):
+    """2x2 [[10, 20], [20, 10]]: chi2 = 60*(10*10-20*20)^2/(30*30*30*30) = 6.666667."""
+    from ironman_medallion_lakehouse_spark.operators.experiment import (
+        chi_square_independence,
+    )
+
+    rows = (
+        [Row(a="r1", b="c1")] * 10 + [Row(a="r1", b="c2")] * 20
+        + [Row(a="r2", b="c1")] * 20 + [Row(a="r2", b="c2")] * 10
+    )
+    out = chi_square_independence(spark.createDataFrame(rows), "a", "b").collect()[0]
+    assert abs(out.chi2 - 60 * (10 * 10 - 20 * 20) ** 2 / 30 ** 4) < 1e-5
