@@ -862,3 +862,52 @@ def q130_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, "orders")
     return chi_square_independence(t["orders"], "o_orderpriority", "o_orderstatus")
+
+
+# ------------------------------------------------------- q131 TWAP
+
+_Q131_END = "2024-01-31 00:00:00"
+
+
+@register(
+    "q131_time_weighted_avg",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, value,
+        CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        COALESCE(
+          lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+          CAST(floor(epoch(TIMESTAMP '{_Q131_END}')) AS BIGINT)
+        ) AS nxt
+      FROM events
+    ),
+    per AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(18,4)) * greatest(nxt - t, 0) AS vw,
+             greatest(nxt - t, 0) AS w
+      FROM seq
+    )
+    SELECT user_id, COUNT(*) AS n_obs,
+           CASE WHEN SUM(w) = 0 THEN NULL
+                ELSE ROUND(CAST(SUM(vw) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6)
+           END AS twap
+    FROM per GROUP BY user_id
+    """,
+)
+def q131_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (operators/timeseries.
+    time_weighted_average): per-user TWAP of the event value over
+    January — each observation holds until the next one (window-end
+    close-out), so burst sampling doesn't bias the mean: the correct
+    aggregation for sampled LEVELS. Exact integer-second durations ×
+    decimal values → order-free sums; one shared-key window +
+    aggregate."""
+    from ironman_medallion_lakehouse_spark.operators.timeseries import (
+        time_weighted_average,
+    )
+
+    t = load_tables(spark, sf_dir, "events")
+    return time_weighted_average(
+        t["events"], "value", _Q131_END, ["user_id"]
+    )

@@ -807,3 +807,45 @@ def test_chisquare_hand_computed(spark):
     )
     out = chi_square_independence(spark.createDataFrame(rows), "a", "b").collect()[0]
     assert abs(out.chi2 - 60 * (10 * 10 - 20 * 20) ** 2 / 30 ** 4) < 1e-5
+
+
+# ------------------------------------------------------------- TWAP
+
+def test_twap_hand_computed(spark):
+    """value 10 held 30 s then 20 held 10 s → (10·30+20·10)/40 = 12.5;
+    plain mean would say 15."""
+    from datetime import datetime
+
+    from ironman_medallion_lakehouse_spark.operators.timeseries import (
+        time_weighted_average,
+    )
+
+    rows = [
+        Row(event_id=1, user_id=1, ts=datetime(2024, 1, 1, 0, 0, 0), value=10.0),
+        Row(event_id=2, user_id=1, ts=datetime(2024, 1, 1, 0, 0, 30), value=20.0),
+    ]
+    out = time_weighted_average(
+        spark.createDataFrame(rows), "value", "2024-01-01 00:00:40", ["user_id"]
+    ).collect()[0]
+    assert out.twap == 12.5 and out.n_obs == 2
+
+
+def test_twap_burst_sampling_does_not_bias(spark):
+    """100 samples of value 1 in one second + one sample of 100 held
+    99 s: TWAP ≈ 99·100/100s + 1·1/100 ≈ 99-ish? — plain mean would be
+    ~2. The burst of identical cheap samples must NOT dominate."""
+    from datetime import datetime, timedelta
+
+    from ironman_medallion_lakehouse_spark.operators.timeseries import (
+        time_weighted_average,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        Row(event_id=i, user_id=1, ts=base + timedelta(milliseconds=10 * i), value=1.0)
+        for i in range(100)
+    ] + [Row(event_id=1000, user_id=1, ts=base + timedelta(seconds=1), value=100.0)]
+    out = time_weighted_average(
+        spark.createDataFrame(rows), "value", "2024-01-01 00:01:40", ["user_id"]
+    ).collect()[0]
+    assert out.twap > 90  # held value dominates
