@@ -1244,3 +1244,107 @@ def q125_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("abc_class"),
         )
     )
+
+
+# ===========================================================================
+# exact order statistics: median (avg-of-middle) + mode (deterministic tie)
+# ===========================================================================
+
+@register(
+    "q132_exact_order_stats",
+    oracle="""
+    WITH o AS (
+      SELECT c.c_nationkey AS nk, o_totalprice, o_orderpriority
+      FROM orders JOIN customer c ON o_custkey = c.c_custkey
+    ),
+    ranked AS (
+      SELECT nk, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY nk ORDER BY o_totalprice ASC, o_orderpriority ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY nk) AS cnt
+      FROM o
+    ),
+    med AS (
+      SELECT nk,
+             ROUND(AVG(o_totalprice), 4) AS median_price
+      FROM ranked
+      WHERE rn IN ((cnt + 1) // 2, (cnt + 2) // 2)
+      GROUP BY nk
+    ),
+    pc AS (
+      SELECT nk, o_orderpriority, COUNT(*) AS c FROM o GROUP BY 1, 2
+    ),
+    mode_ AS (
+      SELECT nk, o_orderpriority AS mode_priority FROM (
+        SELECT nk, o_orderpriority,
+               ROW_NUMBER() OVER (PARTITION BY nk ORDER BY c DESC, o_orderpriority ASC) AS mr
+        FROM pc
+      ) WHERE mr = 1
+    ),
+    ext AS (
+      SELECT nk, COUNT(*) AS n_orders,
+             MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+      FROM o GROUP BY nk
+    )
+    SELECT e.nk AS nationkey, e.n_orders, e.min_price, e.max_price,
+           m.median_price, md.mode_priority
+    FROM ext e JOIN med m ON e.nk = m.nk JOIN mode_ md ON e.nk = md.nk
+    """,
+)
+def q132_exact_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT order statistics per nation — the exact complements of
+    the approx family (q28 percentile_approx, q82 KLL): median as the
+    average of the middle element(s) over a full per-group sort
+    (rn ∈ {⌈n/2⌉, ⌊n/2⌋+1}), mode with a deterministic lexicographic
+    tiebreak, min/max/count. Exact medians DO require the per-group
+    sort the approx family avoids — that cost asymmetry is the point
+    of having both; here the sort shares one Exchange across all four
+    statistics. Median averages at most two doubles — no accumulation
+    order to diverge."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    o = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.col("c_nationkey").alias("nk"), "o_totalprice", "o_orderpriority")
+    )
+    w = Window.partitionBy("nk").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderpriority").asc()
+    )
+    wc = Window.partitionBy("nk")
+    ranked = o.select(
+        "nk",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("cnt") + 2) / 2))
+        )
+        .groupBy("nk")
+        .agg(F.round(F.avg("o_totalprice"), 4).alias("median_price"))
+    )
+    pc = o.groupBy("nk", "o_orderpriority").agg(F.count(F.lit(1)).alias("c"))
+    wm = Window.partitionBy("nk").orderBy(
+        F.col("c").desc(), F.col("o_orderpriority").asc()
+    )
+    mode = (
+        pc.withColumn("mr", F.row_number().over(wm))
+        .filter(F.col("mr") == 1)
+        .select("nk", F.col("o_orderpriority").alias("mode_priority"))
+    )
+    ext = o.groupBy("nk").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    return (
+        ext.join(med, "nk")
+        .join(mode, "nk")
+        .select(
+            F.col("nk").alias("nationkey"), "n_orders", "min_price",
+            "max_price", "median_price", "mode_priority",
+        )
+    )
