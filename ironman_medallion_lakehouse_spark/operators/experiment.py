@@ -1,0 +1,188 @@
+"""Experimentation analytics — CUPED variance reduction.
+
+Beyond-reference extension (BASELINE.json north star: the analysis an
+event-logging warehouse serves to experimenters). CUPED (Deng, Xu,
+Kohavi & Walker, WSDM'13) adjusts each unit's experiment metric Y by
+a pre-experiment covariate X:
+
+    Y_adj = Y − θ·(X − mean(X)),   θ = cov(X, Y) / var(X)
+
+which leaves every variant's expected treatment effect unchanged
+(E[X] is independent of assignment) while removing the variance X
+explains — the standard way to need fewer users for the same power.
+
+Determinism (the repo policy): X and Y enter as DECIMAL(18,4), so
+ΣX, ΣY, ΣXY, ΣX² are EXACT decimal aggregates (order-free); θ and
+mean(X) are then fixed scalar double expressions, and each unit's
+Y_adj is rounded into DECIMAL(18,6) before the per-variant mean — so
+the whole analysis replays bit-exactly in a SQL oracle and is
+independent of partitioning.
+
+Scale shape: one global stats aggregate (one row, broadcast back),
+one map-only adjustment pass, one per-variant aggregate — two
+map-side-combined shuffles on trivially small keys; cost is one scan
+of the per-unit frame regardless of experiment size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cuped_adjusted_means(
+    units: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    variant_col: str = "variant",
+) -> DataFrame:
+    """Per-variant raw and CUPED-adjusted metric means from a
+    per-unit frame (one row per experiment unit with covariate
+    ``x_col``, metric ``y_col``, assignment ``variant_col``).
+
+    Output: (variant, n_units, mean_y, mean_y_adj), means rounded to
+    6 decimals. θ is computed POOLED across variants (the standard
+    estimator — assignment-independent by randomization); a
+    zero-variance covariate degrades gracefully to θ = 0, i.e.
+    mean_y_adj = mean_y."""
+    x = F.col(x_col).cast("decimal(18,4)")
+    y = F.col(y_col).cast("decimal(18,4)")
+    base = units.select(F.col(variant_col).alias("variant"), x.alias("_x"), y.alias("_y"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    j = base.crossJoin(F.broadcast(stats))
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    var = F.col("_sxx").cast("double") - sx * sx / n
+    cov = F.col("_sxy").cast("double") - sx * sy / n
+    theta = F.when(var <= 0, F.lit(0.0)).otherwise(cov / var)
+    mean_x = sx / n
+    y_adj = (
+        F.col("_y").cast("double")
+        - theta * (F.col("_x").cast("double") - mean_x)
+    ).cast("decimal(18,6)")
+    return (
+        j.select("variant", F.col("_y"), y_adj.alias("_ya"))
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_units"),
+            F.round(F.sum("_y").cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_y"
+            ),
+            F.round(F.sum("_ya").cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_y_adj"
+            ),
+        )
+    )
+
+
+def grouped_ols(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Per-group simple linear regression (OLS y = a + b·x) from exact
+    decimal moment sums — the "trend per segment" question (price
+    sensitivity per region, growth slope per cohort) answered in ONE
+    map-side-combined aggregate pass, no ML library, no iteration:
+
+        b  = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+        a  = (Σy − b·Σx) / n
+        r² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²))
+
+    Output: (groups..., n, slope, intercept, r2) rounded to 6
+    decimals. Degenerate groups (zero x-variance) emit NULL slope/
+    intercept/r² rather than a division blow-up.
+
+    Determinism: x and y enter as DECIMAL(12,4) — narrow enough that
+    the cross-moment products (x·y, x², y²) stay inside DECIMAL(24,8),
+    which BOTH engines multiply exactly (DECIMAL(18,4)² overflows
+    DuckDB's multiply at ~10⁹-scale values); callers' |x|,|y| must be
+    < 10⁸, ample for any priced/quantified fact. All five moments are
+    then exact decimal sums (order-free) and the closed-form
+    expressions fixed scalar double math — engine-exact (the CUPED
+    policy). One shuffle on the group keys; moment accumulation is
+    map-side combined, so the pass costs a grouped count regardless
+    of group sizes."""
+    x = F.col(x_col).cast("decimal(12,4)")
+    y = F.col(y_col).cast("decimal(12,4)")
+    g = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    num = n * sxy - sx * sy
+    b = num / denx
+    a = (sy - b * sx) / n
+    r2 = (num * num) / (denx * deny)
+    return g.select(
+        *group_cols,
+        "n",
+        F.when(denx <= 0, F.lit(None)).otherwise(F.round(b, 6)).alias("slope"),
+        F.when(denx <= 0, F.lit(None)).otherwise(F.round(a, 6)).alias("intercept"),
+        F.when((denx <= 0) | (deny <= 0), F.lit(None))
+        .otherwise(F.round(r2, 6))
+        .alias("r2"),
+    )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Pearson chi-square test of independence for two categorical
+    columns: ONE row (n, dof, chi2) where chi2 = Σ (O−E)²/E over the
+    contingency table, E = row_total·col_total/n — the "are these
+    dimensions related" screen (order priority × status, lang ×
+    source) run before anyone trusts a crosstab.
+
+    All counts are exact integers; E and each cell's term are fixed
+    double expressions over them, and the cell terms are rounded into
+    DECIMAL(18,9) before the final sum — order-free, engine-exact
+    (the q98 policy). Plan: one contingency count (map-side combined),
+    marginals derived from it via two tiny re-aggregations, one
+    scalar output; nothing scales past the first grouped count."""
+    cells = df.groupBy(
+        F.col(row_col).alias("_r"), F.col(col_col).alias("_c")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    cells = cells.localCheckpoint(eager=True)  # read 3x below
+    rows = cells.groupBy("_r").agg(F.sum("o").alias("rt"))
+    cols = cells.groupBy("_c").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    e = F.col("rt").cast("double") * F.col("ct").cast("double") / F.col("n").cast("double")
+    term = (
+        (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    ).cast("decimal(18,9)")
+    joined = (
+        cells.join(F.broadcast(rows), "_r")
+        .join(F.broadcast(cols), "_c")
+        .crossJoin(F.broadcast(tot))
+    )
+    dims = joined.agg(
+        F.count_distinct("_r").alias("_nr"),
+        F.count_distinct("_c").alias("_nc"),
+        F.max("n").alias("n"),
+        F.sum(term).alias("_chi2"),
+    )
+    return dims.select(
+        F.col("n").cast("bigint").alias("n"),
+        ((F.col("_nr") - 1) * (F.col("_nc") - 1)).cast("bigint").alias("dof"),
+        F.round(F.col("_chi2").cast("double"), 6).alias("chi2"),
+    )
