@@ -685,15 +685,23 @@ def q19_static_mapping_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # public accessors consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
 
-def _latest_correctness_names() -> set[str] | None:
-    """Names that got a driver row in the most recent round, read from the
-    highest-numbered ``CORRECTNESS_r*.json`` at the repo root. ``None``
-    when no such file exists (round 1 / fresh checkout)."""
+def _latest_correctness_names(root=None) -> set[str] | None:
+    """Names with an **all-green** (rows+schema+hash) driver row in the
+    most recent round, read from the highest-numbered
+    ``CORRECTNESS_r*.json`` at the repo root. ``None`` when no such file
+    exists (round 1 / fresh checkout).
+
+    A row that is present but FAILED counts as *unchecked*: the r5
+    verdict showed that treating any-row-present as "checked" rotates a
+    red entry to the tail, shipping its fix with no driver row (the
+    q75/q127 failure mode). Only a fully green row earns tail position.
+    """
     import json
     import re
     from pathlib import Path
 
-    root = Path(__file__).resolve().parent.parent
+    if root is None:
+        root = Path(__file__).resolve().parent.parent
     best, best_n = None, -1
     for p in root.glob("CORRECTNESS_r*.json"):
         m = re.search(r"r(\d+)", p.name)
@@ -705,28 +713,84 @@ def _latest_correctness_names() -> set[str] | None:
         data = json.loads(best.read_text())
     except (OSError, ValueError):
         return None
-    return set(data) if isinstance(data, dict) else None
+    if not isinstance(data, dict):
+        return None
+    return {
+        name
+        for name, row in data.items()
+        if isinstance(row, dict)
+        and row.get("rows_match")
+        and row.get("schema_match")
+        and row.get("hash_match")
+    }
 
 
-def _ordered_names() -> list[str]:
+def _entry_hash(name: str) -> str:
+    """Stable content hash of a suite entry: the registered function's
+    source text plus its oracle SQL. Any edit to either (an operator fix
+    routed through the wrapper, an oracle correction) changes the hash,
+    which the rotation uses to re-verify touched entries the same round.
+    """
+    import hashlib
+    import inspect
+
+    q = QUERIES[name]
+    try:
+        src = inspect.getsource(q.fn)
+    except (OSError, TypeError):
+        src = repr(q.fn)
+    payload = src + "\x00" + (q.oracle or "")
+    return hashlib.sha256(payload.encode("utf-8")).hexdigest()
+
+
+def _stale_names(root=None) -> set[str]:
+    """Entries whose current source hash differs from the hash recorded
+    at their last all-green driver row (``SUITE_STATE.json``, written by
+    ``tools/update_suite_state.py`` at round start). A touched entry is
+    stale and sorts to the head of the driver window even if its last
+    row was green, so a changed operator never ships unverified
+    (VERDICT r5 item 6). Entries with no recorded state are treated as
+    stale."""
+    import json
+    from pathlib import Path
+
+    if root is None:
+        root = Path(__file__).resolve().parent.parent
+    state_path = Path(root) / "SUITE_STATE.json"
+    try:
+        recorded = json.loads(state_path.read_text()).get("entries", {})
+    except (OSError, ValueError):
+        recorded = {}
+    stale = set()
+    for name in QUERIES:
+        rec = recorded.get(name)
+        if not isinstance(rec, dict) or rec.get("hash") != _entry_hash(name):
+            stale.add(name)
+    return stale
+
+
+def _ordered_names(root=None) -> list[str]:
     """Deterministic rotation keeps the driver's bounded correctness
-    window (50 rows, first-50-in-dict-order) covering the whole suite:
-    any entry that did NOT get a row in the latest CORRECTNESS_r*.json
-    (newly registered, or pushed past the window last round) sorts to
-    the head, so every entry is driver-verified within one round of
-    registration and at least every other round thereafter (VERDICT r4
-    item 1 — the fixed ≤50 invariant broke when the suite grew to 55).
-    Base order still front-loads the 10 dashboard-view shapes (q20-q28,
-    the reference's most user-visible surface), then registration
-    order."""
+    window (50 rows, first-50-in-dict-order) covering the whole suite.
+    Head of the list — guaranteed a driver row this round — is any entry
+    that is *unattested*: no all-green row in the latest
+    CORRECTNESS_r*.json (newly registered, rotated out, or FAILED last
+    round), or source-changed since its last green row (stale hash).
+    Attested-and-untouched entries fill the remaining window slots in
+    rotation. Base order still front-loads the 10 dashboard-view shapes
+    (q20-q28, the reference's most user-visible surface), then
+    registration order."""
     _load_all()
     views_first = [n for n in sorted(QUERIES) if n.startswith(("q2",))]
     rest = [n for n in QUERIES if n not in set(views_first)]
     base = views_first + rest
-    checked = _latest_correctness_names()
-    if not checked:
+    green = _latest_correctness_names(root)
+    if green is None:
         return base
-    return [n for n in base if n not in checked] + [n for n in base if n in checked]
+    stale = _stale_names(root)
+    head = [n for n in base if n not in green or n in stale]
+    tail = [n for n in base if n not in set(head)]
+    return head + tail
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -698,7 +698,7 @@ _Q127_DUR, _Q127_SLIDE = 7200, 3600  # 2 h windows sliding hourly
         ON CAST(floor(epoch(e.ts)) AS BIGINT) >= s.ws
        AND CAST(floor(epoch(e.ts)) AS BIGINT) < s.ws + {_Q127_DUR}
     )
-    SELECT to_timestamp(ws) AS window_start, event_type,
+    SELECT make_timestamp(ws * 1000000) AS window_start, event_type,
            COUNT(*) AS n_events
     FROM assigned GROUP BY 1, 2
     """,

@@ -1,16 +1,36 @@
 """The driver verifies only the first 50 entries of ``queries()``
-(dict order).  VERDICT r4 item 1: when the suite outgrew 50, five
-entries silently fell outside that window — including one whose fix
-had never been driver-confirmed.  ``_ordered_names`` now rotates: any
-entry that lacked a row in the latest CORRECTNESS_r*.json sorts to the
-head, so new/unverified entries always land inside the window.
+(dict order).  Two past failures pin this contract:
 
-These tests pin that contract without touching Spark.
+- VERDICT r4 item 1: when the suite outgrew 50, entries silently fell
+  outside the window.  Rotation: unattested entries sort to the head.
+- VERDICT r5 item 1: a *failing* row counted as "checked", so the red
+  entry rotated to the tail and its fix shipped with no driver row.
+  ``_latest_correctness_names`` now returns only all-green names.
+- VERDICT r5 item 6: an entry whose source changed since its last green
+  row must re-verify the same round.  ``_stale_names`` compares the
+  entry's current content hash against SUITE_STATE.json (written by
+  tools/update_suite_state.py at round start).
+
+These tests pin all three without touching Spark.
 """
 
 import json
 
 from ironman_medallion_lakehouse_spark import suite
+
+
+def _write_round(root, n, rows):
+    (root / f"CORRECTNESS_r{n:02d}.json").write_text(json.dumps(rows))
+
+
+def _green():
+    return {"rows_match": True, "schema_match": True, "hash_match": True}
+
+
+def _red(**overrides):
+    row = _green()
+    row.update(overrides)
+    return row
 
 
 def test_unchecked_entries_sort_into_driver_window():
@@ -22,25 +42,78 @@ def test_unchecked_entries_sort_into_driver_window():
     unchecked = [n for n in names if n not in checked]
     window = set(names[:50])
     for n in unchecked:
-        assert n in window, f"{n} missed the driver window despite no prior row"
-    # rotation is a stable partition, not a shuffle: relative base order kept
-    base_pos = {n: i for i, n in enumerate(sorted(names))}  # any fixed order
-    head = [n for n in names if n not in checked]
+        assert n in window, f"{n} missed the driver window despite no green row"
+    head = [n for n in names if n not in checked or n in suite._stale_names()]
     assert head == names[: len(head)]
 
 
-def test_latest_correctness_reader_matches_repo_artifact(tmp_path):
-    # the reader must pick the HIGHEST round number, not mtime/glob order
-    import re
-    from pathlib import Path
+def test_failed_row_counts_as_unchecked(tmp_path):
+    """Plant a latest-round file where one entry failed: the red entry
+    must sort to the HEAD (it gets a driver row next round), while green
+    entries rotate to the tail."""
+    suite._load_all()
+    names = list(suite.QUERIES)
+    victim, rest = names[0], names[1:]
+    rows = {victim: _red(hash_match=False, schema_match=False)}
+    for n in rest:
+        rows[n] = _green()
+    _write_round(tmp_path, 99, rows)
+    # record current hashes as "state at green" so staleness doesn't interfere
+    state = {
+        "entries": {n: {"hash": suite._entry_hash(n), "green_round": 99} for n in rest}
+    }
+    (tmp_path / "SUITE_STATE.json").write_text(json.dumps(state))
 
-    root = Path(suite.__file__).resolve().parent.parent
-    files = sorted(root.glob("CORRECTNESS_r*.json"))
-    if not files:
-        return
-    latest = max(files, key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)))
-    expect = set(json.loads(latest.read_text()))
-    assert suite._latest_correctness_names() == expect
+    ordered = suite._ordered_names(tmp_path)
+    assert ordered[0] == victim, "failing entry must rotate to the head"
+    green = suite._latest_correctness_names(tmp_path)
+    assert victim not in green
+    assert set(rest) == green
+
+
+def test_rows_only_red_also_unchecked(tmp_path):
+    suite._load_all()
+    names = list(suite.QUERIES)
+    rows = {n: _green() for n in names}
+    rows[names[3]] = _red(rows_match=False)
+    _write_round(tmp_path, 99, rows)
+    assert names[3] not in suite._latest_correctness_names(tmp_path)
+
+
+def test_changed_source_hash_sorts_to_head(tmp_path):
+    """An entry green last round but edited since (hash mismatch vs
+    SUITE_STATE.json) is stale and must re-enter the driver window."""
+    suite._load_all()
+    names = list(suite.QUERIES)
+    victim = names[-1]
+    _write_round(tmp_path, 99, {n: _green() for n in names})
+    state = {"entries": {}}
+    for n in names:
+        h = suite._entry_hash(n)
+        if n == victim:
+            h = "0" * 64  # pretend the source changed since the green row
+        state["entries"][n] = {"hash": h, "green_round": 99}
+    (tmp_path / "SUITE_STATE.json").write_text(json.dumps(state))
+
+    stale = suite._stale_names(tmp_path)
+    assert stale == {victim}
+    ordered = suite._ordered_names(tmp_path)
+    assert ordered[0] == victim, "touched entry must re-verify the same round"
+
+
+def test_missing_state_file_treats_all_as_stale(tmp_path):
+    """No SUITE_STATE.json → every entry is unproven → everything heads.
+    Degenerates to the pre-r6 rotation, never silently skips."""
+    suite._load_all()
+    names = list(suite.QUERIES)
+    _write_round(tmp_path, 99, {n: _green() for n in names})
+    assert suite._stale_names(tmp_path) == set(names)
+
+
+def test_latest_correctness_reader_picks_highest_round_green_only(tmp_path):
+    _write_round(tmp_path, 1, {"a": _green(), "b": _green()})
+    _write_round(tmp_path, 12, {"a": _green(), "b": _red(hash_match=False)})
+    assert suite._latest_correctness_names(tmp_path) == {"a"}
 
 
 def test_every_entry_checked_within_two_rounds():
@@ -49,3 +122,18 @@ def test_every_entry_checked_within_two_rounds():
     bound stays at 'every other round'."""
     names = suite._ordered_names()
     assert len(names) <= 100, "suite grew past 2x the driver window"
+
+
+def test_suite_state_covers_green_entries():
+    """SUITE_STATE.json must track every entry that is green in the
+    latest real CORRECTNESS file — i.e. tools/update_suite_state.py ran
+    this round (the change-awareness contract is inert without it)."""
+    from pathlib import Path
+
+    root = Path(suite.__file__).resolve().parent.parent
+    green = suite._latest_correctness_names()
+    if not green:
+        return
+    state = json.loads((root / "SUITE_STATE.json").read_text())["entries"]
+    for n in green:
+        assert n in state, f"{n} green but untracked — run tools/update_suite_state.py"

@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Snapshot per-entry source hashes for the rotation's change-awareness.
+
+Run at ROUND START, before editing any suite/operator code: for every
+entry that was all-green (rows+schema+hash) in the latest
+``CORRECTNESS_r*.json``, record the entry's *current* source hash in
+``SUITE_STATE.json``.  Because the working tree at round start is the
+same code the driver verified, "current hash" == "hash at last green
+row".  Any subsequent edit to the entry (function source or oracle SQL)
+changes the hash, and ``suite._ordered_names`` sorts the entry to the
+head of the driver's 50-row window so the touched code gets a fresh
+driver row the same round (VERDICT r5 item 6).
+
+Entries NOT green in the latest round keep their previous record (or
+none), so they also sort to the head via the green-set check.
+"""
+from __future__ import annotations
+
+import json
+import re
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+from ironman_medallion_lakehouse_spark import suite  # noqa: E402
+
+
+def main() -> None:
+    suite._load_all()
+    hashes = {name: suite._entry_hash(name) for name in suite.QUERIES}
+
+    best, best_n = None, -1
+    for p in ROOT.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"r(\d+)", p.name)
+        if m and int(m.group(1)) > best_n:
+            best_n, best = int(m.group(1)), p
+
+    state_path = ROOT / "SUITE_STATE.json"
+    state = {}
+    if state_path.exists():
+        state = json.loads(state_path.read_text())
+    entries = state.setdefault("entries", {})
+
+    n_green = 0
+    if best is not None:
+        rows = json.loads(best.read_text())
+        for name, row in rows.items():
+            if name not in hashes:
+                continue
+            if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
+                entries[name] = {"hash": hashes[name], "green_round": best_n}
+                n_green += 1
+
+    state_path.write_text(json.dumps(state, indent=1, sort_keys=True) + "\n")
+    print(f"recorded {n_green} green entries from {best} into {state_path}")
+    print(f"total tracked: {len(entries)} / {len(hashes)} registered")
+
+
+if __name__ == "__main__":
+    main()
