@@ -62,6 +62,11 @@ HEADLINE = [
     # across rounds): lexical ranking + incremental crawl-batch dedup
     "q91_bm25_topk",
     "q94_incremental_dedup",
+    # r6: q94's production path — corpus signatures precomputed/stored,
+    # so the timed runs measure only the per-batch cost (VERDICT r5
+    # item 3: the 5.9 s / 1.7×-spread q94 figure was dominated by the
+    # corpus signature bootstrap production amortizes away)
+    "q94b_incremental_dedup_prepared",
     # r5 continuation: cross-doc duplicate spans, PQ-ADC ANN, funnel
     "q100_dup_span_coverage",
     "q102_pq_adc_ann",
@@ -133,6 +138,24 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
+
+    # Per-run spreads + job/stage/task fingerprints go to a SIDECAR file,
+    # not the stdout JSON line: r5's inline `detail` blob grew past the
+    # driver's tail capture and truncated the line's FRONT, leaving
+    # BENCH_r05.json with parsed:null (VERDICT r5 item 2). The compact
+    # headline line is printed LAST so a tail capture always keeps it.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(
+            {
+                "sf": sf,
+                "runs_per_query": RUNS,
+                "protocol": f"per-query warmup + min of {RUNS} timed runs",
+                "detail": detail,
+            },
+            fh,
+            indent=1,
+        )
     print(
         json.dumps(
             {
@@ -141,8 +164,6 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "protocol": f"per-query warmup + min of {RUNS} timed runs",
-                "detail": detail,
             }
         )
     )

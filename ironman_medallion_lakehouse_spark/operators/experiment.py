@@ -156,9 +156,15 @@ def chi_square_independence(
     All counts are exact integers; E and each cell's term are fixed
     double expressions over them, and the cell terms are rounded into
     DECIMAL(18,9) before the final sum — order-free, engine-exact
-    (the q98 policy). Plan: one contingency count (map-side combined),
-    marginals derived from it via two tiny re-aggregations, one
-    scalar output; nothing scales past the first grouped count."""
+    (the q98 policy). The statistic sums over the COMPLETE nr×nc grid
+    (distinct row labels × distinct col labels), not just observed
+    cells: an unobserved combination still contributes (0−E)²/E = E,
+    and omitting it understates chi2 while dof assumes the full grid
+    (ADVICE r5). Plan: one contingency count (map-side combined),
+    marginals derived from it via two tiny re-aggregations, a
+    label-level cross join (nr·nc rows — bounded by category
+    cardinality, never data volume), one scalar output; nothing
+    scales past the first grouped count."""
     cells = df.groupBy(
         F.col(row_col).alias("_r"), F.col(col_col).alias("_c")
     ).agg(F.count(F.lit(1)).alias("o"))
@@ -167,12 +173,13 @@ def chi_square_independence(
     cols = cells.groupBy("_c").agg(F.sum("o").alias("ct"))
     tot = cells.agg(F.sum("o").alias("n"))
     e = F.col("rt").cast("double") * F.col("ct").cast("double") / F.col("n").cast("double")
+    o = F.coalesce(F.col("o"), F.lit(0))
     term = (
-        (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+        (o.cast("double") - e) * (o.cast("double") - e) / e
     ).cast("decimal(18,9)")
+    grid = rows.crossJoin(F.broadcast(cols))
     joined = (
-        cells.join(F.broadcast(rows), "_r")
-        .join(F.broadcast(cols), "_c")
+        grid.join(F.broadcast(cells), ["_r", "_c"], "left")
         .crossJoin(F.broadcast(tot))
     )
     dims = joined.agg(

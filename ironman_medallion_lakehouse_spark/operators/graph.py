@@ -116,7 +116,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iterations: int = 50,
-    small_graph_threshold: int = 2_000_000,
+    small_graph_threshold: int = 500_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``, where
     ``component`` is the minimum node id in the node's connected
@@ -144,9 +144,13 @@ def connected_components(
     ``small_graph_threshold`` (r5): edge counts at or below it are
     solved with driver-side union-find instead — O(E·α) in one pass,
     versus ~6-10 fixed-overhead Spark jobs per contraction round. The
-    default 2M edges ≈ 32 MB of driver state — the same order as a
-    broadcast, an explicitly bounded collect, not a scalability hole;
-    pass 0 to force the distributed path (the structural tests do).
+    default is 500k edges (ADVICE r5 lowered it from 2M): the local
+    path holds ~2 Python ints per edge plus a dict-based union-find
+    over up to 2·E nodes, realistically ~100-200 MB of driver heap at
+    500k — bounded and broadcast-order, but a dict of Python objects,
+    not a flat 32 MB buffer. The edge list is pulled through Arrow
+    (``toPandas`` → int lists), not ``collect()``'s per-Row objects.
+    Pass 0 to force the distributed path (the structural tests do).
     """
     # materialize the INPUT pairs once, before building the symmetric
     # union: the union's two branches each re-read their child, so an
@@ -162,15 +166,20 @@ def connected_components(
     # jobs PER ROUND in fixed scheduling overhead, which dominates
     # end-to-end time once the pair graph is small (measured at sf0.1:
     # 4.6 s of round overhead for a 29k-edge graph vs ~0.3 s local).
-    # The gate bounds driver state explicitly: 2M edges ≈ 32 MB —
-    # broadcast-threshold order, NOT an unbounded collect. At 100 TB a
+    # The gate bounds driver state explicitly (500k edges ≈ low
+    # hundreds of MB of dict-based union-find state — ADVICE r5
+    # corrected the old 2M/"32 MB" sizing, which ignored Python object
+    # overhead). Transfer is Arrow-batched columns unpacked to plain
+    # int lists — never collect()'s per-Row objects. At 100 TB a
     # billion-edge pair graph takes the distributed branch below.
     n_edges = e.count()
     if n_edges <= small_graph_threshold:
         spark = pairs.sparkSession
-        rows = e.collect()
+        pdf = e.toPandas()
         return _union_find_local(
-            [(r.s, r.d) for r in rows], spark, e.schema["s"].dataType
+            list(zip(pdf["s"].tolist(), pdf["d"].tolist())),
+            spark,
+            e.schema["s"].dataType,
         )
     # cheap view over the checkpoint — no second materialization needed
     cur = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
@@ -403,10 +412,32 @@ def triangle_stats(
         .unionByName(canon.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)  # read 3x: bounds check, rank, wedge count
     )
-    # one sortable rank value: degree-major, id-minor (ids fit 32 bits
-    # in every driver table; document the assumption rather than a
-    # struct compare, which joins can't use as cleanly)
+    # one sortable rank value: degree-major, id-minor via bit-packing
+    # deg·2³² + node. The packing is only an ORDER if every id sits in
+    # [0, 2³²) and is integral — outside that domain it would silently
+    # corrupt the orientation and miscount triangles (ADVICE r5:
+    # scale probes already offset ids by 1e9 per replica, approaching
+    # the bound), so the domain is VALIDATED, not assumed: integral
+    # type at plan time, id bounds with one min/max aggregate over the
+    # |V|-row degree frame (trivial next to the wedge join it guards).
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    node_type = deg.schema["node"].dataType
+    if not isinstance(node_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"triangle_stats requires integral node ids for the degree-order "
+            f"rank packing; got {node_type.simpleString()}"
+        )
+    bounds = deg.agg(
+        F.min("node").alias("lo"), F.max("node").alias("hi")
+    ).collect()[0]
+    if bounds.lo is not None and (bounds.lo < 0 or bounds.hi >= (1 << 32)):
+        raise ValueError(
+            f"triangle_stats node ids must lie in [0, 2^32) for the rank "
+            f"packing deg*2^32 + node; got range [{bounds.lo}, {bounds.hi}]"
+        )
     rank = deg.select(
         "node",
         (F.col("deg").cast("long") * F.lit(1 << 32) + F.col("node")).alias("rnk"),

@@ -270,3 +270,47 @@ def weighted_sample_topk(
         .orderBy(F.col("priority").desc(), F.col(key_col).asc())
         .limit(k)
     )
+
+
+def weighted_sample_topk_log(
+    df: DataFrame,
+    log_weight: Column,
+    k: int,
+    key_col: str,
+    salt: str = "wsamp",
+) -> DataFrame:
+    """A-ES weighted sampling with weights given in the LOG domain —
+    the Gumbel-max top-k formulation. For w = e^lw, ordering by the
+    A-ES key u^(1/w) is order-isomorphic to ordering by
+    lw − ln(−ln u) = lw + Gumbel(u), so the k largest
+    ``log_weight + gumbel`` rows are exactly the same
+    weight-proportional sample — but no exp(lw) is ever materialized:
+    DSIR log-weights grow with document length and exceed ±709 on long
+    docs, where exp overflows to inf (all such docs collapse to one
+    priority and are picked by id order) or underflows to 0 (the
+    positive-weight filter silently drops them and the sample comes up
+    short) (ADVICE r5). Every finite log-weight maps to a valid
+    priority, so no positivity filter is needed.
+
+    Same determinism contract as ``weighted_sample_topk``: u is an
+    exact rational from 6 md5 hex digits of (key, salt); the priority
+    is rounded into DECIMAL(28,12) before the TakeOrderedAndProject
+    top-k, with the unique key as tiebreak."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(key_col).cast("string"), F.lit(salt))),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 24))
+    gumbel = -F.log(-F.log(u))
+    prio = (log_weight.cast("double") + gumbel).cast("decimal(28,12)")
+    return (
+        df.filter(log_weight.isNotNull())
+        .withColumn("priority", prio)
+        .orderBy(F.col("priority").desc(), F.col(key_col).asc())
+        .limit(k)
+    )

@@ -98,6 +98,13 @@ def time_weighted_average(
     decimals; groups whose observations all sit at/after ``end_ts``
     (total duration 0) emit NULL.
 
+    Holding intervals are CLAMPED to the window end on both sides:
+    dur = max(min(next, end) − min(ts, end), 0), so an observation
+    whose successor falls after ``end_ts`` is weighted only up to the
+    window end, never by time outside [.., end] (ADVICE r5 — the
+    unclamped lead extended straddling intervals past the stated
+    close-out).
+
     Plan: one lead window per group (unique-tiebreak ordering), one
     grouped aggregate — both shuffles on the same group key, so
     Catalyst shares the partitioning. Determinism: durations are
@@ -107,10 +114,9 @@ def time_weighted_average(
         F.col(ts_col).asc(), F.col(tiebreak_col).asc()
     )
     end = F.lit(end_ts).cast("timestamp").cast("long")
-    nxt = F.coalesce(
-        F.lead(F.col(ts_col).cast("long"), 1).over(w), end
-    )
-    dur = F.greatest(nxt - F.col(ts_col).cast("long"), F.lit(0))
+    t = F.col(ts_col).cast("long")
+    nxt = F.coalesce(F.lead(t, 1).over(w), end)
+    dur = F.greatest(F.least(nxt, end) - F.least(t, end), F.lit(0))
     v = F.col(value_col).cast("decimal(18,4)")
     per = df.select(
         *group_cols,

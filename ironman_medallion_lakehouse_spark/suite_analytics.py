@@ -832,15 +832,17 @@ def q129_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     rt AS (SELECT r, SUM(o) AS rt FROM cells GROUP BY r),
     ct AS (SELECT c, SUM(o) AS ct FROM cells GROUP BY c),
     tot AS (SELECT SUM(o) AS n FROM cells),
+    grid AS (SELECT rt.r, rt.rt, ct.c, ct.ct FROM rt CROSS JOIN ct),
     terms AS (
-      SELECT cells.r, cells.c, cells.o, rt.rt, ct.ct, tot.n,
-        CAST((CAST(cells.o AS DOUBLE)
-              - CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(tot.n AS DOUBLE))
-             * (CAST(cells.o AS DOUBLE)
-              - CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(tot.n AS DOUBLE))
-             / (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(tot.n AS DOUBLE))
+      SELECT grid.r, grid.c, COALESCE(cells.o, 0) AS o, grid.rt, grid.ct, tot.n,
+        CAST((CAST(COALESCE(cells.o, 0) AS DOUBLE)
+              - CAST(grid.rt AS DOUBLE) * CAST(grid.ct AS DOUBLE) / CAST(tot.n AS DOUBLE))
+             * (CAST(COALESCE(cells.o, 0) AS DOUBLE)
+              - CAST(grid.rt AS DOUBLE) * CAST(grid.ct AS DOUBLE) / CAST(tot.n AS DOUBLE))
+             / (CAST(grid.rt AS DOUBLE) * CAST(grid.ct AS DOUBLE) / CAST(tot.n AS DOUBLE))
              AS DECIMAL(18,9)) AS t
-      FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN tot
+      FROM grid LEFT JOIN cells ON grid.r = cells.r AND grid.c = cells.c
+      CROSS JOIN tot
     )
     SELECT CAST(MAX(n) AS BIGINT) AS n,
            CAST((COUNT(DISTINCT r) - 1) * (COUNT(DISTINCT c) - 1) AS BIGINT) AS dof,
@@ -854,8 +856,10 @@ def q130_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
     crosstab-dependence screen beside CUPED (q120) and the volume
     z-scores (q118) in the statistical-testing family. Exact integer
     contingency counts; per-cell (O−E)²/E terms DECIMAL(18,9)-rounded
-    before the one order-free sum; dof from distinct LEVELS on both
-    sides (marginal totals can collide — they did here)."""
+    before the one order-free sum, summed over the COMPLETE label grid
+    (unobserved cells contribute E — ADVICE r5); dof from distinct
+    LEVELS on both sides (marginal totals can collide — they did
+    here)."""
     from ironman_medallion_lakehouse_spark.operators.experiment import (
         chi_square_independence,
     )
@@ -875,6 +879,7 @@ _Q131_END = "2024-01-31 00:00:00"
     WITH seq AS (
       SELECT user_id, value,
         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        CAST(floor(epoch(TIMESTAMP '{_Q131_END}')) AS BIGINT) AS e,
         COALESCE(
           lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
             PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
@@ -884,8 +889,9 @@ _Q131_END = "2024-01-31 00:00:00"
     ),
     per AS (
       SELECT user_id,
-             CAST(value AS DECIMAL(18,4)) * greatest(nxt - t, 0) AS vw,
-             greatest(nxt - t, 0) AS w
+             CAST(value AS DECIMAL(18,4))
+               * greatest(least(nxt, e) - least(t, e), 0) AS vw,
+             greatest(least(nxt, e) - least(t, e), 0) AS w
       FROM seq
     )
     SELECT user_id, COUNT(*) AS n_obs,
@@ -898,11 +904,12 @@ _Q131_END = "2024-01-31 00:00:00"
 def q131_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average (operators/timeseries.
     time_weighted_average): per-user TWAP of the event value over
-    January — each observation holds until the next one (window-end
-    close-out), so burst sampling doesn't bias the mean: the correct
-    aggregation for sampled LEVELS. Exact integer-second durations ×
-    decimal values → order-free sums; one shared-key window +
-    aggregate."""
+    January — each observation holds until the next one, clamped on
+    both sides to the window end (ADVICE r5: a successor past end_ts
+    must not extend the weight beyond the close-out), so burst
+    sampling doesn't bias the mean: the correct aggregation for
+    sampled LEVELS. Exact integer-second durations × decimal values →
+    order-free sums; one shared-key window + aggregate."""
     from ironman_medallion_lakehouse_spark.operators.timeseries import (
         time_weighted_average,
     )

@@ -105,22 +105,22 @@ def curate(
     if dsir_target is not None and dsir_sample_n is not None:
         from ironman_medallion_lakehouse_spark.operators.sampling import (
             dsir_logweights,
-            weighted_sample_topk,
+            weighted_sample_topk_log,
         )
 
         lw = dsir_logweights(sampled, dsir_target)
-        # A-ES weights must be positive: w = exp(log_weight) tilts
-        # selection toward target-like docs exactly ∝ importance
-        weights = lw.select(
-            "doc_id", F.exp(F.col("log_weight")).alias("_w")
-        )
-        chosen = weighted_sample_topk(
-            sampled.join(weights, "doc_id"),
-            F.col("_w"),
+        # selection ∝ e^log_weight, drawn in the LOG domain (Gumbel-max
+        # A-ES): log_weight scales with document length and exp() of it
+        # overflows/underflows past ±709, collapsing or silently
+        # dropping long docs (ADVICE r5) — the log-domain draw is
+        # order-identical with no exp ever materialized
+        chosen = weighted_sample_topk_log(
+            sampled.join(lw.select("doc_id", "log_weight"), "doc_id"),
+            F.col("log_weight"),
             dsir_sample_n,
             "doc_id",
             salt="dsir",
-        ).drop("_w", "priority")
+        ).drop("log_weight", "priority")
         sampled = chosen.localCheckpoint(eager=True)
     n_sampled = sampled.count()
 

@@ -154,3 +154,28 @@ def test_triangles_matches_naive_on_random_graph(spark):
     )
     r = triangle_stats(_e(spark, edges)).collect()[0]
     assert r.n_triangles == naive
+
+
+def test_triangles_rejects_ids_outside_packing_domain(spark):
+    """ADVICE r5: the deg*2^32+node rank packing is only an ordering on
+    [0, 2^32) integral ids — out-of-domain ids must raise, not silently
+    miscount."""
+    from ironman_medallion_lakehouse_spark.operators.graph import triangle_stats
+
+    big = spark.createDataFrame(
+        [Row(src=1 << 33, dst=2), Row(src=2, dst=3)], "src long, dst long"
+    )
+    with pytest.raises(ValueError, match=r"\[0, 2\^32\)"):
+        triangle_stats(big, "src", "dst").collect()
+
+    neg = spark.createDataFrame(
+        [Row(src=-1, dst=2), Row(src=2, dst=3)], "src long, dst long"
+    )
+    with pytest.raises(ValueError, match=r"\[0, 2\^32\)"):
+        triangle_stats(neg, "src", "dst").collect()
+
+    strs = spark.createDataFrame(
+        [Row(src="a", dst="b")], "src string, dst string"
+    )
+    with pytest.raises(ValueError, match="integral"):
+        triangle_stats(strs, "src", "dst").collect()

@@ -849,3 +849,89 @@ def test_twap_burst_sampling_does_not_bias(spark):
         spark.createDataFrame(rows), "value", "2024-01-01 00:01:40", ["user_id"]
     ).collect()[0]
     assert out.twap > 90  # held value dominates
+
+
+def test_chisquare_sparse_table_counts_zero_cells(spark):
+    """ADVICE r5: an unobserved (row, col) combination still contributes
+    (0-E)^2/E = E. 2x2 with a zero cell [[10, 0], [10, 10]]:
+    chi2 = n(ad-bc)^2/(r1 r2 c1 c2) = 30*(100-0)^2/(10*20*20*10) = 7.5.
+    The pre-fix observed-cells-only sum gave 7.5 - E(r1,c2) = 4.1667."""
+    from ironman_medallion_lakehouse_spark.operators.experiment import (
+        chi_square_independence,
+    )
+
+    rows = (
+        [Row(a="r1", b="c1")] * 10
+        + [Row(a="r2", b="c1")] * 10 + [Row(a="r2", b="c2")] * 10
+    )
+    out = chi_square_independence(spark.createDataFrame(rows), "a", "b").collect()[0]
+    assert abs(out.chi2 - 7.5) < 1e-5
+    assert out.dof == 1 and out.n == 30
+
+
+def test_twap_straddling_interval_clamped_to_end(spark):
+    """ADVICE r5: an observation whose successor falls AFTER end_ts must
+    be weighted only up to the window end. v=10 held [0,10), v=20 held
+    [10,20) (successor at t=30 > end=20, clamped), v=999 at t=30 gets
+    zero weight -> TWAP = (10*10 + 20*10)/20 = 15. The unclamped lead
+    gave (10*10 + 20*20)/30 = 16.667."""
+    from datetime import datetime
+
+    from ironman_medallion_lakehouse_spark.operators.timeseries import (
+        time_weighted_average,
+    )
+
+    rows = [
+        Row(event_id=1, user_id=1, ts=datetime(2024, 1, 1, 0, 0, 0), value=10.0),
+        Row(event_id=2, user_id=1, ts=datetime(2024, 1, 1, 0, 0, 10), value=20.0),
+        Row(event_id=3, user_id=1, ts=datetime(2024, 1, 1, 0, 0, 30), value=999.0),
+    ]
+    out = time_weighted_average(
+        spark.createDataFrame(rows), "value", "2024-01-01 00:00:20", ["user_id"]
+    ).collect()[0]
+    assert out.twap == 15.0 and out.n_obs == 3
+
+
+def test_weighted_sample_topk_log_matches_linear_domain(spark):
+    """Gumbel-max (log-domain) A-ES must select the SAME set as the
+    linear-domain draw for weights where exp() is safe: ordering by
+    u^(1/w) is order-isomorphic to log_weight + gumbel(u)."""
+    from ironman_medallion_lakehouse_spark.operators.sampling import (
+        weighted_sample_topk,
+        weighted_sample_topk_log,
+    )
+
+    rows = [Row(doc_id=i, w=float(1 + (i * 7) % 13)) for i in range(200)]
+    df = spark.createDataFrame(rows).withColumn("lw", F.log(F.col("w")))
+    lin = sorted(
+        r.doc_id for r in weighted_sample_topk(df, F.col("w"), 25, "doc_id").collect()
+    )
+    log = sorted(
+        r.doc_id
+        for r in weighted_sample_topk_log(df, F.col("lw"), 25, "doc_id").collect()
+    )
+    assert lin == log
+
+
+def test_weighted_sample_topk_log_survives_extreme_logweights(spark):
+    """ADVICE r5: log-weights beyond +-709 overflow/underflow exp().
+    The log-domain draw must return a FULL sample with the huge-weight
+    docs selected and the tiny-weight docs excluded."""
+    from ironman_medallion_lakehouse_spark.operators.sampling import (
+        weighted_sample_topk_log,
+    )
+
+    rows = (
+        [Row(doc_id=i, lw=2000.0) for i in range(10)]          # exp -> inf
+        + [Row(doc_id=100 + i, lw=-2000.0) for i in range(10)]  # exp -> 0.0
+        + [Row(doc_id=200 + i, lw=0.0) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows)
+    out = sorted(
+        r.doc_id for r in weighted_sample_topk_log(df, F.col("lw"), 15, "doc_id").collect()
+    )
+    assert len(out) == 15, "sample must not come up short on under/overflow"
+    assert set(range(10)) <= set(out), "huge-weight docs must all be selected"
+    assert all(d < 300 and not (100 <= d < 110) for d in out), (
+        "tiny-weight docs must lose to lw=0 docs"
+    )
