@@ -781,6 +781,100 @@ def containment_refine(
 
 
 
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 128,
+    bands: int = 32,
+    threshold: float = 0.95,
+    jaccard_bar: float = 0.9,
+    contract: bool = True,
+) -> DataFrame:
+    """End-to-end containment dedup — MinHash → loose-band LSH →
+    ``containment_refine`` — with the q83-style EXACT-SET
+    PRE-CONTRACTION (VERDICT r5 item 5): documents with identical
+    distinct-token sets are collapsed to their min-id representative
+    before the band join and the O(candidates) intersect kernel, and
+    the surviving representative pairs are expanded back to member
+    pairs afterwards.
+
+    Output-invariance (threshold ≤ 1, jaccard_bar ≤ 1):
+    - *inter-group*: identical token sets ⟹ identical signatures ⟹
+      band collision between any member of A and any member of B is
+      exactly a collision between rep(A) and rep(B); containment and
+      Jaccard are functions of the token SETS, so every member pair's
+      scores equal its rep pair's scores. Expanding a surviving rep
+      pair to all |A|·|B| member pairs (canonically min-id-first)
+      reproduces the raw pipeline's inter-group output exactly.
+    - *intra-group*: same-set members always collide (identical
+      buckets) and score containment = jaccard = 1 ≥ threshold, with
+      subset_style = (1 < jaccard_bar) = false — emitted directly as
+      all C(d,2) ordered member pairs, no kernel evaluation needed.
+    - token-less docs carry a per-doc sentinel key in
+      ``_set_rep_map`` (singleton groups), matching the raw
+      pipeline's behavior of never pairing them.
+
+    Why it matters at scale: the refine kernel is the fattest stage
+    (q109 emits 37k pairs at sf0.01 — the largest candidate volume in
+    the suite) and NO size-compatibility guard is sound for
+    containment (small-in-large is the signal), so collapsing d-fold
+    duplicated sets is the one lever that cuts candidate volume — by
+    d² inside each duplicated set's bucket contribution — without
+    touching recall. One extra skew-free shuffle on the uniform
+    set-md5 key buys it; ``contract=False`` keeps the raw composition
+    for A/B verification (both paths share one oracle)."""
+    if not contract:
+        sigs = minhash_signatures(docs, text_col, id_col, k=k)
+        cand = lsh_candidate_pairs(sigs, id_col, k=k, bands=bands)
+        return containment_refine(
+            cand, docs, text_col, id_col, threshold=threshold, jaccard_bar=jaccard_bar
+        )
+
+    doc_rep = _set_rep_map(docs, text_col, id_col).localCheckpoint(eager=True)
+    rep_docs = docs.join(
+        doc_rep.filter(F.col(id_col) == F.col("_rep")).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    sigs = minhash_signatures(rep_docs, text_col, id_col, k=k).localCheckpoint(
+        eager=True
+    )
+    cand = lsh_candidate_pairs(sigs, id_col, k=k, bands=bands)
+    rep_pairs = containment_refine(
+        cand, rep_docs, text_col, id_col, threshold=threshold, jaccard_bar=jaccard_bar
+    )
+    # expand inter-group rep pairs to member pairs (min-id canonical)
+    ma = doc_rep.select(F.col(id_col).alias("_ma"), F.col("_rep").alias("id_a"))
+    mb = doc_rep.select(F.col(id_col).alias("_mb"), F.col("_rep").alias("id_b"))
+    inter = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least(F.col("_ma"), F.col("_mb")).alias("id_a"),
+            F.greatest(F.col("_ma"), F.col("_mb")).alias("id_b"),
+            "containment",
+            "jaccard",
+            "subset_style",
+        )
+    )
+    # intra-group member pairs: containment = jaccard = 1 by identity
+    ga = doc_rep.select(F.col("_rep"), F.col(id_col).alias("id_a"))
+    gb = doc_rep.select(F.col("_rep"), F.col(id_col).alias("id_b"))
+    intra = (
+        ga.join(gb, "_rep")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.lit(1.0).alias("containment"),
+            F.lit(1.0).alias("jaccard"),
+            F.lit(jaccard_bar > 1.0).alias("subset_style"),
+        )
+    )
+    return inter.unionByName(intra)
+
+
 def fuzzy_match_pairs(
     df,
     block_cols: list[str],

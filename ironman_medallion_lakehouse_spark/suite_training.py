@@ -1039,14 +1039,24 @@ def q109_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the regime that still recalls subset pairs whose JACCARD is low
     because one doc swallows the other). ``subset_style`` marks pairs
     a 0.9-Jaccard dedup would have missed — 58k of 67k c≥0.9 pairs on
-    this corpus at sf0.01, the operator's reason to exist. Same
-    O(candidates) two-join shape as jaccard_refine; hashed-BIGINT
-    intersections."""
+    this corpus at sf0.01, the operator's reason to exist.
+
+    r6: runs the EXACT-SET PRE-CONTRACTED pipeline
+    (operators/dedup.containment_pairs, VERDICT r5 item 5) — identical
+    distinct-token sets collapse to one representative before the
+    band join and the intersect kernel, surviving rep pairs expand
+    back to member pairs; provably output-invariant, so the oracle is
+    UNCHANGED from the raw composition (the q83 proof pattern).
+    Hashed-BIGINT intersections; candidate volume drops by the
+    corpus's set-duplication factor squared inside each bucket."""
     t = load_tables(spark, sf_dir, "documents")
-    sigs = D.minhash_signatures(t["documents"], k=_LSH_K)
-    cand = D.lsh_candidate_pairs(sigs, k=_LSH_K, bands=32)
-    return D.containment_refine(
-        cand, t["documents"], threshold=_Q109_THRESHOLD, jaccard_bar=_Q109_JBAR
+    return D.containment_pairs(
+        t["documents"],
+        k=_LSH_K,
+        bands=32,
+        threshold=_Q109_THRESHOLD,
+        jaccard_bar=_Q109_JBAR,
+        contract=True,
     )
 
 

@@ -214,3 +214,34 @@ def test_q90_cap_provably_fires_on_driver_corpus(spark):
         ).collect()
     }
     assert capped < uncapped  # strict subset: the cap removed pairs
+
+
+def test_containment_contraction_output_invariant(spark):
+    """VERDICT r5 item 5: the exact-set pre-contracted containment
+    pipeline must emit EXACTLY the raw composition's pairs — same ids,
+    same scores, same subset_style — on a corpus with planted
+    identical-set docs (reordered/duplicated token sets) and subset
+    docs."""
+    from ironman_medallion_lakehouse_spark.operators.dedup import containment_pairs
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "beta alpha gamma delta zeta epsilon theta eta"),   # same SET as 1
+        (3, "alpha beta gamma delta epsilon zeta eta theta " * 3),  # dup tokens
+        (4, "alpha beta gamma delta"),                           # subset of 1
+        (5, "totally different words here nothing shared at all"),
+        (6, None),                                               # token-less
+        (7, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    kw = dict(k=32, bands=8, threshold=0.9, jaccard_bar=0.9)
+    raw = {
+        (r.id_a, r.id_b): (r.containment, r.jaccard, r.subset_style)
+        for r in containment_pairs(df, contract=False, **kw).collect()
+    }
+    con = {
+        (r.id_a, r.id_b): (r.containment, r.jaccard, r.subset_style)
+        for r in containment_pairs(df, contract=True, **kw).collect()
+    }
+    assert raw == con
+    assert (1, 2) in con and con[(1, 2)] == (1.0, 1.0, False)
