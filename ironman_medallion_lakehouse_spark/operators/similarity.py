@@ -386,9 +386,17 @@ class IvfIndex:
         nprobe: int = 2,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        exclude_ids: list | None = None,
     ) -> DataFrame:
+        """Top-k cosine neighbors from the ``nprobe`` nearest cells —
+        a partition-pruned read of the assignment table.
+        ``exclude_ids`` drops known ids (typically the query vector
+        itself in query-by-example) BEFORE the top-k, so the list
+        never comes up short."""
         cells = self.probe_cells(query_vec, nprobe)
         candidates = self.store.read_partitions(self.assign_table, "centroid_id", cells)
+        if exclude_ids:
+            candidates = candidates.filter(~F.col(id_col).isin(list(exclude_ids)))
         qcol = F.array(*[F.lit(float(x)) for x in query_vec])
         return (
             candidates.select(

@@ -1317,3 +1317,145 @@ def q116_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals."""
     t = load_tables(spark, sf_dir, "documents")
     return S.feature_hash_vectors(t["documents"], dim=_Q116_DIM)
+
+
+# ----------------------- q134 retrieval e2e: index -> BM25 + IVF -> RRF
+
+_Q134_TOPN, _Q134_RRF_K, _Q134_OUT, _Q134_QID = 50, 60, 20, 1
+_Q134_CELLS, _Q134_NPROBE = 8, 2
+_Q134_CONTRIB = (
+    f"CAST(1.0 / ({float(_Q134_RRF_K)} + CAST(rnk AS DOUBLE)) AS DECIMAL(18,12))"
+)
+
+
+@register(
+    "q134_retrieval_e2e",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_WORDS_ALL} AS w FROM documents
+    ),
+    per AS (
+      SELECT doc_id, len(w) AS dl,
+        {", ".join(f"len(list_filter(w, x -> x = '{t}')) AS tf_{i}" for i, t in enumerate(_Q91_TERMS))}
+      FROM toks WHERE len(w) > 0
+    ),
+    stats AS (
+      SELECT COUNT(*) AS N, SUM(dl) AS sum_dl,
+        {", ".join(f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}" for i in range(len(_Q91_TERMS)))}
+      FROM per
+    ),
+    lex0 AS (
+      SELECT doc_id,
+        ROUND({" + ".join(_bm25_term_sql(i, t) for i, t in enumerate(_Q91_TERMS))}, 4) AS score
+      FROM per, stats
+      ORDER BY score DESC, doc_id LIMIT {_Q134_TOPN}
+    ),
+    lex AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+      FROM lex0
+    ),
+    c AS (
+      SELECT vec_id AS centroid_id, embedding AS cv
+      FROM embeddings ORDER BY vec_id ASC LIMIT {_Q134_CELLS}
+    ),
+    assign_scored AS (
+      SELECT e.vec_id, c.centroid_id,
+             {_DOT.format(a='e.embedding', b='c.cv')}
+               / (sqrt({_DOT.format(a='e.embedding', b='e.embedding')})
+                  * sqrt({_DOT.format(a='c.cv', b='c.cv')})) AS cos
+      FROM embeddings e CROSS JOIN c
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, centroid_id ASC) AS rn
+        FROM assign_scored
+      ) WHERE rn = 1
+    ),
+    qv AS (
+      SELECT embedding AS q,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS qn
+      FROM embeddings WHERE vec_id = {_Q134_QID}
+    ),
+    pc AS (
+      SELECT c.centroid_id
+      FROM c CROSS JOIN qv
+      ORDER BY {_DOT.format(a='c.cv', b='qv.q')}
+                 / (sqrt({_DOT.format(a='c.cv', b='c.cv')}) * qv.qn) DESC,
+               c.centroid_id ASC
+      LIMIT {_Q134_NPROBE}
+    ),
+    dense0 AS (
+      SELECT e.vec_id,
+             {_DOT.format(a='e.embedding', b='qv.q')}
+               / (sqrt({_DOT.format(a='e.embedding', b='e.embedding')}) * qv.qn) AS cos
+      FROM embeddings e
+      JOIN assign a ON e.vec_id = a.vec_id
+      JOIN pc ON a.centroid_id = pc.centroid_id
+      CROSS JOIN qv
+      WHERE e.vec_id != {_Q134_QID}
+      ORDER BY cos DESC, e.vec_id LIMIT {_Q134_TOPN}
+    ),
+    dense AS (
+      SELECT vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rnk
+      FROM dense0
+    ),
+    u AS (
+      SELECT doc_id, {_Q134_CONTRIB} AS contrib FROM lex
+      UNION ALL
+      SELECT doc_id, {_Q134_CONTRIB} AS contrib FROM dense
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_systems,
+           ROUND(CAST(SUM(contrib) AS DOUBLE), 6) AS rrf_score
+    FROM u GROUP BY doc_id
+    ORDER BY rrf_score DESC, doc_id LIMIT {_Q134_OUT}
+    """,
+)
+def q134_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED retrieval path users actually run (VERDICT r5 item
+    7): build the materialized IVF index (operators/similarity.
+    IvfIndex through a real TableStore, n_iter=0 so the codebook is
+    the deterministic first-8 seed — q46's contract), probe it for
+    the dense top-50 (nprobe=2, partition-pruned candidate read,
+    query vector excluded), score the lexical BM25 top-50 (q91's
+    scorer), and fuse with reciprocal-rank at k=60 (q101's fusion).
+    One entry attests the handoffs between all three families: the
+    index's assignment feeds the probe, both rankers' id-tie-broken
+    lists feed RRF, and the DuckDB oracle replays index build + probe
+    + BM25 + fusion end-to-end in SQL. Every stage is map-only or
+    top-k shaped: the corpus-sized work is one assignment pass at
+    build time and one pruned-cell scan per probe."""
+    import tempfile as _tempfile
+
+    from pyspark.sql import Window
+
+    from ironman_medallion_lakehouse_spark.operators.ranking import rrf_fuse
+    from ironman_medallion_lakehouse_spark.session import staging_dir
+    from ironman_medallion_lakehouse_spark.sources.tablestore import TableStore
+
+    t = load_tables(spark, sf_dir, "documents", "embeddings")
+    lex = R.bm25_topk(t["documents"], _Q91_TERMS, k=_Q134_TOPN)
+    wl = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    lexr = lex.select("doc_id", F.row_number().over(wl).alias("rnk"))
+
+    root = _tempfile.mkdtemp(prefix="rtrv_", dir=staging_dir(spark, "tablestore"))
+    store = TableStore(spark, root)
+    idx = S.IvfIndex(store, "ann.retrieval")
+    idx.build(t["embeddings"], n_cells=_Q134_CELLS, n_iter=0)
+    qvec = [
+        float(x)
+        for x in t["embeddings"]
+        .filter(F.col("vec_id") == _Q134_QID)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    dense = idx.probe(
+        qvec, k=_Q134_TOPN, nprobe=_Q134_NPROBE, exclude_ids=[_Q134_QID]
+    )
+    wd = Window.orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+    denser = dense.select(
+        F.col("vec_id").alias("doc_id"), F.row_number().over(wd).alias("rnk")
+    )
+    return rrf_fuse([lexr, denser], k=_Q134_RRF_K, topk=_Q134_OUT)
