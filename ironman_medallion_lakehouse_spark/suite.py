@@ -685,17 +685,10 @@ def q19_static_mapping_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # public accessors consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
 
-def _latest_correctness_names(root=None) -> set[str] | None:
-    """Names with an **all-green** (rows+schema+hash) driver row in the
-    most recent round, read from the highest-numbered
-    ``CORRECTNESS_r*.json`` at the repo root. ``None`` when no such file
-    exists (round 1 / fresh checkout).
-
-    A row that is present but FAILED counts as *unchecked*: the r5
-    verdict showed that treating any-row-present as "checked" rotates a
-    red entry to the tail, shipping its fix with no driver row (the
-    q75/q127 failure mode). Only a fully green row earns tail position.
-    """
+def _latest_correctness_rows(root=None) -> dict | None:
+    """The parsed row dict of the highest-numbered
+    ``CORRECTNESS_r*.json`` at the repo root; ``None`` when no such
+    file exists (round 1 / fresh checkout) or it is unreadable."""
     import json
     import re
     from pathlib import Path
@@ -703,7 +696,7 @@ def _latest_correctness_names(root=None) -> set[str] | None:
     if root is None:
         root = Path(__file__).resolve().parent.parent
     best, best_n = None, -1
-    for p in root.glob("CORRECTNESS_r*.json"):
+    for p in Path(root).glob("CORRECTNESS_r*.json"):
         m = re.search(r"r(\d+)", p.name)
         if m and int(m.group(1)) > best_n:
             best_n, best = int(m.group(1)), p
@@ -713,7 +706,20 @@ def _latest_correctness_names(root=None) -> set[str] | None:
         data = json.loads(best.read_text())
     except (OSError, ValueError):
         return None
-    if not isinstance(data, dict):
+    return data if isinstance(data, dict) else None
+
+
+def _latest_correctness_names(root=None) -> set[str] | None:
+    """Names with an **all-green** (rows+schema+hash) driver row in the
+    most recent round. ``None`` when no CORRECTNESS file exists.
+
+    A row that is present but FAILED counts as *unchecked*: the r5
+    verdict showed that treating any-row-present as "checked" rotates a
+    red entry to the tail, shipping its fix with no driver row (the
+    q75/q127 failure mode). Only a fully green row earns tail position.
+    """
+    data = _latest_correctness_rows(root)
+    if data is None:
         return None
     return {
         name
@@ -744,13 +750,15 @@ def _entry_hash(name: str) -> str:
 
 
 def _stale_names(root=None) -> set[str]:
-    """Entries whose current source hash differs from the hash recorded
+    """Entries whose current source hash DIFFERS from the hash recorded
     at their last all-green driver row (``SUITE_STATE.json``, written by
     ``tools/update_suite_state.py`` at round start). A touched entry is
-    stale and sorts to the head of the driver window even if its last
-    row was green, so a changed operator never ships unverified
-    (VERDICT r5 item 6). Entries with no recorded state are treated as
-    stale."""
+    stale and sorts to the urgent head of the driver window even if its
+    last row was green, so a changed operator never ships unverified
+    (VERDICT r5 item 6). Entries with NO record are not stale — they are
+    either new (urgent via never-checked) or pre-state-file backlog;
+    conflating them with touched entries would flood the urgent set past
+    the 50-row window."""
     import json
     from pathlib import Path
 
@@ -764,22 +772,48 @@ def _stale_names(root=None) -> set[str]:
     stale = set()
     for name in QUERIES:
         rec = recorded.get(name)
-        if not isinstance(rec, dict) or rec.get("hash") != _entry_hash(name):
+        if isinstance(rec, dict) and rec.get("hash") != _entry_hash(name):
             stale.add(name)
     return stale
+
+
+def _ever_checked_names(root=None) -> set[str]:
+    """Union of names across EVERY CORRECTNESS_r*.json — entries that
+    have had a driver row in some round (pass or fail)."""
+    import json
+    from pathlib import Path
+
+    if root is None:
+        root = Path(__file__).resolve().parent.parent
+    seen: set[str] = set()
+    for p in Path(root).glob("CORRECTNESS_r*.json"):
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict):
+            seen.update(data)
+    return seen
 
 
 def _ordered_names(root=None) -> list[str]:
     """Deterministic rotation keeps the driver's bounded correctness
     window (50 rows, first-50-in-dict-order) covering the whole suite.
-    Head of the list — guaranteed a driver row this round — is any entry
-    that is *unattested*: no all-green row in the latest
-    CORRECTNESS_r*.json (newly registered, rotated out, or FAILED last
-    round), or source-changed since its last green row (stale hash).
-    Attested-and-untouched entries fill the remaining window slots in
-    rotation. Base order still front-loads the 10 dashboard-view shapes
-    (q20-q28, the reference's most user-visible surface), then
-    registration order."""
+    The unattested head is itself priority-ordered, because in a heavy
+    round it can exceed the window and the MUST-verify entries cannot
+    be the ones that slip:
+
+    1. *urgent* — FAILED last round (red row: its fix ships this round
+       and needs a driver row), source-changed since the last green row
+       (stale hash), or never driver-checked in any round (newly
+       registered);
+    2. *backlog* — no row in the latest round but green before and
+       untouched (normal rotation; safe to wait one more round);
+    3. *tail* — all-green last round and untouched.
+
+    Base order still front-loads the 10 dashboard-view shapes (q20-q28,
+    the reference's most user-visible surface), then registration
+    order."""
     _load_all()
     views_first = [n for n in sorted(QUERIES) if n.startswith(("q2",))]
     rest = [n for n in QUERIES if n not in set(views_first)]
@@ -788,9 +822,15 @@ def _ordered_names(root=None) -> list[str]:
     if green is None:
         return base
     stale = _stale_names(root)
-    head = [n for n in base if n not in green or n in stale]
-    tail = [n for n in base if n not in set(head)]
-    return head + tail
+    ever = _ever_checked_names(root)
+    latest_any = set(_latest_correctness_rows(root) or {})
+    red = latest_any - green  # present last round but not all-green
+    urgent = [n for n in base if n in stale or n not in ever or n in red]
+    taken = set(urgent)
+    backlog = [n for n in base if n not in taken and n not in green]
+    taken.update(backlog)
+    tail = [n for n in base if n not in taken]
+    return urgent + backlog + tail
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

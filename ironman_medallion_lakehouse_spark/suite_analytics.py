@@ -406,7 +406,8 @@ def q121_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     out-degrees bounded O(√m) so the wedge join is O(m^1.5), never
     Σ deg². The third graph algorithm beside components and PageRank;
     the oracle states the naive triple join. All-integer outputs plus
-    one exact ratio."""
+    one exact ratio. (r6: triangle_stats now validates the rank-pack
+    id domain [0, 2^32) — re-verified this round.)"""
     t = load_tables(spark, sf_dir, "lineitem")
     sp = (
         t["lineitem"]

@@ -249,7 +249,9 @@ def q83_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     never accumulates lineage. The r4 signature-agreement prefilter
     was measured out of this pipeline in r5 (see _Q83_MIN_AGREE note);
     q90 keeps that operator driver-attested in the loose-banding
-    regime where it earns its cost.
+    regime where it earns its cost. (r6: connected_components' hybrid
+    gate lowered to 500k edges with Arrow-batched edge pull —
+    re-verified this round.)
 
     r5: runs through ``operators/dedup.near_dedup_groups``, which adds
     two provably output-invariant cost cuts — an exact-token-set

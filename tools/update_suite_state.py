@@ -49,12 +49,38 @@ def main() -> None:
         for name, row in rows.items():
             if name not in hashes:
                 continue
+            rec = entries.get(name)
+            if isinstance(rec, dict) and rec.get("green_round") == best_n:
+                # already recorded for this round: re-running mid-round
+                # (after edits) must NOT overwrite the round-start hash —
+                # that would mark a touched entry as unchanged
+                continue
             if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
                 entries[name] = {"hash": hashes[name], "green_round": best_n}
                 n_green += 1
 
+    # Backfill: entries all-green in an EARLIER round but absent from the
+    # latest one (rotated out) and never recorded. At round start their
+    # working-tree code is the code that was green, so recording the
+    # current hash is sound; without a record they cannot participate in
+    # touched-entry detection at all.
+    n_backfill = 0
+    for p in sorted(
+        ROOT.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+        reverse=True,
+    ):
+        rnd = int(re.search(r"r(\d+)", p.name).group(1))
+        for name, row in json.loads(p.read_text()).items():
+            if name in entries or name not in hashes:
+                continue
+            if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
+                entries[name] = {"hash": hashes[name], "green_round": rnd}
+                n_backfill += 1
+
     state_path.write_text(json.dumps(state, indent=1, sort_keys=True) + "\n")
     print(f"recorded {n_green} green entries from {best} into {state_path}")
+    print(f"backfilled {n_backfill} rotated-out entries from earlier rounds")
     print(f"total tracked: {len(entries)} / {len(hashes)} registered")
 
 
