@@ -314,3 +314,44 @@ def weighted_sample_topk_log(
         .orderBy(F.col("priority").desc(), F.col(key_col).asc())
         .limit(k)
     )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test (or any named) split: every row is
+    assigned to the split whose cumulative-ratio interval contains
+    uhash(key)/1M — the md5-membership discipline shared with
+    ``stratified_sample``, so assignment is stable across runs,
+    engines, partitionings, and INCREMENTAL loads (a document keeps
+    its split forever; new data lands ∝ the ratios). This is the
+    property rand()-based splitting cannot promise, and the reason
+    leakage-free split assignment belongs in the engine rather than a
+    notebook.
+
+    ``splits`` is ordered (insertion order defines the intervals);
+    ratios must sum to 1 (±1e-9) — the final interval absorbs the
+    boundary so no row is unassigned. Adds a ``split`` column; purely
+    map-side, zero shuffle at any scale.
+
+    DuckDB replay of the assignment (for oracles):
+    ``('0x' || substr(md5(key || ':salt'), 1, 8))::UBIGINT % 1000000``
+    compared against the same cumulative integer thresholds."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split ratios must sum to 1, got {total}")
+    h = _uhash(F.col(key_col), salt)
+    cum = 0.0
+    expr = None
+    names = list(splits)
+    for name in names[:-1]:
+        cum += splits[name]
+        bound = int(round(cum * _DENOM))
+        cond = h < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)

@@ -427,3 +427,93 @@ def bloom_filtered_join(
         pred = c if pred is None else pred & c
     pruned = big.filter(pred)
     return pruned.join(small, pruned[big_key] == small[small_key], how)
+
+
+def pairwise_overlap(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    lg_k: int = 12,
+    tolerance: float = 0.05,
+) -> DataFrame:
+    """Pairwise distinct-item overlap between every pair of groups —
+    the corpus-planning view behind "how much does source A duplicate
+    source B?" (dedup budgeting, mixture design, contamination
+    triage). For each unordered pair (a < b):
+
+    (src_a, src_b, n_a, n_b, n_inter, union_size, jaccard,
+     theta_within_tol)
+
+    Two arms, deliberately:
+    - *exact*: distinct (group, item) self-joined on item — the
+      verifiable truth, O(Σ per-item group-pair products). This is the
+      oracle-checked arm.
+    - *theta sketch*: one sketch per group (S rows), pairwise
+      intersection estimated via ``theta_intersection_agg`` over
+      exploded pair rows — S² tiny rows total, NO second pass over the
+      data. ``theta_within_tol`` reports |est − exact| ≤ tol·exact
+      (exact-mode sketches make it exact below 2^lg_k distinct items).
+
+    100 TB story: the exact arm is the expensive one and exists to
+    attest the sketch arm; production keeps only per-group sketches
+    (mergeable, incrementally maintained at ingest — the q82 rollup
+    contract) and answers every pairwise question from S² sketch
+    operations without touching the corpus again."""
+    items = df.select(F.col(group_col).alias("g"), F.col(item_col).alias("i")).distinct()
+    items = items.localCheckpoint(eager=True)  # feeds sizes + both join sides
+    sizes = items.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    a = items.select(F.col("g").alias("src_a"), "i")
+    b = items.select(F.col("g").alias("src_b"), "i")
+    inter = (
+        a.join(b, "i")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    # all pairs (even zero-overlap ones) from the tiny size frame
+    pairs = (
+        sizes.select(F.col("g").alias("src_a"), F.col("n").alias("n_a"))
+        .crossJoin(
+            F.broadcast(sizes.select(F.col("g").alias("src_b"), F.col("n").alias("n_b")))
+        )
+        .filter(F.col("src_a") < F.col("src_b"))
+        .join(inter, ["src_a", "src_b"], "left")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
+    )
+    exact = pairs.select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        "n_inter",
+        (F.col("n_a") + F.col("n_b") - F.col("n_inter")).alias("union_size"),
+        F.round(
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )
+
+    sk = theta_sketches(df, [group_col], item_col, lg_k=lg_k)
+    sa = sk.select(F.col(group_col).alias("src_a"), F.col("theta").alias("ta"))
+    sb = sk.select(F.col(group_col).alias("src_b"), F.col("theta").alias("tb"))
+    pair_sk = sa.crossJoin(F.broadcast(sb)).filter(F.col("src_a") < F.col("src_b"))
+    exploded = pair_sk.select(
+        "src_a", "src_b", F.explode(F.array("ta", "tb")).alias("theta")
+    )
+    est = exploded.groupBy("src_a", "src_b").agg(
+        F.theta_sketch_estimate(F.theta_intersection_agg("theta")).alias("est")
+    )
+    return (
+        exact.join(F.broadcast(est), ["src_a", "src_b"], "left")
+        .withColumn(
+            "theta_within_tol",
+            F.when(
+                F.col("n_inter") == 0, F.coalesce(F.col("est"), F.lit(0.0)) <= F.lit(0.5)
+            ).otherwise(
+                F.abs(F.col("est") - F.col("n_inter"))
+                <= F.lit(float(tolerance)) * F.col("n_inter")
+            ),
+        )
+        .drop("est")
+    )

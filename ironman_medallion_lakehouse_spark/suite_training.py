@@ -1459,3 +1459,95 @@ def q134_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"), F.row_number().over(wd).alias("rnk")
     )
     return rrf_fuse([lexr, denser], k=_Q134_RRF_K, topk=_Q134_OUT)
+
+
+# --------------------------- q135 pairwise source overlap (theta + exact)
+
+
+@register(
+    "q135_source_overlap",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT source AS g, unnest({_WORDS}) AS i FROM documents
+    ),
+    sizes AS (SELECT g, COUNT(*) AS n FROM items GROUP BY g),
+    inter AS (
+      SELECT a.g AS src_a, b.g AS src_b, COUNT(*) AS n_inter
+      FROM items a JOIN items b ON a.i = b.i AND a.g < b.g
+      GROUP BY a.g, b.g
+    )
+    SELECT sa.g AS src_a, sb.g AS src_b,
+           sa.n AS n_a, sb.n AS n_b,
+           COALESCE(x.n_inter, 0) AS n_inter,
+           sa.n + sb.n - COALESCE(x.n_inter, 0) AS union_size,
+           ROUND(CAST(COALESCE(x.n_inter, 0) AS DOUBLE)
+                 / CAST(sa.n + sb.n - COALESCE(x.n_inter, 0) AS DOUBLE), 6) AS jaccard,
+           TRUE AS theta_within_tol
+    FROM sizes sa JOIN sizes sb ON sa.g < sb.g
+    LEFT JOIN inter x ON x.src_a = sa.g AND x.src_b = sb.g
+    """,
+)
+def q135_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between corpus sources
+    (operators/sketches.pairwise_overlap): for every source pair,
+    exact distinct-token intersection/union/Jaccard PLUS a
+    theta-sketch intersection estimate attested within 5 % — the
+    corpus-planning matrix behind dedup budgeting and mixture design
+    ("how much does src3 duplicate src7?"). The exact arm (token
+    self-join) is the oracle-checked truth; the sketch arm is the
+    100 TB path — per-source sketches are mergeable and incrementally
+    maintained, and all S² pairwise questions are answered from S
+    sketch rows without rescanning the corpus. The oracle pins the
+    exact columns and expects theta_within_tol = TRUE on every pair
+    (exact-mode sketches below 2^12 distinct items)."""
+    from ironman_medallion_lakehouse_spark.operators.sketches import (
+        pairwise_overlap,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    toks = t["documents"].select(
+        "source", F.explode(D.word_set("text")).alias("token")
+    )
+    return pairwise_overlap(toks, "source", "token")
+
+
+# ------------------------------- q136 deterministic train/val/test split
+
+_Q136_SALT = "split"
+_Q136_H = (
+    f"(('0x' || substr(md5(doc_id::VARCHAR || ':{_Q136_SALT}'), 1, 8))::UBIGINT"
+    " % 1000000)"
+)
+
+
+@register(
+    "q136_hash_split",
+    oracle=f"""
+    SELECT source,
+           CASE WHEN {_Q136_H} < 800000 THEN 'train'
+                WHEN {_Q136_H} < 900000 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q136_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment
+    (operators/sampling.hash_split): membership decided by
+    md5(doc_id), so a document keeps its split across runs, engines,
+    partitionings, and incremental loads — the leakage-free property
+    rand() splitting can't give (a re-run must never move a test doc
+    into train). Map-only, zero shuffle before the reporting
+    aggregate; the oracle replays the identical md5 interval
+    arithmetic. Output: docs per (source, split)."""
+    from ironman_medallion_lakehouse_spark.operators.sampling import hash_split
+
+    t = load_tables(spark, sf_dir, "documents")
+    assigned = hash_split(
+        t["documents"], "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt=_Q136_SALT,
+    )
+    return assigned.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

@@ -324,3 +324,28 @@ def test_bloom_join_rejects_outer(spark):
     small = spark.createDataFrame([Row(sk=1, name="x")])
     with _pytest.raises(ValueError, match="inner/"):
         bloom_filtered_join(big, small, "k", "sk", how="left")
+
+
+def test_pairwise_overlap_hand_computed(spark):
+    """A={x,y,z}, B={y,z,w}, C={q}: AB inter=2 union=4 J=0.5; AC/BC
+    inter=0. Zero-overlap pairs still appear (size cross join), and the
+    exact-mode theta arm agrees on every pair."""
+    from ironman_medallion_lakehouse_spark.operators.sketches import pairwise_overlap
+
+    rows = [("A", i) for i in "xyz"] + [("B", i) for i in "yzw"] + [("C", "q")]
+    df = spark.createDataFrame(rows, "g string, i string")
+    out = {(r.src_a, r.src_b): r for r in pairwise_overlap(df, "g", "i").collect()}
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = out[("A", "B")]
+    assert (ab.n_a, ab.n_b, ab.n_inter, ab.union_size, ab.jaccard) == (3, 3, 2, 4, 0.5)
+    assert all(r.theta_within_tol for r in out.values())
+    assert out[("A", "C")].n_inter == 0
+
+
+def test_pairwise_overlap_duplicate_items_count_once(spark):
+    from ironman_medallion_lakehouse_spark.operators.sketches import pairwise_overlap
+
+    rows = [("A", "x")] * 5 + [("B", "x")] * 3 + [("B", "y")]
+    df = spark.createDataFrame(rows, "g string, i string")
+    r = pairwise_overlap(df, "g", "i").collect()[0]
+    assert (r.n_a, r.n_b, r.n_inter) == (1, 2, 1)

@@ -935,3 +935,32 @@ def test_weighted_sample_topk_log_survives_extreme_logweights(spark):
     assert all(d < 300 and not (100 <= d < 110) for d in out), (
         "tiny-weight docs must lose to lw=0 docs"
     )
+
+
+def test_hash_split_deterministic_and_exhaustive(spark):
+    """Every row lands in exactly one split; re-running (and
+    re-partitioning) never moves a row; ratios are roughly honored."""
+    from ironman_medallion_lakehouse_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split for r in hash_split(df, "doc_id", splits).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(df.repartition(13), "doc_id", splits).collect()
+    }
+    assert a == b and len(a) == 2000
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 0.75 < c["train"] / 2000 < 0.85
+    assert 0.07 < c["val"] / 2000 < 0.13
+    assert 0.07 < c["test"] / 2000 < 0.13
+
+
+def test_hash_split_rejects_bad_ratios(spark):
+    from ironman_medallion_lakehouse_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, "doc_id", {"a": 0.5, "b": 0.4})
