@@ -200,13 +200,12 @@ def _probe_more(spark, factor: int, out: dict) -> None:
         return SA.dsir_logweights(d, F.col("source").isin("src0", "src1", "src2"))
 
     def contain(d):
-        sigs = D.minhash_signatures(d, k=128)
-        cand = D.lsh_candidate_pairs(sigs, k=128, bands=16)
-        return D.containment_refine(cand, d, threshold=0.95)
+        # the shipped q109 path (r6): exact-set pre-contraction ahead of
+        # the band join + intersect kernel, member-pair expansion after
+        return D.containment_pairs(d, k=128, bands=16, threshold=0.95, contract=True)
 
     for name, df1, dfn in [
         ("dsir_q107", dsir(docs1), dsir(docsn)),
-        ("containment_q109", contain(docs1), contain(docsn)),
         ("jl_projection_q110", SI.jl_project(emb1, out_dim=16, in_dim=64),
          SI.jl_project(embn, out_dim=16, in_dim=64)),
     ]:
@@ -216,6 +215,17 @@ def _probe_more(spark, factor: int, out: dict) -> None:
             f"t_{factor}x": tn,
             "ratio": round(tn / t1, 2) if t1 > 0 else None,
         }
+
+    # containment builds eagerly (contraction localCheckpoints at call
+    # time), so it is timed end-to-end like the dedup pipelines
+    _time_e2e(lambda: contain(docs1))  # warm
+    t1 = _time_e2e(lambda: contain(docs1))
+    tn = _time_e2e(lambda: contain(docsn))
+    out["queries"]["containment_q109"] = {
+        "t_1x": t1,
+        f"t_{factor}x": tn,
+        "ratio": round(tn / t1, 2) if t1 > 0 else None,
+    }
 
     def edges(li, o, c, s):
         return (
