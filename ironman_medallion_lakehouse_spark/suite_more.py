@@ -1467,3 +1467,94 @@ def q132_exact_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_price", "median_price", "mode_priority",
         )
     )
+
+
+# ===========================================================================
+# §2.1 S6+ — RESTORE: point-in-time rollback as a first-class commit
+# ===========================================================================
+
+
+@register(
+    "q138_restore_lifecycle",
+    oracle="""
+    WITH base AS (
+      SELECT *, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year
+      FROM orders
+    ),
+    v1 AS (SELECT * FROM base WHERE o_orderkey % 2 = 0),
+    inserted AS (
+      SELECT * FROM base s
+      WHERE order_year IN (1997, 1998)
+        AND NOT EXISTS (SELECT 1 FROM v1 t WHERE t.o_orderkey = s.o_orderkey)
+    ),
+    v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM inserted),
+    v3 AS (SELECT * FROM v2 WHERE NOT (o_totalprice > 200000))
+    SELECT
+      a.order_year,
+      a.n_restored,
+      a.revenue_restored,
+      d.n_after_delete,
+      CAST(a.n_restored - d.n_after_delete AS BIGINT) AS n_resurrected
+    FROM (
+      SELECT order_year, COUNT(*) AS n_restored,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue_restored
+      FROM v2 GROUP BY order_year
+    ) a
+    JOIN (
+      SELECT order_year, COUNT(*) AS n_after_delete FROM v3 GROUP BY order_year
+    ) d USING (order_year)
+    """,
+)
+def q138_restore_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE driver-attested end-to-end (sources/tablestore.restore —
+    the Delta ``RESTORE TABLE ... TO VERSION AS OF`` analogue, the one
+    lifecycle op without an oracle row until r6):
+
+    1. save_overwrite of the even-key orders slice (v1);
+    2. merge_insert_only of the 1997/1998 odd keys (v2);
+    3. delete_where(o_totalprice > 200000) — copy-on-write, only
+       matching files rewritten (v3);
+    4. restore(to version 2) — a NEW commit whose manifest re-references
+       v2's files, no data copied (v4).
+
+    The final read must equal the v2 state exactly — every deleted row
+    resurrected (n_resurrected > 0 proves the delete and the restore
+    both bit). The time-traveled v3 read cross-checks that history
+    SURVIVES the restore (restore is a commit, not a rewind). The
+    oracle replays v1→v2→v3 in pure SQL."""
+    from ironman_medallion_lakehouse_spark.session import staging_dir
+
+    t = load_tables(spark, sf_dir, "orders")
+    orders = t["orders"].withColumn("order_year", year_of("o_orderdate"))
+    root = tempfile.mkdtemp(prefix="restore_", dir=staging_dir(spark, "tablestore"))
+    store = TableStore(spark, root)
+    store.save_overwrite(orders.filter(F.col("o_orderkey") % 2 == 0), "db.orders")  # v1
+    store.merge_insert_only(
+        orders.filter(F.col("order_year").isin(1997, 1998)),
+        "db.orders",
+        keys=["o_orderkey"],
+    )  # v2
+    store.delete_where("db.orders", F.col("o_totalprice") > 200000)  # v3
+    store.restore("db.orders", 2)  # v4: current state == v2 state again
+    restored = (
+        store.read("db.orders")
+        .groupBy("order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_restored"),
+            dsum("o_totalprice", "revenue_restored"),
+        )
+    )
+    after_delete = (
+        store.read("db.orders", version=3)
+        .groupBy("order_year")
+        .agg(F.count(F.lit(1)).alias("n_after_delete"))
+    )
+    return restored.join(after_delete, "order_year").select(
+        "order_year",
+        "n_restored",
+        "revenue_restored",
+        "n_after_delete",
+        (F.col("n_restored") - F.col("n_after_delete"))
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )

@@ -1551,3 +1551,52 @@ def q136_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("source", "split").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+# ------------------- q137 log-domain A-ES (Gumbel-max weighted sample)
+
+_Q137_K, _Q137_SALT = 150, "gumb"
+
+
+@register(
+    "q137_gumbel_topk",
+    oracle=f"""
+    SELECT doc_id, n_chars,
+           CAST(ROUND(priority, 6) AS DOUBLE) AS priority
+    FROM (
+      SELECT doc_id, n_chars,
+             CAST((CAST(n_chars AS DOUBLE) - 300.0) * 5.0
+                  - ln(-ln((('0x' || substr(md5(doc_id::VARCHAR || ':{_Q137_SALT}'), 1, 6))::UBIGINT
+                            + 0.5) / 16777216.0))
+                  AS DECIMAL(28,12)) AS priority
+      FROM documents
+      ORDER BY priority DESC, doc_id
+      LIMIT {_Q137_K}
+    )
+    """,
+)
+def q137_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-domain A-ES weighted sampling (operators/sampling.
+    weighted_sample_topk_log — the Gumbel-max top-k form, ADVICE r5):
+    150 docs drawn ∝ e^lw with lw = (n_chars − 300)·5, a weight range
+    spanning ±~10³ where exp() under/overflows and the linear-domain
+    draw silently drops or collapses docs — the regime DSIR log-weights
+    live in (this is the sampler the production training pipeline now
+    uses). Ordering lw + gumbel(u) is order-isomorphic to the classic
+    u^(1/w) key; u is the exact md5 rational, the priority is
+    DECIMAL(28,12)-rounded, unique-key tiebreak — engine-exact."""
+    t = load_tables(spark, sf_dir, "documents")
+    lw = (F.col("n_chars").cast("double") - F.lit(300.0)) * F.lit(5.0)
+    return SA.weighted_sample_topk_log(
+        t["documents"], lw, _Q137_K, "doc_id", salt=_Q137_SALT
+    ).select(
+        "doc_id",
+        "n_chars",
+        # membership/order are decided on the full DECIMAL(28,12) key;
+        # the REPORTED column re-rounds to 6 decimals because at
+        # |priority| ~ 10^3 twelve fractional digits exceed double
+        # precision, so engines' last-ulp ln() wobble would show up in
+        # the comparison (it cannot flip top-k membership: distinct
+        # doc_ids keep gumbel terms >= 1e-8 apart)
+        F.round(F.col("priority"), 6).cast("double").alias("priority"),
+    )
