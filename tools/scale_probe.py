@@ -94,11 +94,21 @@ def _probe_queries(spark, factor: int):
     }
 
 
+_RUNS = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "2"))
+
+
 def _time(df: DataFrame) -> float:
+    """Warmup + min of _RUNS timed executions (the bench.py protocol —
+    r6: a single timed run let a busy-box spike report DSIR as 10.8×
+    at 8× when a min-of-3 re-measure showed ~1.0×)."""
     df.write.format("noop").mode("overwrite").save()  # warm
-    t0 = time.time()
-    df.write.format("noop").mode("overwrite").save()
-    return round(time.time() - t0, 3)
+    best = None
+    for _ in range(_RUNS):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    return round(best, 3)
 
 
 def _replicate_docs(docs: DataFrame, factor: int) -> DataFrame:
@@ -125,10 +135,15 @@ def _replicate_docs(docs: DataFrame, factor: int) -> DataFrame:
 def _time_e2e(build) -> float:
     """Build + execute, timed together: the connected-components stage
     runs jobs during construction (per-round localCheckpoints), so the
-    warm/re-run protocol of _time would miss most of its cost."""
-    t0 = time.time()
-    build().write.format("noop").mode("overwrite").save()
-    return round(time.time() - t0, 3)
+    warm/re-run protocol of _time would miss most of its cost. Min of
+    _RUNS full build+execute cycles (callers warm separately)."""
+    best = None
+    for _ in range(_RUNS):
+        t0 = time.time()
+        build().write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    return round(best, 3)
 
 
 def _probe_dedup(spark, factor: int, out: dict) -> None:
