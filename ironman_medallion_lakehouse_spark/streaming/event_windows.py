@@ -227,3 +227,75 @@ def streaming_interval_join(
         .start()
     )
     return query, sink_name
+
+
+def tumbling_distinct_users(
+    events: DataFrame,
+    duration: str = "1 hour",
+    lg_k: int = 12,
+    tolerance: float = 0.02,
+) -> DataFrame:
+    """Distinct users per tumbling event-time window — the streaming
+    dashboard's "unique visitors per hour" panel — computed BOTH ways:
+    exact ``count_distinct`` (the verifiable truth, batch-only: exact
+    distinct is not incrementally mergeable) and an HLL sketch
+    estimate (``hll_sketch_agg`` — mergeable, so the IDENTICAL
+    expression runs under Structured Streaming with a watermark, and
+    stored per-window sketches roll up to day/week panels without
+    rescanning events; q82's rollup contract). ``hll_within_tol``
+    attests the sketch against the exact arm; at dashboard
+    cardinalities HLL's low-range coupon path is exact, and at 100 TB
+    the sketch column is the only one the streaming job keeps."""
+    return (
+        events.groupBy(F.window("ts", duration).alias("w"), F.col("event_type"))
+        .agg(
+            F.count_distinct(F.col("user_id")).alias("n_users_exact"),
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("user_id"), F.lit(lg_k))
+            ).alias("_est"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(F.col("_est") - F.col("n_users_exact"))
+                <= F.lit(float(tolerance)) * F.col("n_users_exact")
+            ).alias("hll_within_tol"),
+        )
+    )
+
+
+def streaming_tumbling_distinct(
+    spark,
+    source_path: str,
+    schema,
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+    lg_k: int = 12,
+    sink_name: str = "tumbling_distinct_sink",
+):
+    """Structured Streaming twin of ``tumbling_distinct_users``'s
+    sketch arm: the HLL sketch aggregate is mergeable, so the windowed
+    estimate under incremental execution equals the batch estimate
+    exactly (asserted batch ≡ stream in tests/test_streaming.py)."""
+    stream = spark.readStream.schema(schema).format("parquet").load(source_path)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration).alias("w"), F.col("event_type"))
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("user_id"), F.lit(lg_k))
+            ).alias("n_users_approx")
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_users_approx"
+        )
+    )
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .start()
+    )
+    return query, sink_name

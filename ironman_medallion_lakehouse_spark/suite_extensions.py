@@ -1222,3 +1222,29 @@ def q54_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("width").cast("double") / F.count(F.lit(1))).alias("avg_width"),
         (F.sum("height").cast("double") / F.count(F.lit(1))).alias("avg_height"),
     )
+
+
+@register(
+    "q139_window_distinct_users",
+    oracle="""
+    SELECT
+      date_trunc('hour', ts) AS window_start,
+      event_type,
+      COUNT(DISTINCT user_id) AS n_users_exact,
+      TRUE AS hll_within_tol
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q139_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per tumbling hour window
+    (streaming/event_windows.tumbling_distinct_users): exact
+    count_distinct oracled against DuckDB, plus the MERGEABLE HLL
+    sketch arm attested within 2 % — the expression a streaming
+    dashboard actually keeps, because exact distinct cannot be
+    incrementally merged but sketches can (and stored per-window
+    sketches roll up to coarser panels, q82's contract). The
+    identical sketch aggregate runs under readStream + watermark
+    (tests/test_streaming.py asserts batch ≡ stream)."""
+    t = load_tables(spark, sf_dir, "events")
+    return EW.tumbling_distinct_users(t["events"], "1 hour")

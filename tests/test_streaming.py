@@ -220,3 +220,52 @@ def test_stream_stream_interval_join_matches_batch_range_join(spark, tmp_path):
     finally:
         query.stop()
     assert streamed == batch
+
+
+def test_streaming_distinct_sketch_matches_batch(spark, tmp_path):
+    """The HLL sketch aggregate is mergeable, so the windowed distinct
+    estimate under incremental streaming execution equals the batch
+    estimate exactly; at these cardinalities the low-range coupon path
+    makes both equal the TRUE distinct count."""
+    from ironman_medallion_lakehouse_spark.streaming.event_windows import (
+        streaming_tumbling_distinct,
+        tumbling_distinct_users,
+    )
+
+    rows = [
+        Row(event_id=i, ts=f"2024-01-01 {h:02d}:{i % 60:02d}:00",
+            user_id=i % 7, event_type=t, value=float(i))
+        for i, (h, t) in enumerate(
+            [(0, "click")] * 6 + [(0, "view")] * 3 + [(1, "click")] * 5
+            + [(2, "view")] * 4
+        )
+    ]
+    events = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "dist_src")
+    events.write.mode("overwrite").parquet(src)
+
+    batch = {
+        (r.window_start, r.event_type): r.n_users_exact
+        for r in tumbling_distinct_users(events, "1 hour").collect()
+    }
+    assert all(
+        r.hll_within_tol
+        for r in tumbling_distinct_users(events, "1 hour").collect()
+    )
+
+    stored = spark.read.parquet(src)
+    query, sink = streaming_tumbling_distinct(
+        spark, src, stored.schema, duration="1 hour", sink_name="d_sink"
+    )
+    try:
+        query.processAllAvailable()
+        streamed = {
+            (r.window_start, r.event_type): int(r.n_users_approx)
+            for r in spark.table(sink).collect()
+        }
+    finally:
+        query.stop()
+
+    assert streamed == batch  # exact in the coupon regime
+    # 4 (window, type) panels; distinct users bounded by the i%7 key space
+    assert len(batch) == 4 and max(batch.values()) <= 7
