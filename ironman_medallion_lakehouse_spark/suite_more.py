@@ -1558,3 +1558,122 @@ def q138_restore_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_resurrected"),
     )
+
+
+# ===========================================================================
+# §2.3 J+ — point-in-time-correct fact ⋈ SCD-2 dimension join (the query
+# side of SCD-2: q133 attests the writes, this attests the reads)
+# ===========================================================================
+
+_Q140_T1, _Q140_T2, _Q140_T3 = (
+    "1993-01-01 00:00:00",
+    "1995-07-01 00:00:00",
+    "1997-01-01 00:00:00",
+)
+
+
+@register(
+    "q140_scd2_asof_join",
+    oracle=f"""
+    WITH s1 AS (SELECT c_custkey, c_mktsegment FROM customer),
+    s3 AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 6 = 0 THEN 'CHURNED'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer
+    ),
+    flags AS (
+      SELECT c_custkey,
+             (c_custkey % 4 = 0) AS ch2,
+             (c_custkey % 6 = 0) AS ch3
+      FROM customer
+    ),
+    timeline AS (
+      SELECT s1.c_custkey, s1.c_mktsegment,
+             TIMESTAMP '{_Q140_T1}' AS valid_from,
+             CASE WHEN f.ch2 THEN TIMESTAMP '{_Q140_T2}'
+                  WHEN f.ch3 THEN TIMESTAMP '{_Q140_T3}'
+                  ELSE NULL END AS valid_to
+      FROM s1 JOIN flags f USING (c_custkey)
+      UNION ALL
+      SELECT s1.c_custkey, s1.c_mktsegment,
+             TIMESTAMP '{_Q140_T2}',
+             CASE WHEN f.ch3 THEN TIMESTAMP '{_Q140_T3}' ELSE NULL END
+      FROM s1 JOIN flags f USING (c_custkey) WHERE f.ch2
+      UNION ALL
+      SELECT s3.c_custkey, s3.c_mktsegment,
+             TIMESTAMP '{_Q140_T3}', NULL
+      FROM s3 JOIN flags f USING (c_custkey) WHERE f.ch3
+    )
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+           COALESCE(tl.c_mktsegment, 'NO_VERSION_YET') AS segment_at_order,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders o
+    LEFT JOIN timeline tl
+      ON tl.c_custkey = o.o_custkey
+     AND tl.valid_from <= o.o_orderdate
+     AND (tl.valid_to IS NULL OR o.o_orderdate < tl.valid_to)
+    GROUP BY 1, 2
+    """,
+)
+def q140_scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct fact ⋈ SCD-2 dimension join — THE query
+    SCD-2 exists to serve (Kimball: "which segment was this customer
+    in WHEN they ordered?", the attribute-leakage-free historical
+    rollup). Builds the dimension through three real merge_scd2 calls
+    (T1 init / T2 acctbal restatement on %4 / T3 segment churn on %6,
+    timestamps inside the order-date range so every regime — plus
+    pre-T1 orders with NO valid version — occurs), then joins orders
+    by key + validity interval: valid_from ≤ o_orderdate < valid_to.
+
+    Scale shape: equi-join on c_custkey with the interval as a post-
+    join filter — versions per key are few (≤3 here, bounded by
+    change frequency in production), so there is no range explosion;
+    the dimension side broadcasts or shuffles like any SCD-1 dim.
+    Note the r6 change note: c_acctbal in the m2 restatement exercises
+    the close/reopen machinery; this query reads only the segment.
+    The oracle replays the timeline and the interval join in SQL.
+    q133 attests the WRITE side of SCD-2; this attests the READ side.
+    """
+    from ironman_medallion_lakehouse_spark.session import staging_dir
+
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    cust = t["customer"].select("c_custkey", "c_mktsegment", "c_acctbal")
+    s2 = cust.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 4 == 0, F.col("c_acctbal") + 50).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    s3 = s2.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 6 == 0, F.lit("CHURNED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    root = tempfile.mkdtemp(prefix="scd2pit_", dir=staging_dir(spark, "tablestore"))
+    store = TableStore(spark, root)
+    store.merge_scd2(cust, "db.dim", keys=["c_custkey"], effective_ts=_Q140_T1)
+    store.merge_scd2(s2, "db.dim", keys=["c_custkey"], effective_ts=_Q140_T2)
+    store.merge_scd2(s3, "db.dim", keys=["c_custkey"], effective_ts=_Q140_T3)
+    dim = store.read("db.dim").select(
+        "c_custkey", "c_mktsegment", "valid_from", "valid_to"
+    )
+    o = t["orders"]
+    joined = o.join(
+        dim,
+        (dim["c_custkey"] == o["o_custkey"])
+        & (dim["valid_from"] <= o["o_orderdate"])
+        & (dim["valid_to"].isNull() | (o["o_orderdate"] < dim["valid_to"])),
+        "left",
+    )
+    return joined.groupBy(
+        year_of("o_orderdate").alias("order_year"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("NO_VERSION_YET")).alias(
+            "segment_at_order"
+        ),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "revenue"),
+    )
