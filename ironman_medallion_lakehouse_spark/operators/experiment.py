@@ -193,3 +193,151 @@ def chi_square_independence(
         ((F.col("_nr") - 1) * (F.col("_nc") - 1)).cast("bigint").alias("dof"),
         F.round(F.col("_chi2").cast("double"), 6).alias("chi2"),
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+) -> DataFrame:
+    """Cohen's kappa for two categorical label columns over the same
+    items — the labeled-data QC statistic ("do my two annotation
+    passes / model-vs-human labels actually agree beyond chance?")
+    every supervised-data pipeline runs before trusting labels:
+
+        kappa = (p_o − p_e) / (1 − p_e)
+        p_o   = Σ_k n_kk / n            (observed agreement)
+        p_e   = Σ_k (a_k · b_k) / n²    (chance agreement from marginals)
+
+    ONE row (n, po, pe, kappa); perfect agreement → 1, chance → 0.
+    Rows with a NULL on either side are excluded (un-rated items).
+
+    All inputs are exact integers from one contingency count
+    (map-side combined); po/pe/kappa are fixed double expressions over
+    them rounded to 6 decimals — order-free, engine-exact. Degenerate
+    case pe = 1 (both raters constant) → kappa NULL. Plan: the q130
+    shape — one grouped count, two tiny marginal re-aggregations,
+    scalar output."""
+    cells = (
+        df.filter(F.col(rater_a_col).isNotNull() & F.col(rater_b_col).isNotNull())
+        .groupBy(F.col(rater_a_col).alias("_a"), F.col(rater_b_col).alias("_b"))
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=True)  # read 3x below
+    )
+    n = cells.agg(F.sum("o").alias("n"))
+    agree = cells.filter(F.col("_a") == F.col("_b")).agg(
+        F.coalesce(F.sum("o"), F.lit(0)).alias("n_agree")
+    )
+    ma = cells.groupBy("_a").agg(F.sum("o").alias("na"))
+    mb = cells.groupBy("_b").agg(F.sum("o").alias("nb"))
+    chance = (
+        ma.join(mb, ma["_a"] == mb["_b"])
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("sum_ab"))
+        .select(F.coalesce(F.col("sum_ab"), F.lit(0)).alias("sum_ab"))
+    )
+    out = n.crossJoin(F.broadcast(agree)).crossJoin(F.broadcast(chance))
+    po = F.col("n_agree").cast("double") / F.col("n").cast("double")
+    pe = F.col("sum_ab").cast("double") / (
+        F.col("n").cast("double") * F.col("n").cast("double")
+    )
+    return out.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.when(pe == 1.0, F.lit(None)).otherwise(
+            F.round((po - pe) / (1.0 - pe), 6)
+        ).alias("kappa"),
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic: D = max_x |F_a(x) −
+    F_b(x)| over the empirical CDFs of ``value_col`` in the two groups
+    — the standard continuous-distribution drift test (chi-square's
+    complement): "does this crawl batch's length/quality/score
+    distribution match the last one?" run before a batch is admitted.
+
+    ONE row (n_a, n_b, d_stat, ks_stat) where ks_stat =
+    D·√(n_a·n_b/(n_a+n_b)) (the scaled statistic compared against
+    c(α) thresholds: 1.358 ≈ α=0.05). NULL values are excluded.
+
+    Exactness: D is computed at jump points only — sort the union of
+    observations, take running per-group counts with a window, and
+    evaluate |cum_a/n_a − cum_b/n_b| AFTER absorbing ties (the CDF
+    value at x counts every observation ≤ x, so the max is taken over
+    per-distinct-value LAST rows). All counts are exact integers; the
+    division is one fixed double expression, so the max is
+    engine-exact at 6 decimals.
+
+    Plan: one sort-window over n_a+n_b rows (single range-partitioned
+    shuffle — the same cost class as any quantile computation) + one
+    scalar aggregate. At 100 TB you run this on a per-batch SAMPLE or
+    on KLL sketch quantiles (q82's family); the exact form is the
+    oracle-checkable ground truth."""
+    vals = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(value_col).alias("v"),
+            F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("ia"),
+            F.when(F.col(group_col) == group_b, 1).otherwise(0).alias("ib"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wv = Window.partitionBy("v")
+    running = vals.select(
+        "v", F.sum("ia").over(w).alias("ca"), F.sum("ib").over(w).alias("cb")
+    )
+    # the CDF at x includes ALL rows with value == x: only the last row
+    # of each tie-group carries the true post-tie cumulative, so take
+    # the per-distinct-value MAX of the running sums (tie order within
+    # equal v is then irrelevant — the evaluated gap is deterministic)
+    cum = running.select(
+        "v",
+        F.max("ca").over(wv).alias("ca_end"),
+        F.max("cb").over(wv).alias("cb_end"),
+    )
+    return _ks_finish(cum)
+
+
+def _ks_finish(cum: DataFrame) -> DataFrame:
+    """Final KS aggregate: totals via one tiny agg joined back, then
+    the max CDF gap over tie-absorbed rows."""
+    totals = cum.agg(
+        F.max("ca_end").cast("bigint").alias("n_a"),
+        F.max("cb_end").cast("bigint").alias("n_b"),
+    )
+    gap = (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            "n_a",
+            "n_b",
+            F.abs(
+                F.col("ca_end").cast("double") / F.col("n_a").cast("double")
+                - F.col("cb_end").cast("double") / F.col("n_b").cast("double")
+            ).alias("g"),
+        )
+        .groupBy("n_a", "n_b")
+        .agg(F.round(F.max("g"), 6).alias("d_stat"))
+    )
+    return gap.select(
+        "n_a",
+        "n_b",
+        "d_stat",
+        F.round(
+            F.col("d_stat")
+            * F.sqrt(
+                (F.col("n_a") * F.col("n_b")).cast("double")
+                / (F.col("n_a") + F.col("n_b")).cast("double")
+            ),
+            6,
+        ).alias("ks_stat"),
+    )

@@ -919,3 +919,119 @@ def q131_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_weighted_average(
         t["events"], "value", _Q131_END, ["user_id"]
     )
+
+
+# ---------------------------------------- q141 Cohen's kappa (label QC)
+
+
+@register(
+    "q141_cohens_kappa",
+    oracle="""
+    WITH labels AS (
+      SELECT event_type AS a,
+             CASE WHEN event_id % 5 = 0 THEN 'other'
+                  ELSE event_type END AS b
+      FROM events
+    ),
+    cells AS (SELECT a, b, COUNT(*) AS o FROM labels GROUP BY a, b),
+    tot AS (SELECT SUM(o) AS n FROM cells),
+    agree AS (SELECT COALESCE(SUM(o), 0) AS n_agree FROM cells WHERE a = b),
+    ma AS (SELECT a, SUM(o) AS na FROM cells GROUP BY a),
+    mb AS (SELECT b, SUM(o) AS nb FROM cells GROUP BY b),
+    chance AS (
+      SELECT COALESCE(SUM(na * nb), 0) AS sum_ab FROM ma JOIN mb ON ma.a = mb.b
+    )
+    SELECT CAST(tot.n AS BIGINT) AS n,
+           ROUND(CAST(agree.n_agree AS DOUBLE) / tot.n, 6) AS po,
+           ROUND(CAST(chance.sum_ab AS DOUBLE)
+                 / (CAST(tot.n AS DOUBLE) * CAST(tot.n AS DOUBLE)), 6) AS pe,
+           CASE WHEN CAST(chance.sum_ab AS DOUBLE)
+                     / (CAST(tot.n AS DOUBLE) * CAST(tot.n AS DOUBLE)) = 1.0
+                THEN NULL
+                ELSE ROUND(
+                  (CAST(agree.n_agree AS DOUBLE) / tot.n
+                   - CAST(chance.sum_ab AS DOUBLE)
+                     / (CAST(tot.n AS DOUBLE) * CAST(tot.n AS DOUBLE)))
+                  / (1.0 - CAST(chance.sum_ab AS DOUBLE)
+                     / (CAST(tot.n AS DOUBLE) * CAST(tot.n AS DOUBLE))), 6)
+           END AS kappa
+    FROM tot, agree, chance
+    """,
+)
+def q141_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa inter-annotator agreement
+    (operators/experiment.cohens_kappa) — the labeled-data QC
+    statistic run before trusting any annotation pass: rater A = the
+    event type, rater B = a planted second labeling that disagrees on
+    every 5th item (re-labeled 'other'), giving genuine chance-
+    corrected agreement over a 6×7 label grid. All inputs exact
+    integers from one contingency count; po/pe/kappa fixed double
+    expressions (the q130 plan shape — nothing scales past the grouped
+    count)."""
+    from ironman_medallion_lakehouse_spark.operators.experiment import cohens_kappa
+
+    t = load_tables(spark, sf_dir, "events")
+    labeled = t["events"].select(
+        F.col("event_type").alias("rater_a"),
+        F.when(F.col("event_id") % 5 == 0, F.lit("other"))
+        .otherwise(F.col("event_type"))
+        .alias("rater_b"),
+    )
+    return cohens_kappa(labeled, "rater_a", "rater_b")
+
+
+# ------------------------------------ q142 two-sample KS (drift test)
+
+
+@register(
+    "q142_ks_drift",
+    oracle="""
+    WITH vals AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ib
+      FROM events
+      WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+    ),
+    running AS (
+      SELECT v,
+             SUM(ia) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+             SUM(ib) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb
+      FROM vals
+    ),
+    cum AS (
+      SELECT v,
+             MAX(ca) OVER (PARTITION BY v) AS ca_end,
+             MAX(cb) OVER (PARTITION BY v) AS cb_end
+      FROM running
+    ),
+    tot AS (
+      SELECT CAST(MAX(ca_end) AS BIGINT) AS n_a,
+             CAST(MAX(cb_end) AS BIGINT) AS n_b
+      FROM cum
+    ),
+    gap AS (
+      SELECT tot.n_a, tot.n_b,
+             ROUND(MAX(ABS(CAST(ca_end AS DOUBLE) / tot.n_a
+                           - CAST(cb_end AS DOUBLE) / tot.n_b)), 6) AS d_stat
+      FROM cum, tot GROUP BY tot.n_a, tot.n_b
+    )
+    SELECT n_a, n_b, d_stat,
+           ROUND(d_stat * sqrt(CAST(n_a * n_b AS DOUBLE)
+                               / CAST(n_a + n_b AS DOUBLE)), 6) AS ks_stat
+    FROM gap
+    """,
+)
+def q142_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test
+    (operators/experiment.ks_two_sample): does the click batch's value
+    distribution match the view batch's? — the continuous complement
+    of q130's chi-square, the screen a pipeline runs on each crawl
+    batch's length/quality/score distribution before admitting it. D
+    evaluated at tie-absorbed jump points from exact integer running
+    counts; one global-sort window (the exact, oracle-checkable form —
+    at 100 TB run it on a per-batch sample or KLL quantiles)."""
+    from ironman_medallion_lakehouse_spark.operators.experiment import ks_two_sample
+
+    t = load_tables(spark, sf_dir, "events")
+    return ks_two_sample(t["events"], "value", "event_type", "click", "view")

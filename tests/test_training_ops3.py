@@ -964,3 +964,57 @@ def test_hash_split_rejects_bad_ratios(spark):
     df = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError, match="sum to 1"):
         hash_split(df, "doc_id", {"a": 0.5, "b": 0.4})
+
+
+def test_cohens_kappa_hand_computed(spark):
+    """Classic 2x2 example: raters agree on 20+15 of 50,
+    po = 0.7, pe = (25*30 + 25*20)/2500 = 0.5, kappa = 0.4."""
+    from ironman_medallion_lakehouse_spark.operators.experiment import cohens_kappa
+
+    rows = (
+        [Row(a="yes", b="yes")] * 20 + [Row(a="yes", b="no")] * 5
+        + [Row(a="no", b="yes")] * 10 + [Row(a="no", b="no")] * 15
+    )
+    out = cohens_kappa(spark.createDataFrame(rows), "a", "b").collect()[0]
+    assert out.n == 50 and out.po == 0.7 and out.pe == 0.5 and out.kappa == 0.4
+
+
+def test_cohens_kappa_degenerate_constant_raters(spark):
+    from ironman_medallion_lakehouse_spark.operators.experiment import cohens_kappa
+
+    rows = [Row(a="x", b="x")] * 9
+    out = cohens_kappa(spark.createDataFrame(rows), "a", "b").collect()[0]
+    assert out.po == 1.0 and out.pe == 1.0 and out.kappa is None
+
+
+def test_ks_two_sample_hand_computed(spark):
+    """A = {1,2,3,4}, B = {3,4,5,6}: max CDF gap at v=2 (or 4):
+    |2/4 - 0/4| = 0.5."""
+    from ironman_medallion_lakehouse_spark.operators.experiment import ks_two_sample
+
+    rows = [Row(g="a", v=float(x)) for x in [1, 2, 3, 4]] + [
+        Row(g="b", v=float(x)) for x in [3, 4, 5, 6]
+    ]
+    out = ks_two_sample(spark.createDataFrame(rows), "v", "g", "a", "b").collect()[0]
+    assert (out.n_a, out.n_b, out.d_stat) == (4, 4, 0.5)
+    assert abs(out.ks_stat - 0.5 * (16 / 8) ** 0.5) < 1e-6
+
+
+def test_ks_identical_distributions_zero(spark):
+    from ironman_medallion_lakehouse_spark.operators.experiment import ks_two_sample
+
+    rows = [Row(g=g, v=float(x)) for g in ("a", "b") for x in range(20)]
+    out = ks_two_sample(spark.createDataFrame(rows), "v", "g", "a", "b").collect()[0]
+    assert out.d_stat == 0.0
+
+
+def test_ks_ties_absorbed_correctly(spark):
+    """Heavy ties: A = {1,1,1,2}, B = {1,2,2,2}. F_a(1)=3/4, F_b(1)=1/4
+    -> D = 0.5; a per-row (unabsorbed) running sum would overstate it."""
+    from ironman_medallion_lakehouse_spark.operators.experiment import ks_two_sample
+
+    rows = [Row(g="a", v=float(x)) for x in [1, 1, 1, 2]] + [
+        Row(g="b", v=float(x)) for x in [1, 2, 2, 2]
+    ]
+    out = ks_two_sample(spark.createDataFrame(rows), "v", "g", "a", "b").collect()[0]
+    assert out.d_stat == 0.5
