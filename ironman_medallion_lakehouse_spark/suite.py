@@ -731,12 +731,111 @@ def _latest_correctness_names(root=None) -> set[str] | None:
     }
 
 
+_ENGINE_PKG_PREFIXES = tuple(
+    f"ironman_medallion_lakehouse_spark.{sub}"
+    for sub in ("operators", "functions", "plans", "sources", "streaming", "session")
+)
+_PKG_PREFIX = "ironman_medallion_lakehouse_spark"
+_MODULE_FILE_HASHES: dict[str, str] = {}
+
+
+def _module_file_hash(mod) -> str | None:
+    """sha256 of a module's source file bytes (memoized per path)."""
+    import hashlib
+    from pathlib import Path
+
+    f = getattr(mod, "__file__", None)
+    if not f:
+        return None
+    h = _MODULE_FILE_HASHES.get(f)
+    if h is None:
+        try:
+            h = hashlib.sha256(Path(f).read_bytes()).hexdigest()
+        except OSError:
+            h = "unreadable"
+        _MODULE_FILE_HASHES[f] = h
+    return h
+
+
+def _transitive_source_parts(fn, depth: int = 3, seen: set | None = None) -> list[str]:
+    """Hash inputs for everything an entry function *reaches*:
+
+    - any referenced ENGINE module (operators/functions/plans/sources/
+      streaming/session — directly, via a module alias like ``dedup as
+      D``, or via a function imported from one) contributes its whole
+      source-file hash, so an operator-body edit mechanically stales
+      every entry that calls it (VERDICT r6 item 6 / ADVICE r6);
+    - any referenced package-local helper OUTSIDE the engine packages
+      (suite-module helpers, shared ``dsum``/``load_tables``-style
+      utilities) contributes its own function source, recursing so a
+      wrapper -> suite-helper -> operator chain is still covered.
+      Function-level (not file-level) hashing here keeps unrelated edits
+      to the large suite modules from staling every entry they contain.
+    """
+    import inspect
+    import sys
+    import types
+
+    if seen is None:
+        seen = set()
+    parts: list[str] = []
+    code = getattr(fn, "__code__", None)
+    glb = getattr(fn, "__globals__", {})
+    if code is None:
+        return parts
+    for nm in code.co_names:
+        if nm.startswith(_PKG_PREFIX):
+            # function-level `from pkg.mod import f` / `import pkg.mod`
+            # compiles the dotted module path itself into co_names
+            mod, modname = sys.modules.get(nm), nm
+            if mod is None:
+                try:
+                    import importlib
+
+                    mod = importlib.import_module(nm)
+                except ImportError:
+                    continue
+            obj = mod
+        else:
+            obj = glb.get(nm)
+            if obj is None:
+                continue
+            if isinstance(obj, types.ModuleType):
+                mod, modname = obj, getattr(obj, "__name__", "")
+            else:
+                modname = getattr(obj, "__module__", None) or ""
+                mod = sys.modules.get(modname)
+        if not modname.startswith(_PKG_PREFIX):
+            continue
+        if modname.startswith(_ENGINE_PKG_PREFIXES):
+            if mod is not None:
+                h = _module_file_hash(mod)
+                if h and h not in seen:
+                    seen.add(h)
+                    parts.append(f"{modname}={h}")
+        elif callable(obj) and not isinstance(obj, types.ModuleType):
+            key = f"{modname}.{getattr(obj, '__qualname__', nm)}"
+            if key in seen:
+                continue
+            seen.add(key)
+            try:
+                parts.append(key + ":" + inspect.getsource(obj))
+            except (OSError, TypeError):
+                parts.append(key + ":<nosource>")
+            if depth > 0:
+                parts.extend(_transitive_source_parts(obj, depth - 1, seen))
+    return parts
+
+
 def _entry_hash(name: str) -> str:
     """Stable content hash of a suite entry: the registered function's
-    source text plus its oracle SQL. Any edit to either (an operator fix
-    routed through the wrapper, an oracle correction) changes the hash,
-    which the rotation uses to re-verify touched entries the same round.
-    """
+    source text, its oracle SQL, and — transitively — the source of the
+    engine modules / package-local helpers the function references
+    (``_transitive_source_parts``). An edit to the entry, its oracle,
+    or an operator body it calls changes the hash, and the rotation
+    re-verifies the entry the same round. This closes the r6 blind spot
+    where an operator-module edit left the thin wrapper's hash
+    unchanged and relied on a manual docstring-bump convention."""
     import hashlib
     import inspect
 
@@ -745,7 +844,8 @@ def _entry_hash(name: str) -> str:
         src = inspect.getsource(q.fn)
     except (OSError, TypeError):
         src = repr(q.fn)
-    payload = src + "\x00" + (q.oracle or "")
+    parts = sorted(_transitive_source_parts(q.fn))
+    payload = src + "\x00" + (q.oracle or "") + "\x00" + "\x00".join(parts)
     return hashlib.sha256(payload.encode("utf-8")).hexdigest()
 
 
@@ -808,7 +908,10 @@ def _ordered_names(root=None) -> list[str]:
        (stale hash), or never driver-checked in any round (newly
        registered);
     2. *backlog* — no row in the latest round but green before and
-       untouched (normal rotation; safe to wait one more round);
+       untouched (normal rotation), ordered OLDEST-green-round first
+       (from SUITE_STATE.json) so that when the backlog itself exceeds
+       the window the most-stale attestations cannot slip again
+       (VERDICT r6 item 2: the 15 r4-green entries head the r7 window);
     3. *tail* — all-green last round and untouched.
 
     Base order still front-loads the 10 dashboard-view shapes (q20-q28,
@@ -828,9 +931,56 @@ def _ordered_names(root=None) -> list[str]:
     urgent = [n for n in base if n in stale or n not in ever or n in red]
     taken = set(urgent)
     backlog = [n for n in base if n not in taken and n not in green]
+    rounds = _recorded_green_rounds(root)
+    backlog.sort(key=lambda n: rounds.get(n, -1))  # stable: base order within a round
     taken.update(backlog)
     tail = [n for n in base if n not in taken]
     return urgent + backlog + tail
+
+
+def _recorded_green_rounds(root=None) -> dict[str, int]:
+    """name -> green_round from SUITE_STATE.json (empty when absent)."""
+    import json
+    from pathlib import Path
+
+    if root is None:
+        root = Path(__file__).resolve().parent.parent
+    try:
+        entries = json.loads((Path(root) / "SUITE_STATE.json").read_text()).get(
+            "entries", {}
+        )
+    except (OSError, ValueError):
+        return {}
+    return {
+        n: rec["green_round"]
+        for n, rec in entries.items()
+        if isinstance(rec, dict) and isinstance(rec.get("green_round"), int)
+    }
+
+
+def _suite_state_gap(root=None) -> int | None:
+    """How many rounds SUITE_STATE.json lags the newest CORRECTNESS
+    file. ``0`` = the round-start ritual ran for the latest round;
+    ``1`` = the driver wrote a newer CORRECTNESS after the builder's
+    window closed (the normal round-boundary state — NOT an error);
+    ``>= 2`` = the ritual was actually forgotten for a full round.
+    ``None`` = no CORRECTNESS file exists (fresh checkout)."""
+    import re
+    from pathlib import Path
+
+    if root is None:
+        root = Path(__file__).resolve().parent.parent
+    latest = -1
+    for p in Path(root).glob("CORRECTNESS_r*.json"):
+        m = re.search(r"r(\d+)", p.name)
+        if m:
+            latest = max(latest, int(m.group(1)))
+    if latest < 0:
+        return None
+    rounds = _recorded_green_rounds(root)
+    if not rounds:
+        return latest  # never stamped: the full history is untracked
+    return latest - max(rounds.values())
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -13,6 +13,14 @@ driver row the same round (VERDICT r5 item 6).
 
 Entries NOT green in the latest round keep their previous record (or
 none), so they also sort to the head via the green-set check.
+
+``--restamp`` recomputes the recorded hash for every already-tracked
+entry (keeping its ``green_round``).  ONLY valid at round start before
+any engine/suite edit — i.e. when the working tree is still the code
+the driver verified.  Needed exactly when ``suite._entry_hash``'s
+definition changes (as in r7, which made it transitive over operator
+modules): the old-algorithm hashes would otherwise mark all 109
+entries stale and flood the urgent set past the driver window.
 """
 from __future__ import annotations
 
@@ -28,6 +36,7 @@ from ironman_medallion_lakehouse_spark import suite  # noqa: E402
 
 
 def main() -> None:
+    restamp = "--restamp" in sys.argv[1:]
     suite._load_all()
     hashes = {name: suite._entry_hash(name) for name in suite.QUERIES}
 
@@ -60,10 +69,13 @@ def main() -> None:
                 n_green += 1
 
     # Backfill: entries all-green in an EARLIER round but absent from the
-    # latest one (rotated out) and never recorded. At round start their
-    # working-tree code is the code that was green, so recording the
-    # current hash is sound; without a record they cannot participate in
-    # touched-entry detection at all.
+    # latest one (rotated out) and never recorded. The working tree that
+    # was green for those rounds is NOT known (the code may have changed
+    # in an intermediate round before rotation brought the entry back),
+    # so stamping the CURRENT hash could mark edited code as verified
+    # (ADVICE r6 item 2). Record ``hash: None`` instead: _stale_names
+    # treats an unknown verified-hash as stale, so the entry sorts to
+    # the urgent head and gets a fresh driver row — the safe direction.
     n_backfill = 0
     for p in sorted(
         ROOT.glob("CORRECTNESS_r*.json"),
@@ -75,12 +87,22 @@ def main() -> None:
             if name in entries or name not in hashes:
                 continue
             if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
-                entries[name] = {"hash": hashes[name], "green_round": rnd}
+                entries[name] = {"hash": None, "green_round": rnd}
                 n_backfill += 1
+
+    n_restamped = 0
+    if restamp:
+        for name, rec in entries.items():
+            if name in hashes and isinstance(rec, dict) and rec.get("hash") is not None:
+                if rec["hash"] != hashes[name]:
+                    rec["hash"] = hashes[name]
+                    n_restamped += 1
 
     state_path.write_text(json.dumps(state, indent=1, sort_keys=True) + "\n")
     print(f"recorded {n_green} green entries from {best} into {state_path}")
     print(f"backfilled {n_backfill} rotated-out entries from earlier rounds")
+    if restamp:
+        print(f"restamped {n_restamped} entries with the current hash algorithm")
     print(f"total tracked: {len(entries)} / {len(hashes)} registered")
 
 
