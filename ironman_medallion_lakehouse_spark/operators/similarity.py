@@ -825,6 +825,7 @@ def pq_adc_topk(
     scored = assigned.filter(F.col(id_col) != query_id).select(
         F.col(id_col), total.alias("_adc")
     )
+    # bounded-serial: ranks the <=k-row TakeOrderedAndProject frame
     w = Window.orderBy(F.col("_adc").asc(), F.col(id_col).asc())
     return (
         scored.orderBy(F.col("_adc").asc(), F.col(id_col).asc())

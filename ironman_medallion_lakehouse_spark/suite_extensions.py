@@ -713,6 +713,7 @@ def q45_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, "embeddings")
     topk = S.cosine_topk(t["embeddings"], query_id=0, k=10)
+    # bounded-serial: ranks the <=k-row TakeOrderedAndProject frame
     w = Window.orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
     return topk.select(
         F.row_number().over(w).cast("bigint").alias("rnk"), "vec_id"

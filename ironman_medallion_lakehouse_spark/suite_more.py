@@ -777,6 +777,7 @@ def q68_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("order_date"))
         .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "revenue"))
     )
+    # bounded-serial: input is the per-DAY aggregate (calendar-bounded)
     w = Window.orderBy("order_date").rowsBetween(-6, Window.currentRow)
     return daily.select(
         "order_date",
@@ -1330,9 +1331,18 @@ def q125_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue cast DECIMAL(18,4) before any sum), so the running total
     — the one place sequential double addition would drift across
     engines — is order-free by construction; shares and class
-    boundaries compare on the ROUNDED value. One grouped aggregate +
-    one ordered window (single Exchange) + a broadcast scalar."""
-    from pyspark.sql import Window
+    boundaries compare on the ROUNDED value.
+
+    Scale (VERDICT r6 item 4): the running sum uses
+    ``cumulative.partitioned_running_sum`` — range-partition on the
+    sort key, per-partition parallel running sums, broadcast prefix
+    offsets — so no single task ever sees all parts. The only serial
+    step is the prefix window over ONE ROW PER RANGE PARTITION
+    (cluster-sized, not data-sized); the grand total for the share
+    rides the same broadcast instead of a second scan branch."""
+    from ironman_medallion_lakehouse_spark.operators.cumulative import (
+        partitioned_running_sum,
+    )
 
     t = load_tables(spark, sf_dir, "lineitem")
     rev = (
@@ -1346,22 +1356,22 @@ def q125_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r")
         )
     )
-    tot = rev.agg(F.sum("r").alias("t"))
-    w = Window.orderBy(F.col("r").desc(), F.col("l_partkey").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    cum = partitioned_running_sum(
+        rev,
+        [F.col("r").desc(), F.col("l_partkey").asc()],
+        "r",
+        "cum",
+        total_col="t",
     )
-    share = F.round(F.sum("r").over(w).cast("double") / F.col("t").cast("double"), 6)
-    return (
-        rev.crossJoin(F.broadcast(tot))
-        .select(
-            "l_partkey",
-            F.round(F.col("r").cast("double"), 4).alias("revenue"),
-            share.alias("cum_share"),
-            F.when(share <= 0.80, F.lit("A"))
-            .when(share <= 0.95, F.lit("B"))
-            .otherwise(F.lit("C"))
-            .alias("abc_class"),
-        )
+    share = F.round(F.col("cum").cast("double") / F.col("t").cast("double"), 6)
+    return cum.select(
+        "l_partkey",
+        F.round(F.col("r").cast("double"), 4).alias("revenue"),
+        share.alias("cum_share"),
+        F.when(share <= 0.80, F.lit("A"))
+        .when(share <= 0.95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
     )
 
 

@@ -360,6 +360,7 @@ def q96_signlsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = S.signlsh_topk(
         t["embeddings"], query_id=_Q96_QID, k=_Q96_K, n_bits=_Q96_BITS, dim=_Q96_DIM
     )
+    # bounded-serial: ranks the <=k-row TakeOrderedAndProject frame
     w = Window.orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
     return topk.select(
         F.row_number().over(w).cast("bigint").alias("rnk"), "vec_id"
@@ -753,9 +754,11 @@ def q101_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, "documents", "embeddings")
     lex = R.bm25_topk(t["documents"], _Q91_TERMS, k=_Q101_TOPN)
+    # bounded-serial: both windows rank <=k-row top-k frames
     wl = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     lexr = lex.select("doc_id", F.row_number().over(wl).alias("rnk"))
     dense = S.cosine_topk(t["embeddings"], query_id=_Q101_QID, k=_Q101_TOPN)
+    # bounded-serial: ranks the <=k-row dense top-k frame
     wd = Window.orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
     denser = dense.select(
         F.col("vec_id").alias("doc_id"), F.row_number().over(wd).alias("rnk")
@@ -1437,6 +1440,7 @@ def q134_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, "documents", "embeddings")
     lex = R.bm25_topk(t["documents"], _Q91_TERMS, k=_Q134_TOPN)
+    # bounded-serial: ranks the <=k-row BM25 top-k frame
     wl = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     lexr = lex.select("doc_id", F.row_number().over(wl).alias("rnk"))
 
@@ -1454,6 +1458,7 @@ def q134_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = idx.probe(
         qvec, k=_Q134_TOPN, nprobe=_Q134_NPROBE, exclude_ids=[_Q134_QID]
     )
+    # bounded-serial: ranks the <=k-row dense top-k frame
     wd = Window.orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
     denser = dense.select(
         F.col("vec_id").alias("doc_id"), F.row_number().over(wd).alias("rnk")
