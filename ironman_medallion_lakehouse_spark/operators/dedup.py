@@ -832,6 +832,16 @@ def containment_pairs(
     touching recall. One extra skew-free shuffle on the uniform
     set-md5 key buys it; ``contract=False`` keeps the raw composition
     for A/B verification (both paths share one oracle)."""
+    # the intra-group arm emits containment=1 pairs unconditionally,
+    # which is only output-invariant vs the raw composition when 1
+    # passes the containment threshold; reject the degenerate
+    # parameterization instead of silently diverging between
+    # contract=True and contract=False (ADVICE r6 item 4)
+    if threshold > 1.0:
+        raise ValueError(
+            f"threshold={threshold} > 1 can match no pair; the contracted "
+            "path would still emit intra-group containment=1 pairs — refusing"
+        )
     if not contract:
         sigs = minhash_signatures(docs, text_col, id_col, k=k)
         cand = lsh_candidate_pairs(sigs, id_col, k=k, bands=bands)

@@ -504,12 +504,16 @@ def q94_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q94_corpus_sigs_path(sf_dir: str) -> str:
+def _q94_corpus_sigs_path(sf_dir: str, k: int = 128) -> str:
     """Cache location for precomputed corpus MinHash signatures, keyed
-    by a fingerprint of the source parquet (path+mtime+size) so a
-    regenerated testdata set can never serve stale signatures (the
-    driver rebuilds /root/testdata between rounds)."""
+    by a fingerprint of (a) the source parquet (path+mtime+size — the
+    driver rebuilds /root/testdata between rounds) and (b) the
+    signature-generation CODE AND PARAMETERS: k plus the source text of
+    ``minhash_signatures`` and its coefficient table, so a change to
+    minhash width, tokenization, or hashing can never serve stale
+    cached signatures (ADVICE r6 item 3)."""
     import hashlib
+    import inspect
     import os
     import tempfile
 
@@ -524,6 +528,10 @@ def _q94_corpus_sigs_path(sf_dir: str) -> str:
         for p in parts
         if os.path.exists(p)
     )
+    code = inspect.getsource(D.minhash_signatures) + inspect.getsource(
+        D.minhash_coeffs
+    )
+    stamp += f";k={k};code={hashlib.md5(code.encode()).hexdigest()}"
     h = hashlib.md5(stamp.encode()).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"ironman_q94_corpus_sigs_{h}")
 
@@ -533,10 +541,25 @@ def q94b_incremental_dedup_prepared(spark: SparkSession, sf_dir: str) -> DataFra
     """q94's PRODUCTION path: corpus MinHash signatures are precomputed
     once and read back from storage (``corpus_sigs=`` in
     operators/dedup.dedup_incoming), so a daily crawl batch pays only
-    its own signature pass plus the O(bucket hits) cross band join —
-    the corpus-side signature bootstrap that dominated q94's bench
-    profile (VERDICT r5: 5.9 s min, 1.7× run spread) is amortized to
-    zero. Output-invariant vs q94 by construction (identical oracle):
+    its own signature pass plus the O(bucket hits) cross band join.
+
+    Measured attribution (tools/profile_q94.py, sf0.1, min-of-3,
+    staged): the corpus-signature arm is ~9 % of the pipeline either
+    way (inline 0.30 s vs parquet-read 0.22 s — hence q94b's modest
+    −12 % e2e vs q94, VERDICT r6 item 5 superseding the r5 "bootstrap
+    dominates" story). The real cost is CANDIDATE DENSITY on this
+    dup-dense synthetic corpus: the band join emits ~1.8 M candidate
+    pairs (~46 % of all incoming×corpus pairs), and band_join +
+    jaccard_refine together are ~56 % of staged time. Most candidates
+    are TRUE high-Jaccard matches (planted dup structure), so no
+    banding dial cuts them without losing recall here; on a real
+    corpus whose density came from loose banding instead, the dial is
+    band width r = k/bands — widening r=8 → r=16 (bands 16 → 8 at
+    k=128) drops the J≈0.5 false-candidate collision rate from ~6 %
+    to ~0.03 % while J=0.9 recall falls 1.0 → 0.81 — or
+    ``max_bucket_size`` to cap boilerplate mega-buckets.
+
+    Output-invariant vs q94 by construction (identical oracle):
     the signatures are a pure function of the corpus frame, whether
     computed inline or read from parquet. First call materializes the
     signature table (modeling the merge that admits kept docs keeping
@@ -546,7 +569,17 @@ def q94b_incremental_dedup_prepared(spark: SparkSession, sf_dir: str) -> DataFra
     incoming, corpus = _q94_frames(spark, sf_dir)
     path = _q94_corpus_sigs_path(sf_dir)
     if not os.path.exists(path):
-        D.minhash_signatures(corpus).write.mode("overwrite").parquet(path)
+        # write-to-temp + atomic rename: two concurrent cold-cache
+        # sessions cannot interleave partial writes (ADVICE r6 item 3);
+        # the loser's rename fails and it reads the winner's table
+        tmp = f"{path}.tmp-{os.getpid()}"
+        D.minhash_signatures(corpus).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     sigs = spark.read.parquet(path)
     return D.dedup_incoming(
         incoming,

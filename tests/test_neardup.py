@@ -245,3 +245,20 @@ def test_containment_contraction_output_invariant(spark):
     }
     assert raw == con
     assert (1, 2) in con and con[(1, 2)] == (1.0, 1.0, False)
+
+
+def test_containment_threshold_above_one_rejected(spark):
+    """ADVICE r6 item 4: threshold > 1 matches no pair in the raw
+    composition but the contracted intra-group arm would still emit
+    containment=1 pairs — both arms must refuse the parameterization
+    instead of silently diverging."""
+    import pytest
+
+    from ironman_medallion_lakehouse_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    for contract in (True, False):
+        with pytest.raises(ValueError, match="threshold"):
+            containment_pairs(df, threshold=1.5, contract=contract)
