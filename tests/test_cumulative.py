@@ -98,3 +98,41 @@ def test_q125_plan_has_no_data_sized_serial_section(spark):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed
+
+
+def test_property_matches_pure_python_reference(spark):
+    """Property (hypothesis): for arbitrary decimal values (incl.
+    negatives and heavy ties) and arbitrary partition counts, the
+    range-partitioned running sum equals an independent pure-Python
+    prefix sum over the same total order."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 10_000), st.integers(-500, 500)),
+            min_size=1,
+            max_size=60,
+            unique_by=lambda t: t[0],
+        ),
+        st.sampled_from([1, 2, 5, 16]),
+    )
+    def prop(rows, nparts):
+        df = spark.createDataFrame(
+            [Row(k=k, v=Decimal(v) / 10) for k, v in rows]
+        ).withColumn("v", F.col("v").cast("decimal(18,4)"))
+        got = {
+            r.k: r.cum
+            for r in partitioned_running_sum(
+                df, [F.col("v").desc(), F.col("k").asc()], "v", "cum",
+                num_partitions=nparts,
+            ).collect()
+        }
+        ordered = sorted(rows, key=lambda t: (-t[1], t[0]))
+        acc = Decimal(0)
+        for k, v in ordered:
+            acc += Decimal(v) / 10
+            assert got[k] == acc
+
+    prop()
