@@ -95,6 +95,10 @@ def streaming_dedup_ingest(
     commit_retries: int = 5,
     benchmark=None,
     decontaminate_n: int = 8,
+    drift_reference=None,
+    drift_signal=None,
+    drift_max_d: float = 0.2,
+    drift_table: str = "corpus.refused_batches",
 ):
     """The streaming crawl-ingest GATE — the training-data pipeline's
     front door, composed from this repo's own operators: every
@@ -127,9 +131,28 @@ def streaming_dedup_ingest(
     the production ordering: leaking eval data into the corpus is
     unrecoverable downstream, so the gate refuses it at the door.
 
+    ``drift_reference`` (optional) adds the DISTRIBUTION-DRIFT arm
+    (q142's two-sample KS test) in front of everything: a static
+    reference frame of docs (e.g. a sample of the accepted corpus)
+    whose ``drift_signal`` values (default: document length — the
+    classic batch screen; pass any Column over the doc row, e.g. a
+    quality score) define the expected distribution. Each micro-batch's
+    signal distribution is KS-tested against it; if the exact D
+    statistic exceeds ``drift_max_d`` the WHOLE batch is refused and a
+    quarantine row (batch_id, d_stat, ks_stat, n rows) is merged into
+    ``drift_table`` for operator review — a scraper regression or a
+    source-mix flip shows up as a distribution jump long before any
+    per-document filter fires, and admitting such a batch silently
+    shifts the training mixture. Batch-idempotent like the other arms:
+    a replayed refused batch recomputes the same D and re-merges the
+    same keyed quarantine row. Cost: one groupBy over the batch +
+    reference signal values (the q142 pre-aggregated shape — the
+    serial section is the distinct-value domain).
+
     Returns the streaming query; caller drives it."""
     from ironman_medallion_lakehouse_spark.operators import contamination as CO
     from ironman_medallion_lakehouse_spark.operators import dedup as D
+    from ironman_medallion_lakehouse_spark.operators.experiment import ks_two_sample
 
     bench_grams = None
     if benchmark is not None:
@@ -137,6 +160,20 @@ def streaming_dedup_ingest(
             CO.positional_ngram_hashes(benchmark, decontaminate_n, text_col, id_col)
             .select("gram")
             .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    signal = (
+        F.length(F.col(text_col)) if drift_signal is None else drift_signal
+    )
+    ref_vals = None
+    if drift_reference is not None:
+        # reference signal values computed ONCE at stream start (the
+        # reference sample is static; the bench_grams precedent)
+        ref_vals = (
+            drift_reference.select(
+                signal.cast("double").alias("_sig"), F.lit("ref").alias("_side")
+            )
             .localCheckpoint(eager=True)
         )
 
@@ -151,6 +188,30 @@ def streaming_dedup_ingest(
 
     def _gate_batch(batch_df, batch_id: int) -> None:
         batch_df = batch_df.dropDuplicates([id_col])
+        if ref_vals is not None:
+            both = batch_df.select(
+                signal.cast("double").alias("_sig"), F.lit("new").alias("_side")
+            ).unionByName(ref_vals)
+            rows = ks_two_sample(both, "_sig", "_side", "new", "ref").collect()
+            ks = rows[0] if rows else None  # empty batch -> no test, admit
+            if ks is not None and ks.n_a > 0 and ks.d_stat is not None and ks.d_stat > drift_max_d:
+                refused = batch_df.sparkSession.createDataFrame(
+                    [
+                        (
+                            int(batch_id),
+                            int(ks.n_a),
+                            float(ks.d_stat),
+                            float(ks.ks_stat),
+                        )
+                    ],
+                    "batch_id long, n_docs long, d_stat double, ks_stat double",
+                )
+                _retrying(
+                    lambda: store.merge_insert_only(
+                        refused, drift_table, keys=["batch_id"]
+                    )
+                )
+                return  # whole batch quarantined; nothing admitted
         if bench_grams is not None:
             dirty = (
                 CO.positional_ngram_hashes(

@@ -171,3 +171,76 @@ def test_streaming_gate_decontaminates_against_benchmark(spark, tmp_path):
         assert admitted == {2, 11}
     finally:
         query.stop()
+
+
+def test_streaming_gate_refuses_drifted_batch(spark, tmp_path):
+    """The drift arm (q142's KS test at the door): a batch whose
+    word-count distribution matches the reference flows through; a
+    batch of drastically shorter docs is refused WHOLE — quarantine
+    row recorded, corpus untouched — and a later conforming batch is
+    admitted again. The recorded D must equal ks_two_sample run
+    directly on the same frames (the gate is the operator, not a
+    reimplementation)."""
+    from pyspark.sql import functions as F
+
+    from ironman_medallion_lakehouse_spark.operators.experiment import ks_two_sample
+    from ironman_medallion_lakehouse_spark.streaming.ingest import (
+        streaming_dedup_ingest,
+    )
+
+    src = str(tmp_path / "docs_src")
+    store = TableStore(spark, str(tmp_path / "wh"))
+    n_words = F.size(F.split(F.col("text"), " "))
+
+    def doc(i, nw):
+        return Row(doc_id=i, text=" ".join(f"w{i}t{j}" for j in range(nw)))
+
+    # reference distribution: 40-60-word docs
+    reference = spark.createDataFrame([doc(900 + i, 40 + i % 21) for i in range(30)])
+
+    b1 = spark.createDataFrame([doc(i, 45 + i % 10) for i in range(1, 9)])
+    b1.write.mode("append").parquet(src)
+    query = streaming_dedup_ingest(
+        spark, store, src, b1.schema, str(tmp_path / "ckpt"),
+        bands=16, threshold=0.8,
+        drift_reference=reference, drift_signal=n_words, drift_max_d=0.5,
+    )
+    try:
+        query.processAllAvailable()
+        assert store.read("corpus.documents").count() == 8  # conforming: admitted
+        assert not store.table_exists("corpus.refused_batches")
+
+        # drifted batch: 3-5-word docs (scraper regression shape)
+        b2 = spark.createDataFrame([doc(100 + i, 3 + i % 3) for i in range(8)])
+        b2.write.mode("append").parquet(src)
+        query.processAllAvailable()
+        admitted = {r.doc_id for r in store.read("corpus.documents").collect()}
+        assert admitted == set(range(1, 9))  # nothing from the drifted batch
+        refused = store.read("corpus.refused_batches").collect()
+        assert len(refused) == 1 and refused[0].n_docs == 8
+        # the gate's D is EXACTLY the operator's D on the same data
+        both = b2.select(
+            n_words.cast("double").alias("_sig"), F.lit("new").alias("_side")
+        ).unionByName(
+            reference.select(
+                n_words.cast("double").alias("_sig"), F.lit("ref").alias("_side")
+            )
+        )
+        want = ks_two_sample(both, "_sig", "_side", "new", "ref").collect()[0]
+        assert refused[0].d_stat == want.d_stat
+        assert want.d_stat > 0.5
+
+        # recovery: a conforming batch after the refusal is admitted —
+        # spread across the reference range (a narrow 4-doc batch
+        # concentrated at 50-53 words legitimately scores D≈0.63 vs a
+        # 40-60 reference: small-sample KS is jumpy by construction)
+        b3 = spark.createDataFrame(
+            [doc(200 + i, 40 + (3 * i) % 21) for i in range(8)]
+        )
+        b3.write.mode("append").parquet(src)
+        query.processAllAvailable()
+        admitted = {r.doc_id for r in store.read("corpus.documents").collect()}
+        assert set(range(200, 208)) <= admitted
+        assert store.read("corpus.refused_batches").count() == 1
+    finally:
+        query.stop()
