@@ -75,6 +75,11 @@ HEADLINE = [
     "q106_pagerank",
     "q107_dsir_importance",
     "q110_jl_projection",
+    # r7: the two shapes whose data-sized serial sections were removed
+    # (VERDICT r6 items 3-4) — tracked so a regression back to a
+    # single-partition sort shows up as a task-count/time jump
+    "q125_abc_analysis",
+    "q142_ks_drift",
 ]
 
 
