@@ -365,6 +365,33 @@ class IvfIndex:
             partition_by=["centroid_id"],
         )
 
+    def add(
+        self,
+        embeddings: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Incrementally add vectors to an EXISTING index — the
+        streaming-corpus maintenance path (new crawl embeddings land
+        daily; rebuilding a 100 TB index per batch is not an option).
+
+        New vectors are assigned against the FROZEN codebook (the
+        FAISS IVF contract: the codebook never moves between rebuilds,
+        so build-time and add-time assignments are consistent) and
+        insert-only-MERGED into the cell-partitioned assignment table:
+        the anti-join scans only the partitions the batch touches
+        (O(touched cells), never the index), appends files, and is
+        key-idempotent — a replayed batch inserts nothing. Centroids
+        drift as the corpus grows; re-``build`` when probe recall
+        degrades (the stored assignment carries the vectors, so a
+        rebuild is one read + re-cluster, no external source needed)."""
+        cents = self.store.read(self.centroids_table)
+        assigned = _assign_to_centroids(embeddings, cents, id_col, vec_col)
+        rows = embeddings.join(
+            assigned.select(id_col, "centroid_id"), id_col
+        ).select(id_col, vec_col, "centroid_id")
+        self.store.merge_insert_only(rows, self.assign_table, keys=[id_col])
+
     def probe_cells(self, query_vec: list[float], nprobe: int = 2) -> list[int]:
         """The nprobe cell ids nearest the query vector — one pass over
         the tiny frozen codebook, collected (bounded by n_cells)."""

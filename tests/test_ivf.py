@@ -90,3 +90,45 @@ def test_index_covers_corpus_once(spark, tmp_path):
     n = emb.count()
     assert store.read(idx.assign_table).count() == n
     assert store.read(idx.assign_table).select("vec_id").distinct().count() == n
+
+
+def test_incremental_add_matches_frozen_codebook_assignment(spark, tmp_path):
+    """IvfIndex.add: build on half the corpus, add the other half —
+    the assignment table must equal assigning EVERY vector against the
+    frozen codebook (consistency of build-time and add-time
+    assignment), the add must be replay-idempotent, and probes must
+    now surface added vectors."""
+    from ironman_medallion_lakehouse_spark.operators.similarity import (
+        _assign_to_centroids,
+    )
+
+    emb = _emb(spark)
+    half1 = emb.filter(F.col("vec_id") % 2 == 0)
+    half2 = emb.filter(F.col("vec_id") % 2 == 1)
+    store = TableStore(spark, str(tmp_path / "wh"))
+    idx = IvfIndex(store, "ann.ivf")
+    idx.build(half1, n_cells=4, n_iter=2)
+    n_before = store.read(idx.assign_table).count()
+
+    idx.add(half2)
+    table = {
+        r.vec_id: r.centroid_id for r in store.read(idx.assign_table).collect()
+    }
+    assert len(table) == emb.count() > n_before
+
+    cents = store.read(idx.centroids_table)
+    want = {
+        r.vec_id: r.centroid_id
+        for r in _assign_to_centroids(emb, cents, "vec_id", "embedding")
+        .select("vec_id", "centroid_id")
+        .collect()
+    }
+    assert table == want  # frozen-codebook consistency, both halves
+
+    idx.add(half2)  # replay: key-idempotent, nothing inserted
+    assert store.read(idx.assign_table).count() == len(table)
+
+    # an added vector is findable: probe with an added vector itself
+    target = half2.limit(1).collect()[0]
+    got = idx.probe(list(target.embedding), k=1, nprobe=1)
+    assert got.collect()[0].vec_id == target.vec_id
