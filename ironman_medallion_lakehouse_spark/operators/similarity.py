@@ -392,6 +392,21 @@ class IvfIndex:
         ).select(id_col, vec_col, "centroid_id")
         self.store.merge_insert_only(rows, self.assign_table, keys=[id_col])
 
+    def rebuild(
+        self,
+        n_cells: int = 8,
+        n_iter: int = 5,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Re-cluster from the index's OWN stored vectors (the
+        assignment table carries them) — run when enough ``add``
+        batches have drifted the corpus away from the frozen codebook
+        that probe recall degrades. One read + k-means + two
+        overwrites; no external vector source needed."""
+        vectors = self.store.read(self.assign_table).select(id_col, vec_col)
+        self.build(vectors, n_cells=n_cells, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+
     def probe_cells(self, query_vec: list[float], nprobe: int = 2) -> list[int]:
         """The nprobe cell ids nearest the query vector — one pass over
         the tiny frozen codebook, collected (bounded by n_cells)."""

@@ -282,3 +282,39 @@ def streaming_dedup(
         .start()
     )
     return query, sink_name
+
+
+def streaming_index_ingest(
+    spark,
+    index,
+    source_path: str,
+    schema,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Stream embedding batches into a materialized IVF index
+    (operators/similarity.IvfIndex) — the ANN-index twin of
+    ``streaming_dedup_ingest``: each micro-batch is assigned against
+    the FROZEN codebook and insert-only-merged into the
+    cell-partitioned assignment table via ``IvfIndex.add`` (O(touched
+    cells) per batch, key-idempotent on replay — exactly-once table
+    state under foreachBatch's replay semantics). The index must be
+    ``build``-t before the stream starts (the codebook is the static
+    side); ``rebuild`` periodically when probe recall degrades.
+
+    Returns the streaming query; caller drives it."""
+
+    def _add_batch(batch_df, batch_id: int) -> None:
+        batch = batch_df.dropDuplicates([id_col]).select(id_col, vec_col)
+        if batch.isEmpty():
+            return
+        index.add(batch, id_col=id_col, vec_col=vec_col)
+
+    stream = spark.readStream.schema(schema).format("parquet").load(source_path)
+    return (
+        stream.writeStream.foreachBatch(_add_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )

