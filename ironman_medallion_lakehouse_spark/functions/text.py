@@ -137,6 +137,52 @@ def duplicate_line_fraction(text: Column | str) -> Column:
     ).cast("double")
 
 
+def canonical_url(url: Column | str) -> Column:
+    """Crawl-dedup URL canonicalization — the standard key computed
+    BEFORE exact dedup on crawl data (two fetches of one page differ
+    only in case, tracking params, fragments, or param order):
+
+    - scheme and host lowercased; ``www.`` and the scheme's default
+      port (``:80`` http / ``:443`` https — a default port on the
+      WRONG scheme is kept, it's a different origin) stripped;
+    - fragment dropped; tracking params (``utm_*``, ``gclid``,
+      ``fbclid``) dropped; remaining query params sorted (param order
+      is not semantic); trailing path slashes stripped (interior
+      double slashes kept — they can be semantic).
+
+    Pure Column composition (regex extract/replace + split +
+    array_sort + filter); the HOF lambda references only its variable
+    and literals (the interpreted-HOF discipline). Deterministic, so
+    a SQL oracle replays it exactly."""
+    u = F.trim(F.col(url) if isinstance(url, str) else url)
+    u = F.regexp_replace(u, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    )
+    pathq = F.regexp_extract(rest, r"^[^/?]*(.*)$", 1)
+    path = F.regexp_replace(F.regexp_extract(pathq, r"^([^?]*)", 1), "/+$", "")
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~p.rlike("^(utm_[^=]*|gclid|fbclid)(=|$)"),
+    )
+    qs = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+
+
 def _let(value: Column, body) -> Column:
     """Bind ``value`` once and use it many times inside ``body``.
 

@@ -796,7 +796,34 @@ def _lang_score_sql(lang: str) -> str:
       SELECT *, list_transform(generate_series(1, len(w) - 1),
                                i -> w[i] || ' ' || w[i + 1]) AS bg
       FROM scored
-    )
+    ),
+    urls AS (
+      SELECT doc_id, CASE CAST(doc_id % 5 AS INTEGER)
+        WHEN 0 THEN 'HTTP://WWW.Example.COM:80/path/' || CAST(doc_id AS VARCHAR) || '/?utm_source=x&b=2&a=1#frag'
+        WHEN 1 THEN 'https://Sub.Example.com:443/p?a=1&utm_campaign=c&z=9'
+        WHEN 2 THEN 'https://example.com/' || source || '//deep/page/?fbclid=abc'
+        WHEN 3 THEN 'http://example.com'
+        ELSE 'https://example.com/path?b=2&a=1' END AS m
+      FROM documents
+    ),
+    u1 AS (SELECT doc_id, regexp_replace(trim(m), '#.*$', '') AS u FROM urls),
+    u2 AS (SELECT doc_id,
+      lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM u1),
+    u3 AS (SELECT *, lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
+      regexp_extract(rest, '^[^/?]*(.*)$', 1) AS pathq FROM u2),
+    u4 AS (SELECT *, CASE WHEN scheme = 'http'
+                 THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':80$', '')
+               WHEN scheme = 'https'
+                 THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':443$', '')
+               ELSE regexp_replace(hostport, '^www\\.', '') END AS host,
+      regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') AS path,
+      regexp_extract(pathq, '\\?(.*)$', 1) AS query FROM u3),
+    u5 AS (SELECT doc_id, scheme || '://' || host || path ||
+        CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical_url
+      FROM (SELECT *, array_to_string(list_sort(list_filter(string_split(query, '&'),
+            p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid)(=|$)'))), '&') AS qs
+            FROM u4))
     SELECT doc_id, actual_lang, score_en, score_de, score_fr, score_es, score_zh,
       CASE
         WHEN greatest(score_en, score_de, score_fr, score_es, score_zh) = 0 THEN 'und'
@@ -839,18 +866,22 @@ def _lang_score_sql(lang: str) -> str:
             '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '<ID>', 'g'),
             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
             '\\+?\\b\\d{{3}}[-. ]\\d{{3}}[-. ]\\d{{4}}\\b', '<PHONE>', 'g'))
-        AS pii_scrub_fp
-    FROM grams
+        AS pii_scrub_fp,
+      u5.canonical_url
+    FROM grams JOIN u5 USING (doc_id)
     """,
 )
 def q47_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The text-analysis surface (functions/text.py) in one scan of
     documents: stopword-overlap language ID with deterministic argmax,
     quality scoring (lengths, token counts, mean token length, lexical
-    diversity, stopword ratio), BPE-ish regex token counting, and the
-    bag-of-words md5 fingerprint (previously q47-q50). Every column is
-    pure Column composition inside whole-stage codegen — one narrow
-    pass, zero Python in the hot path."""
+    diversity, stopword ratio), BPE-ish regex token counting, the
+    bag-of-words md5 fingerprint (previously q47-q50), Gopher
+    repetition signals, PII scrub, and — r7 — crawl URL
+    canonicalization (functions/text.canonical_url: the pre-exact-
+    dedup key for crawl data). Every column is pure Column composition
+    inside whole-stage codegen — one narrow pass, zero Python in the
+    hot path."""
     t = load_tables(spark, sf_dir, "documents")
     d = t["documents"]
     cols = [
@@ -889,6 +920,36 @@ def q47_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("pii_scrub_fp"),
+        # URL canonicalization (r7, battery-fold policy): the corpus
+        # carries no URL column, so each doc gets a deterministic messy
+        # URL (the PII-suffix precedent) chosen by doc_id % 5 to
+        # exercise every branch — case fold, www./default-port strip,
+        # fragment drop, tracking-param drop, param sort, trailing
+        # slash; doc_id/source in two branches keep it non-constant.
+        T.canonical_url(
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit("HTTP://WWW.Example.COM:80/path/"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("/?utm_source=x&b=2&a=1#frag"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 5 == 1,
+                F.lit("https://Sub.Example.com:443/p?a=1&utm_campaign=c&z=9"),
+            )
+            .when(
+                F.col("doc_id") % 5 == 2,
+                F.concat(
+                    F.lit("https://example.com/"),
+                    F.col("source"),
+                    F.lit("//deep/page/?fbclid=abc"),
+                ),
+            )
+            .when(F.col("doc_id") % 5 == 3, F.lit("http://example.com"))
+            .otherwise(F.lit("https://example.com/path?b=2&a=1"))
+        ).alias("canonical_url"),
     ]
     return d.select(*cols)
 

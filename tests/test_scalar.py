@@ -78,3 +78,32 @@ def test_status_flags(spark):
     assert rows[1].is_dnf
     assert rows[2].is_dns
     assert rows[3].is_dq
+
+
+def test_canonical_url_golden_cases(spark):
+    """Golden canonicalization cases — each branch exercised: case
+    folding (scheme+host only), www./default-port strip (but NOT a
+    default port on the wrong scheme), fragment drop, tracking-param
+    drop, param sort, trailing-slash strip, interior slashes kept."""
+    from pyspark.sql import functions as F
+
+    from ironman_medallion_lakehouse_spark.functions.text import canonical_url
+
+    cases = [
+        ("HTTP://WWW.Example.COM:80/Path/?utm_source=x&b=2&a=1#frag",
+         "http://example.com/Path?a=1&b=2"),
+        ("https://Sub.Example.com:443/p?a=1&utm_campaign=c&z=9",
+         "https://sub.example.com/p?a=1&z=9"),
+        ("https://example.com/a//deep/page/?fbclid=abc",
+         "https://example.com/a//deep/page"),
+        ("http://example.com", "http://example.com"),
+        ("https://example.com/path?b=2&a=1", "https://example.com/path?a=1&b=2"),
+        # default port on the WRONG scheme is a different origin: kept
+        ("http://example.com:443/x", "http://example.com:443/x"),
+        ("https://example.com/?gclid=zzz", "https://example.com"),
+        ("  https://example.com/x  ", "https://example.com/x"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i long, u string")
+    got = {r.i: r.c for r in df.select("i", canonical_url("u").alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
