@@ -116,7 +116,13 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    only = set(sys.argv[1:])
+    global SF_DIR
+    args = sys.argv[1:]
+    if "--sf" in args:
+        i = args.index("--sf")
+        SF_DIR = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    only = set(args)
     spark = get_spark(app_name="check-correctness")
     con = duckdb.connect()
     for t in TABLES:
