@@ -351,3 +351,115 @@ def _ks_finish(cum: DataFrame) -> DataFrame:
             6,
         ).alias("ks_stat"),
     )
+
+
+def welch_t_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test — the default
+    significance readout for a continuous A/B metric (Welch 1947;
+    preferred over Student's t because variant variances are never
+    provably equal). ONE row:
+
+        (n_a, n_b, mean_a, mean_b, t_stat, dof)
+
+    with t = (m_a − m_b)/√(s²_a/n_a + s²_b/n_b) and the
+    Welch-Satterthwaite dof. NULL t/dof when either group has < 2
+    observations or both variances are zero.
+
+    Determinism (the q129 policy): values enter as DECIMAL(12,4) —
+    narrow enough that x² stays inside both engines' exact decimal
+    multiply — so Σx and Σx² are order-free exact aggregates; means,
+    variances, t and dof are then fixed scalar double expressions,
+    rounded to 6 decimals. Plan: ONE map-side-combined aggregate over
+    the filtered rows, then scalar math — no shuffle wider than two
+    group keys, nothing data-sized after the scan."""
+    x = F.col(value_col).cast("decimal(12,4)")
+    g = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.when(F.col(group_col) == group_a, F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("_g")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(x * x).alias("sxx"),
+        )
+    )
+    row = g.groupBy().pivot("_g", ["a", "b"]).agg(
+        F.first("n").alias("n"), F.first("sx").alias("sx"), F.first("sxx").alias("sxx")
+    )
+    na, nb = F.col("a_n").cast("double"), F.col("b_n").cast("double")
+    ma = F.col("a_sx").cast("double") / na
+    mb = F.col("b_sx").cast("double") / nb
+    va = (F.col("a_sxx").cast("double") - na * ma * ma) / (na - 1)
+    vb = (F.col("b_sxx").cast("double") - nb * mb * mb) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)
+    )
+    ok = (na >= 2) & (nb >= 2) & (se2 > 0)
+    return row.select(
+        F.col("a_n").cast("bigint").alias("n_a"),
+        F.col("b_n").cast("bigint").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.when(ok, F.round(t, 6)).alias("t_stat"),
+        F.when(ok, F.round(dof, 6)).alias("dof"),
+    )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    success_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Pooled two-proportion z-test — the significance readout for a
+    binary A/B metric (conversion, click-through). ONE row:
+
+        (n_a, n_b, p_a, p_b, z_stat)
+
+    with z = (p̂_a − p̂_b)/√(p̂(1−p̂)(1/n_a + 1/n_b)), p̂ pooled.
+    NULL z when either group is empty or the pooled proportion is 0
+    or 1 (zero variance). ``success_col`` is boolean (or 0/1).
+
+    All counts are exact integers; p̂s and z are fixed double
+    expressions over them, rounded to 6 decimals — engine-exact. One
+    map-side-combined aggregate, scalar math after."""
+    s = F.col(success_col).cast("int")
+    g = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .filter(F.col(success_col).isNotNull())
+        .groupBy(
+            F.when(F.col(group_col) == group_a, F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("_g")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(s).alias("k"))
+    )
+    row = g.groupBy().pivot("_g", ["a", "b"]).agg(
+        F.first("n").alias("n"), F.first("k").alias("k")
+    )
+    na, nb = F.col("a_n").cast("double"), F.col("b_n").cast("double")
+    pa = F.col("a_k").cast("double") / na
+    pb = F.col("b_k").cast("double") / nb
+    pp = (F.col("a_k") + F.col("b_k")).cast("double") / (na + nb)
+    z = (pa - pb) / F.sqrt(pp * (1 - pp) * (1 / na + 1 / nb))
+    ok = (na >= 1) & (nb >= 1) & (pp > 0) & (pp < 1)
+    return row.select(
+        F.col("a_n").cast("bigint").alias("n_a"),
+        F.col("b_n").cast("bigint").alias("n_b"),
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        F.when(ok, F.round(z, 6)).alias("z_stat"),
+    )

@@ -1018,3 +1018,47 @@ def test_ks_ties_absorbed_correctly(spark):
     ]
     out = ks_two_sample(spark.createDataFrame(rows), "v", "g", "a", "b").collect()[0]
     assert out.d_stat == 0.5
+
+
+def test_welch_t_hand_computed(spark):
+    """A=[1,2,3], B=[2,4,6]: va=1, vb=4, se2=5/3 -> t=-1.549193,
+    Welch-Satterthwaite dof=2.941176."""
+    from ironman_medallion_lakehouse_spark.operators.experiment import welch_t_test
+
+    rows = [Row(g="a", v=float(x)) for x in (1, 2, 3)] + [
+        Row(g="b", v=float(x)) for x in (2, 4, 6)
+    ]
+    out = welch_t_test(spark.createDataFrame(rows), "v", "g", "a", "b").collect()[0]
+    assert (out.n_a, out.n_b) == (3, 3)
+    assert out.mean_a == 2.0 and out.mean_b == 4.0
+    assert out.t_stat == -1.549193 and out.dof == 2.941176
+
+
+def test_welch_t_degenerate_small_group(spark):
+    from ironman_medallion_lakehouse_spark.operators.experiment import welch_t_test
+
+    rows = [Row(g="a", v=1.0), Row(g="b", v=2.0), Row(g="b", v=3.0)]
+    out = welch_t_test(spark.createDataFrame(rows), "v", "g", "a", "b").collect()[0]
+    assert out.t_stat is None and out.dof is None  # n_a < 2
+    rows = [Row(g=g, v=5.0) for g in ("a", "a", "b", "b")]
+    out = welch_t_test(spark.createDataFrame(rows), "v", "g", "a", "b").collect()[0]
+    assert out.t_stat is None  # both variances zero -> se2 = 0
+
+
+def test_two_proportion_z_hand_computed(spark):
+    """a: 1/4 success, b: 3/4 -> pooled 0.5, z = -0.5/sqrt(0.125) =
+    -1.414214; all-success pool -> NULL (zero variance)."""
+    from ironman_medallion_lakehouse_spark.operators.experiment import (
+        two_proportion_ztest,
+    )
+
+    rows = [Row(g="a", s=x == 0) for x in range(4)] + [
+        Row(g="b", s=x != 0) for x in range(4)
+    ]
+    out = two_proportion_ztest(spark.createDataFrame(rows), "s", "g", "a", "b").collect()[0]
+    assert (out.n_a, out.n_b, out.p_a, out.p_b) == (4, 4, 0.25, 0.75)
+    assert out.z_stat == -1.414214
+
+    rows = [Row(g=g, s=True) for g in ("a", "a", "b")]
+    out = two_proportion_ztest(spark.createDataFrame(rows), "s", "g", "a", "b").collect()[0]
+    assert out.z_stat is None
