@@ -533,6 +533,18 @@ def lsh_cross_candidates(
     return a.join(b, ["band_id", "bucket"]).select("id_new", "id_corpus").distinct()
 
 
+def exact_hash_frame(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, _h): the normalized-text md5 used by ``dedup_incoming``'s
+    exact arm — exposed so a pipeline can MATERIALIZE it per document
+    (keyed by id, maintainable with the same insert-only merge that
+    admits kept docs) and pass it back as ``corpus_hashes=`` instead
+    of re-hashing the whole corpus every batch."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return docs.select(F.col(id_col), F.md5(norm).alias("_h"))
+
+
 def dedup_incoming(
     incoming: DataFrame,
     corpus: DataFrame,
@@ -542,6 +554,7 @@ def dedup_incoming(
     bands: int = 16,
     threshold: float = 0.9,
     corpus_sigs: DataFrame | None = None,
+    corpus_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental dedup: classify each INCOMING document against an
     EXISTING corpus as ``exact_dup`` (normalized-text md5 already in
@@ -550,19 +563,27 @@ def dedup_incoming(
     ``kept``. Returns (id, status) for every incoming document — the
     crawl-ingest gate a training-data pipeline runs on every batch.
 
-    100 TB design: nothing here rescans the corpus per incoming doc.
-    The exact stage is one hash equi-join on uniform md5 keys; the
-    near stage band-joins incoming signatures against corpus
-    signatures (``lsh_cross_candidates``) so corpus cost is O(bucket
-    hits), and the refine is O(candidates). In production the corpus
-    side's signatures are precomputed once and stored (pass
-    ``corpus_sigs`` — e.g. a TableStore table maintained by the same
-    merge that admits kept docs), so a daily batch pays only its own
-    signature pass. Exact-dup classification wins when both fire
-    (cheapest-evidence-first, and deterministic for the oracle)."""
-    norm_text = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
-    inc_hash = incoming.select(F.col(id_col), F.md5(norm_text).alias("_h"))
-    corp_hash = corpus.select(F.md5(norm_text).alias("_h")).distinct()
+    100 TB design: nothing here rescans the corpus per incoming doc —
+    PROVIDED both precomputed sides are passed. The exact stage is one
+    hash equi-join on uniform md5 keys; with ``corpus_hashes`` (a
+    stored (id, _h) table from ``exact_hash_frame``, maintained by the
+    same merge that admits kept docs) the corpus is not re-normalized/
+    re-hashed per batch — without it, the exact arm's md5-over-corpus
+    is a full corpus scan per batch, which contradicts the O(batch)
+    story at scale (r7 fix; the inline form remains for one-shot
+    batch jobs and the oracle). The near stage band-joins incoming
+    signatures against corpus signatures (``lsh_cross_candidates``)
+    so corpus cost is O(bucket hits), and the refine is O(candidates);
+    ``corpus_sigs`` is the stored-signatures analogue. Exact-dup
+    classification wins when both fire (cheapest-evidence-first, and
+    deterministic for the oracle)."""
+    inc_hash = exact_hash_frame(incoming, text_col, id_col)
+    if corpus_hashes is None:
+        corp_hash = exact_hash_frame(corpus, text_col, id_col).select("_h").distinct()
+    else:
+        # stored per-doc rows: the semi-join tolerates duplicate hash
+        # values, no distinct (corpus-wide shuffle) needed
+        corp_hash = corpus_hashes.select("_h")
     exact = (
         inc_hash.join(corp_hash, "_h", "left_semi")
         .select(F.col(id_col))

@@ -87,6 +87,7 @@ def streaming_dedup_ingest(
     checkpoint_dir: str,
     corpus_table: str = "corpus.documents",
     sig_table: str = "corpus.doc_signatures",
+    hash_table: str = "corpus.doc_hashes",
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 128,
@@ -105,12 +106,14 @@ def streaming_dedup_ingest(
     micro-batch is classified against the EXISTING corpus
     (operators/dedup.dedup_incoming: exact normalized-hash match +
     MinHash-LSH near-dup), only ``kept`` documents are admitted via an
-    exactly-once insert-only merge, and their MinHash signatures are
-    merged into a SIGNATURES TABLE in the same batch — so every later
-    batch's near-dup band join reads precomputed corpus signatures
-    (``corpus_sigs=``) instead of re-hashing the corpus. Per-batch
-    cost: O(batch) signature work + O(bucket hits) join, independent
-    of corpus size.
+    exactly-once insert-only merge, and their MinHash signatures AND
+    normalized-text md5 hashes are merged into companion tables in the
+    same batch — so every later batch reads precomputed corpus
+    signatures (``corpus_sigs=``) and hashes (``corpus_hashes=``)
+    instead of re-hashing the corpus on either arm. Per-batch cost:
+    O(batch) signature/hash work + O(bucket hits) join, independent
+    of corpus size (true for BOTH arms since the r7 stored-hash fix —
+    before it, the exact arm re-md5'd the whole corpus per batch).
 
     Exactly-once state: foreachBatch may replay a batch after restart;
     a replayed document is then an exact dup of itself in the corpus,
@@ -226,6 +229,12 @@ def streaming_dedup_ingest(
         if store.table_exists(corpus_table):
             corpus = store.read(corpus_table).select(id_col, text_col)
             corpus_sigs = store.read(sig_table)
+            # stored exact-hash table: without it the exact arm would
+            # re-md5 the WHOLE corpus every batch (r7 fix — the
+            # O(batch) claim was false for that arm at scale)
+            corpus_hashes = (
+                store.read(hash_table) if store.table_exists(hash_table) else None
+            )
             status = D.dedup_incoming(
                 batch_df.select(id_col, text_col),
                 corpus,
@@ -235,6 +244,7 @@ def streaming_dedup_ingest(
                 bands=bands,
                 threshold=threshold,
                 corpus_sigs=corpus_sigs,
+                corpus_hashes=corpus_hashes,
             )
             kept = batch_df.join(
                 status.filter(F.col("status") == "kept").select(id_col), id_col
@@ -245,6 +255,8 @@ def streaming_dedup_ingest(
         _retrying(lambda: store.merge_insert_only(kept, corpus_table, keys=[id_col]))
         sigs = D.minhash_signatures(kept, text_col, id_col, k=k)
         _retrying(lambda: store.merge_insert_only(sigs, sig_table, keys=[id_col]))
+        hashes = D.exact_hash_frame(kept, text_col, id_col)
+        _retrying(lambda: store.merge_insert_only(hashes, hash_table, keys=[id_col]))
 
     stream = spark.readStream.schema(schema).format("parquet").load(source_path)
     return (

@@ -528,8 +528,10 @@ def _q94_corpus_sigs_path(sf_dir: str, k: int = 128) -> str:
         for p in parts
         if os.path.exists(p)
     )
-    code = inspect.getsource(D.minhash_signatures) + inspect.getsource(
-        D.minhash_coeffs
+    code = (
+        inspect.getsource(D.minhash_signatures)
+        + inspect.getsource(D.minhash_coeffs)
+        + inspect.getsource(D.exact_hash_frame)
     )
     stamp += f";k={k};code={hashlib.md5(code.encode()).hexdigest()}"
     h = hashlib.md5(stamp.encode()).hexdigest()[:12]
@@ -568,25 +570,32 @@ def q94b_incremental_dedup_prepared(spark: SparkSession, sf_dir: str) -> DataFra
 
     incoming, corpus = _q94_frames(spark, sf_dir)
     path = _q94_corpus_sigs_path(sf_dir)
-    if not os.path.exists(path):
+
+    def _cache(suffix: str, build):
         # write-to-temp + atomic rename: two concurrent cold-cache
         # sessions cannot interleave partial writes (ADVICE r6 item 3);
         # the loser's rename fails and it reads the winner's table
-        tmp = f"{path}.tmp-{os.getpid()}"
-        D.minhash_signatures(corpus).write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            import shutil
+        p = path + suffix
+        if not os.path.exists(p):
+            tmp = f"{p}.tmp-{os.getpid()}"
+            build().write.mode("overwrite").parquet(tmp)
+            try:
+                os.rename(tmp, p)
+            except OSError:
+                import shutil
 
-            shutil.rmtree(tmp, ignore_errors=True)
-    sigs = spark.read.parquet(path)
+                shutil.rmtree(tmp, ignore_errors=True)
+        return spark.read.parquet(p)
+
+    sigs = _cache("", lambda: D.minhash_signatures(corpus))
+    hashes = _cache("_h", lambda: D.exact_hash_frame(corpus))
     return D.dedup_incoming(
         incoming,
         corpus,
         bands=_Q94_BANDS,
         threshold=_Q94_THRESHOLD,
         corpus_sigs=sigs,
+        corpus_hashes=hashes,
     )
 
 
