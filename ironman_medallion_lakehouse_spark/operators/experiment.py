@@ -353,6 +353,235 @@ def _ks_finish(cum: DataFrame) -> DataFrame:
     )
 
 
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test — the nonparametric
+    complement of Welch's t for a continuous A/B metric whose
+    distribution is skewed or heavy-tailed (revenue, latency, doc
+    length), where a mean-based t is fragile. ONE row:
+
+        (n_a, n_b, mean_rank_a, mean_rank_b, u_a, z_stat)
+
+    with U_a = R_a − n_a(n_a+1)/2 (R_a = rank sum of group a over the
+    pooled sample, ties receiving average ranks) and the normal
+    approximation z = (U_a − n_a·n_b/2)/σ, σ² the tie-corrected
+    variance  n_a·n_b/12 · ((N+1) − Σ(t³−t)/(N(N−1))).  NULL z when
+    either group is empty or every value is tied (σ = 0). No
+    continuity correction (documented choice — keeps the statistic a
+    fixed expression over exact integers).
+
+    Exactness: the q142 KS discipline. A distributed ``groupBy(v)``
+    collapses observations to per-distinct-value counts (ties absorbed
+    by construction — the per-value group IS the tie group); one
+    running-sum window over the DISTINCT VALUES yields each value's
+    preceding count, and TWICE the average rank, 2·prev + t + 1, is an
+    integer — so the rank sums Σ n_av·rank2 and the tie term Σ(t³−t)
+    are exact bigint aggregates (order-free), and every output is a
+    fixed double expression over them, rounded to 6 decimals.
+    (Bigint bounds: rank2 sums reach O(N²), the tie term O(t³·#ties) —
+    ample below ~10⁹ pooled rows; past that, run on a per-batch sample
+    like KS.) Plan: one hash aggregate with map-side partial combine,
+    one distinct-value-sized window, scalar output."""
+    from pyspark.sql import Window
+
+    per_value = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(value_col).alias("v"),
+            F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("ia"),
+            F.when(F.col(group_col) == group_b, 1).otherwise(0).alias("ib"),
+        )
+        .groupBy("v")
+        .agg(F.sum("ia").alias("na_v"), F.sum("ib").alias("nb_v"))
+    )
+    # bounded-serial: input is the per-distinct-value aggregate (the q142
+    # KS discipline); at 100 TB run on a per-batch sample
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # bounded-serial: totals ride the same distinct-value sort as full frames
+    wall = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = F.col("na_v") + F.col("nb_v")
+    ranked = per_value.select(
+        "na_v",
+        "nb_v",
+        (F.sum(t).over(w) - t).alias("prev"),
+        F.sum("na_v").over(wall).cast("bigint").alias("n_a"),
+        F.sum("nb_v").over(wall).cast("bigint").alias("n_b"),
+    )
+    rank2 = F.lit(2) * F.col("prev") + (F.col("na_v") + F.col("nb_v")) + F.lit(1)
+    tie = F.col("na_v") + F.col("nb_v")
+    agg = ranked.groupBy("n_a", "n_b").agg(
+        F.sum(F.col("na_v") * rank2).cast("bigint").alias("r2a"),
+        F.sum(F.col("nb_v") * rank2).cast("bigint").alias("r2b"),
+        F.sum(tie * tie * tie - tie).cast("bigint").alias("ties"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    nn = na + nb
+    u_a = F.col("r2a").cast("double") / 2 - na * (na + 1) / 2
+    var = (
+        na
+        * nb
+        / 12
+        * ((nn + 1) - F.col("ties").cast("double") / (nn * (nn - 1)))
+    )
+    z = (u_a - na * nb / 2) / F.sqrt(var)
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var > 0)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("r2a").cast("double") / 2 / na, 6).alias("mean_rank_a"),
+        F.round(F.col("r2b").cast("double") / 2 / nb, 6).alias("mean_rank_b"),
+        F.round(u_a, 6).alias("u_a"),
+        F.when(ok, F.round(z, 6)).alias("z_stat"),
+    )
+
+
+# Poisson(1) inverse-CDF thresholds on the [0, 1M) md5-uniform grid:
+# weight w = #{thresholds <= h}; integer literals shared verbatim with
+# every SQL oracle so both engines draw identical weights.
+POISSON1_THRESHOLDS = (367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989)
+
+
+def poisson_bootstrap_mean_diff(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    key_col: str,
+    replicates: int = 32,
+    salt: str = "boot",
+    ci_z: float = 1.959964,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for a difference of means
+    — the resampling-free bootstrap that actually runs at 100 TB
+    (Chamandy et al., "Estimating Uncertainty for Massive Data
+    Streams", Google 2012): instead of drawing n rows with replacement
+    per replicate (a shuffle of the whole frame, R times), each row
+    contributes an independent Poisson(1) weight to every replicate —
+    multinomial(n, 1/n) → Poisson(1) as n → ∞ — so R replicates cost
+    ONE map-side explode by R and ONE R-group aggregate. ONE row:
+
+        (n_a, n_b, mean_a, mean_b, diff, n_reps, se_boot, ci_lo, ci_hi)
+
+    where diff = mean_a − mean_b observed, se_boot the sample std of
+    the replicate diffs, and [ci_lo, ci_hi] = diff ± ci_z·se_boot (the
+    normal-interval bootstrap; ci_z = 1.959964 ≈ two-sided 95 %).
+
+    Determinism: the weight for (row, replicate r) is the exact
+    integer inverse-CDF of Poisson(1) applied to the [0, 1M) md5-hash
+    uniform of (key:salt:r) — the operators/sampling membership
+    discipline, thresholds ``POISSON1_THRESHOLDS`` (w truncated at 8;
+    P ≈ 10⁻⁵ mass, identical both engines). Replicate r = −1 forces
+    w = 1 — the OBSERVED sample rides the same pass as the bootstrap.
+    Σw·x and Σw are exact decimal/integer sums per (replicate, group);
+    each replicate's diff is rounded into DECIMAL(12,6) (and its
+    square stays inside both engines' exact multiply) so the SE
+    aggregate is order-free, and every output is fixed scalar double
+    math rounded to 6 decimals. A replicate where either group draws
+    total weight 0 is excluded from the SE (n_reps reports the count
+    used). Plan: scan → explode(×R+1) → md5 per pair → ONE grouped
+    aggregate on R+1 keys → scalar output; no shuffle wider than
+    (replicate, group) rows, nothing data-sized retained."""
+    x = F.col(value_col).cast("decimal(12,4)")
+    base = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .filter(F.col(value_col).isNotNull())
+        .select(
+            F.when(F.col(group_col) == group_a, F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("_g"),
+            x.alias("_x"),
+            F.col(key_col).cast("string").alias("_k"),
+        )
+    )
+    reps = base.select(
+        "_g",
+        "_x",
+        "_k",
+        F.explode(F.sequence(F.lit(-1), F.lit(int(replicates) - 1))).alias("rep"),
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("_k"), F.lit(salt), F.col("rep").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+    w = F.lit(0)
+    for thr in POISSON1_THRESHOLDS:
+        w = w + F.when(h >= thr, 1).otherwise(0)
+    w = F.when(F.col("rep") == -1, F.lit(1)).otherwise(w)
+    weighted = reps.select(
+        "rep",
+        "_g",
+        w.alias("_w"),
+        (w * F.col("_x")).alias("_wx"),
+    )
+    per_rep = weighted.groupBy("rep").agg(
+        F.sum(F.when(F.col("_g") == "a", F.col("_w"))).alias("nwa"),
+        F.sum(F.when(F.col("_g") == "a", F.col("_wx"))).alias("swa"),
+        F.sum(F.when(F.col("_g") == "b", F.col("_w"))).alias("nwb"),
+        F.sum(F.when(F.col("_g") == "b", F.col("_wx"))).alias("swb"),
+    )
+    mean_a = F.col("swa").cast("double") / F.col("nwa").cast("double")
+    mean_b = F.col("swb").cast("double") / F.col("nwb").cast("double")
+    valid = (F.coalesce(F.col("nwa"), F.lit(0)) > 0) & (
+        F.coalesce(F.col("nwb"), F.lit(0)) > 0
+    )
+    diffs = per_rep.select(
+        "rep",
+        valid.alias("ok"),
+        F.col("nwa"),
+        F.col("nwb"),
+        mean_a.alias("ma"),
+        mean_b.alias("mb"),
+        F.when(valid, (mean_a - mean_b).cast("decimal(12,6)")).alias("d"),
+    )
+    out = diffs.agg(
+        F.max(F.when(F.col("rep") == -1, F.col("nwa"))).cast("bigint").alias("n_a"),
+        F.max(F.when(F.col("rep") == -1, F.col("nwb"))).cast("bigint").alias("n_b"),
+        F.max(F.when(F.col("rep") == -1, F.col("ma"))).alias("_ma"),
+        F.max(F.when(F.col("rep") == -1, F.col("mb"))).alias("_mb"),
+        F.max(F.when(F.col("rep") == -1, F.col("d"))).alias("_d0"),
+        F.count(F.when((F.col("rep") >= 0) & F.col("ok"), 1)).alias("n_reps"),
+        F.sum(F.when(F.col("rep") >= 0, F.col("d"))).alias("_sd"),
+        F.sum(F.when(F.col("rep") >= 0, F.col("d") * F.col("d"))).alias("_sdd"),
+    )
+    r = F.col("n_reps").cast("double")
+    sd, sdd = F.col("_sd").cast("double"), F.col("_sdd").cast("double")
+    se = F.sqrt((sdd - sd * sd / r) / (r - 1))
+    d0 = F.col("_d0").cast("double")
+    ok = (F.col("n_reps") >= 2) & F.col("_d0").isNotNull()
+    return out.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("_ma"), 6).alias("mean_a"),
+        F.round(F.col("_mb"), 6).alias("mean_b"),
+        F.round(d0, 6).alias("diff"),
+        "n_reps",
+        F.when(ok, F.round(se, 6)).alias("se_boot"),
+        F.when(ok, F.round(d0 - F.lit(float(ci_z)) * se, 6)).alias("ci_lo"),
+        F.when(ok, F.round(d0 + F.lit(float(ci_z)) * se, 6)).alias("ci_hi"),
+    )
+
+
 def welch_t_test(
     df: DataFrame,
     value_col: str,

@@ -12,6 +12,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ironman_medallion_lakehouse_spark.operators import funnel as FU
+from ironman_medallion_lakehouse_spark.operators.experiment import (
+    POISSON1_THRESHOLDS as _P1T,
+)
 from ironman_medallion_lakehouse_spark.operators.graph import pagerank
 from ironman_medallion_lakehouse_spark.session import load_tables
 from ironman_medallion_lakehouse_spark.suite import register
@@ -1040,16 +1043,26 @@ def q142_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_two_sample(t["events"], "value", "event_type", "click", "view")
 
 
-# ------------------------------ q143 A/B significance battery (t + z)
+# ------- q143 A/B significance battery (t + z + rank-sum + bootstrap)
+
+_Q143_BOOT_R = 32
+_Q143_CI_Z = 1.959964
+# Poisson(1) weight CASE shared verbatim with the Spark operator's
+# integer thresholds (experiment.POISSON1_THRESHOLDS)
+_Q143_W_SQL = " + ".join(
+    f"(CASE WHEN h >= {t} THEN 1 ELSE 0 END)" for t in _P1T
+)
 
 
 @register(
     "q143_ab_test_battery",
-    oracle="""
+    oracle=f"""
     WITH base AS (
       SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS g,
              CAST(o_totalprice AS DECIMAL(12,4)) AS x,
-             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS s
+             o_totalprice AS v,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS s,
+             CAST(o_orderkey AS VARCHAR) AS key
       FROM orders
     ),
     m AS (
@@ -1089,7 +1102,8 @@ def q142_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
                   THEN ROUND((se2 * se2) /
                        ((va / na) * (va / na) / (na - 1)
-                        + (vb / nb) * (vb / nb) / (nb - 1)), 6) END AS dof
+                        + (vb / nb) * (vb / nb) / (nb - 1)), 6) END AS dof,
+             CAST(NULL AS DOUBLE) AS ci_lo, CAST(NULL AS DOUBLE) AS ci_hi
       FROM w
     ),
     prop AS (
@@ -1103,23 +1117,141 @@ def q142_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                        / sqrt(CAST(ka + kb AS DOUBLE) / (na + nb)
                               * (1 - CAST(ka + kb AS DOUBLE) / (na + nb))
                               * (1 / na + 1 / nb)), 6) END AS stat,
-             CAST(NULL AS DOUBLE) AS dof
+             CAST(NULL AS DOUBLE) AS dof,
+             CAST(NULL AS DOUBLE) AS ci_lo, CAST(NULL AS DOUBLE) AS ci_hi
       FROM j
+    ),
+    mwpv AS (
+      SELECT v, SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS na_v,
+                SUM(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS nb_v
+      FROM base GROUP BY v
+    ),
+    mwc AS (
+      SELECT na_v, nb_v,
+        SUM(na_v + nb_v) OVER (
+          ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) - (na_v + nb_v) AS prev,
+        SUM(na_v) OVER () AS mw_na,
+        SUM(nb_v) OVER () AS mw_nb
+      FROM mwpv
+    ),
+    mwagg AS (
+      SELECT MAX(mw_na) AS mw_na, MAX(mw_nb) AS mw_nb,
+        SUM(na_v * (2 * prev + na_v + nb_v + 1)) AS r2a,
+        SUM(nb_v * (2 * prev + na_v + nb_v + 1)) AS r2b,
+        SUM((na_v + nb_v) * (na_v + nb_v) * (na_v + nb_v)
+            - (na_v + nb_v)) AS ties
+      FROM mwc
+    ),
+    mwx AS (
+      SELECT *,
+        CAST(r2a AS DOUBLE) / 2
+          - CAST(mw_na AS DOUBLE) * (CAST(mw_na AS DOUBLE) + 1) / 2 AS ua,
+        CAST(mw_na AS DOUBLE) * CAST(mw_nb AS DOUBLE) / 12
+          * ((CAST(mw_na AS DOUBLE) + CAST(mw_nb AS DOUBLE) + 1)
+             - CAST(ties AS DOUBLE)
+               / ((CAST(mw_na AS DOUBLE) + CAST(mw_nb AS DOUBLE))
+                  * (CAST(mw_na AS DOUBLE) + CAST(mw_nb AS DOUBLE) - 1))) AS vr
+      FROM mwagg
+    ),
+    mw AS (
+      SELECT 'mann_whitney' AS test,
+        CAST(mw_na AS BIGINT) AS n_a, CAST(mw_nb AS BIGINT) AS n_b,
+        ROUND(CAST(r2a AS DOUBLE) / 2 / CAST(mw_na AS DOUBLE), 6) AS est_a,
+        ROUND(CAST(r2b AS DOUBLE) / 2 / CAST(mw_nb AS DOUBLE), 6) AS est_b,
+        CASE WHEN mw_na > 0 AND mw_nb > 0 AND vr > 0
+             THEN ROUND((ua - CAST(mw_na AS DOUBLE) * CAST(mw_nb AS DOUBLE) / 2)
+                        / sqrt(vr), 6) END AS stat,
+        CAST(NULL AS DOUBLE) AS dof,
+        CAST(NULL AS DOUBLE) AS ci_lo, CAST(NULL AS DOUBLE) AS ci_hi
+      FROM mwx
+    ),
+    brep AS (
+      SELECT g, x, key, rep
+      FROM base CROSS JOIN (
+        SELECT unnest(generate_series(-1, {_Q143_BOOT_R - 1})) AS rep) reps
+    ),
+    bw AS (
+      SELECT rep, g, x,
+        CASE WHEN rep = -1 THEN 1 ELSE {_Q143_W_SQL} END AS w
+      FROM (SELECT *,
+              ('0x' || substr(md5(key || ':boot:' || CAST(rep AS VARCHAR)),
+                              1, 8))::UBIGINT % 1000000 AS h
+            FROM brep)
+    ),
+    bper AS (
+      SELECT rep,
+        SUM(CASE WHEN g = 'a' THEN w END) AS nwa,
+        SUM(CASE WHEN g = 'a' THEN w * x END) AS swa,
+        SUM(CASE WHEN g = 'b' THEN w END) AS nwb,
+        SUM(CASE WHEN g = 'b' THEN w * x END) AS swb
+      FROM bw GROUP BY rep
+    ),
+    bd AS (
+      SELECT rep, nwa, nwb,
+        CAST(swa AS DOUBLE) / CAST(nwa AS DOUBLE) AS ma,
+        CAST(swb AS DOUBLE) / CAST(nwb AS DOUBLE) AS mb,
+        CASE WHEN COALESCE(nwa, 0) > 0 AND COALESCE(nwb, 0) > 0
+             THEN CAST(CAST(swa AS DOUBLE) / CAST(nwa AS DOUBLE)
+                       - CAST(swb AS DOUBLE) / CAST(nwb AS DOUBLE)
+                       AS DECIMAL(12,6)) END AS d
+      FROM bper
+    ),
+    bagg AS (
+      SELECT
+        CAST(MAX(CASE WHEN rep = -1 THEN nwa END) AS BIGINT) AS n_a,
+        CAST(MAX(CASE WHEN rep = -1 THEN nwb END) AS BIGINT) AS n_b,
+        MAX(CASE WHEN rep = -1 THEN ma END) AS ma0,
+        MAX(CASE WHEN rep = -1 THEN mb END) AS mb0,
+        MAX(CASE WHEN rep = -1 THEN d END) AS d0,
+        COUNT(CASE WHEN rep >= 0 AND d IS NOT NULL THEN 1 END) AS n_reps,
+        SUM(CASE WHEN rep >= 0 THEN d END) AS sd,
+        -- DECIMAL(19,6) widening: forces DuckDB's int128 multiply
+        -- (the welch sxx workaround above); values are identical
+        SUM(CASE WHEN rep >= 0 THEN CAST(d AS DECIMAL(19,6)) * d END) AS sdd
+      FROM bd
+    ),
+    boot AS (
+      SELECT 'boot_mean_diff' AS test, n_a, n_b,
+        ROUND(ma0, 6) AS est_a, ROUND(mb0, 6) AS est_b,
+        ROUND(CAST(d0 AS DOUBLE), 6) AS stat,
+        CAST(NULL AS DOUBLE) AS dof,
+        CASE WHEN bok THEN
+          ROUND(CAST(d0 AS DOUBLE) - {_Q143_CI_Z} * se, 6) END AS ci_lo,
+        CASE WHEN bok THEN
+          ROUND(CAST(d0 AS DOUBLE) + {_Q143_CI_Z} * se, 6) END AS ci_hi
+      FROM (SELECT *,
+              sqrt((CAST(sdd AS DOUBLE)
+                    - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
+                      / CAST(n_reps AS DOUBLE))
+                   / (CAST(n_reps AS DOUBLE) - 1)) AS se,
+              n_reps >= 2 AND d0 IS NOT NULL AS bok
+            FROM bagg)
     )
     SELECT * FROM welch UNION ALL SELECT * FROM prop
+    UNION ALL SELECT * FROM mw UNION ALL SELECT * FROM boot
     """,
 )
 def q143_ab_test_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A/B significance battery (operators/experiment.welch_t_test +
-    two_proportion_ztest, one entry per the r7 growth policy): the
-    readouts run AFTER q120's CUPED adjustment decides a metric moved
-    — Welch's unequal-variance t on the continuous metric
-    (o_totalprice) and the pooled two-proportion z on the binary one
-    (order finalized), over a deterministic orderkey-parity split.
-    Both are one map-side-combined aggregate + scalar math from exact
-    decimal/integer sums (the q129 discipline), mirrored
-    expression-for-expression in the oracle."""
+    """A/B significance battery (operators/experiment, one entry per
+    the r7 growth policy): the readouts run AFTER q120's CUPED
+    adjustment decides a metric moved — Welch's unequal-variance t on
+    the continuous metric (o_totalprice), the pooled two-proportion z
+    on the binary one (order finalized), the Mann-Whitney rank-sum z
+    (the nonparametric readout a skewed revenue metric needs, ranks
+    from exact integer arithmetic over per-distinct-value counts), and
+    the Poisson-bootstrap 95 % CI on the mean difference (Chamandy et
+    al. 2012 — R replicates from ONE map-side explode with
+    deterministic md5 Poisson(1) weights, no resampling shuffle; the
+    observed sample rides replicate −1 of the same pass). All over a
+    deterministic orderkey-parity split; every arm is map-side-combined
+    aggregates + fixed scalar math from exact decimal/integer sums
+    (the q129 discipline), mirrored expression-for-expression in the
+    oracle. Shared schema (test, n_a, n_b, est_a, est_b, stat, dof,
+    ci_lo, ci_hi); arms without a dof/CI carry NULLs."""
     from ironman_medallion_lakehouse_spark.operators.experiment import (
+        mann_whitney_u,
+        poisson_bootstrap_mean_diff,
         two_proportion_ztest,
         welch_t_test,
     )
@@ -1131,25 +1263,72 @@ def q143_ab_test_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("variant"),
         F.col("o_totalprice"),
         (F.col("o_orderstatus") == "F").alias("converted"),
+        F.col("o_orderkey"),
     )
+    nulls = [
+        F.lit(None).cast("double").alias("ci_lo"),
+        F.lit(None).cast("double").alias("ci_hi"),
+    ]
     tt = welch_t_test(o, "o_totalprice", "variant", "a", "b")
     zz = two_proportion_ztest(o, "converted", "variant", "a", "b")
-    return tt.select(
-        F.lit("welch_t").alias("test"),
-        "n_a",
-        "n_b",
-        F.col("mean_a").alias("est_a"),
-        F.col("mean_b").alias("est_b"),
-        F.col("t_stat").alias("stat"),
-        "dof",
-    ).unionByName(
-        zz.select(
-            F.lit("prop_z").alias("test"),
+    mw = mann_whitney_u(o, "o_totalprice", "variant", "a", "b")
+    bt = poisson_bootstrap_mean_diff(
+        o,
+        "o_totalprice",
+        "variant",
+        "a",
+        "b",
+        key_col="o_orderkey",
+        replicates=_Q143_BOOT_R,
+        salt="boot",
+        ci_z=_Q143_CI_Z,
+    )
+    return (
+        tt.select(
+            F.lit("welch_t").alias("test"),
             "n_a",
             "n_b",
-            F.col("p_a").alias("est_a"),
-            F.col("p_b").alias("est_b"),
-            F.col("z_stat").alias("stat"),
-            F.lit(None).cast("double").alias("dof"),
+            F.col("mean_a").alias("est_a"),
+            F.col("mean_b").alias("est_b"),
+            F.col("t_stat").alias("stat"),
+            "dof",
+            *nulls,
+        )
+        .unionByName(
+            zz.select(
+                F.lit("prop_z").alias("test"),
+                "n_a",
+                "n_b",
+                F.col("p_a").alias("est_a"),
+                F.col("p_b").alias("est_b"),
+                F.col("z_stat").alias("stat"),
+                F.lit(None).cast("double").alias("dof"),
+                *nulls,
+            )
+        )
+        .unionByName(
+            mw.select(
+                F.lit("mann_whitney").alias("test"),
+                "n_a",
+                "n_b",
+                F.col("mean_rank_a").alias("est_a"),
+                F.col("mean_rank_b").alias("est_b"),
+                F.col("z_stat").alias("stat"),
+                F.lit(None).cast("double").alias("dof"),
+                *nulls,
+            )
+        )
+        .unionByName(
+            bt.select(
+                F.lit("boot_mean_diff").alias("test"),
+                "n_a",
+                "n_b",
+                F.col("mean_a").alias("est_a"),
+                F.col("mean_b").alias("est_b"),
+                F.col("diff").alias("stat"),
+                F.lit(None).cast("double").alias("dof"),
+                "ci_lo",
+                "ci_hi",
+            )
         )
     )

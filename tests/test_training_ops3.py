@@ -1062,3 +1062,100 @@ def test_two_proportion_z_hand_computed(spark):
     rows = [Row(g=g, s=True) for g in ("a", "a", "b")]
     out = two_proportion_ztest(spark.createDataFrame(rows), "s", "g", "a", "b").collect()[0]
     assert out.z_stat is None
+
+
+def test_mann_whitney_hand_computed(spark):
+    """A = {1,2,3}, B = {2,3,4,5}: average ranks 1, 2.5, 4.5, 6, 7
+    -> R_a = 8, U_a = 2; two tie pairs -> tie term 12."""
+    from ironman_medallion_lakehouse_spark.operators.experiment import mann_whitney_u
+
+    rows = [Row(g="a", v=float(x)) for x in (1, 2, 3)] + [
+        Row(g="b", v=float(x)) for x in (2, 3, 4, 5)
+    ]
+    out = mann_whitney_u(spark.createDataFrame(rows), "v", "g", "a", "b").collect()[0]
+    assert (out.n_a, out.n_b) == (3, 4)
+    assert out.mean_rank_a == round(8 / 3, 6) and out.mean_rank_b == 5.0
+    assert out.u_a == 2.0
+    var = 3 * 4 / 12 * ((7 + 1) - 12 / (7 * 6))
+    assert out.z_stat == round((2.0 - 6.0) / math.sqrt(var), 6)
+
+
+def test_mann_whitney_all_tied_null_z(spark):
+    from ironman_medallion_lakehouse_spark.operators.experiment import mann_whitney_u
+
+    rows = [Row(g=g, v=7.0) for g in ("a", "a", "b", "b", "b")]
+    out = mann_whitney_u(spark.createDataFrame(rows), "v", "g", "a", "b").collect()[0]
+    # every observation tied -> sigma = 0 -> NULL z, but ranks still exact
+    assert out.z_stat is None and out.mean_rank_a == 3.0 and out.mean_rank_b == 3.0
+
+
+def test_mann_whitney_stochastic_dominance_sign(spark):
+    """B strictly above A -> U_a = 0, z maximally negative."""
+    from ironman_medallion_lakehouse_spark.operators.experiment import mann_whitney_u
+
+    rows = [Row(g="a", v=float(x)) for x in range(10)] + [
+        Row(g="b", v=float(x + 100)) for x in range(10)
+    ]
+    out = mann_whitney_u(spark.createDataFrame(rows), "v", "g", "a", "b").collect()[0]
+    assert out.u_a == 0.0 and out.z_stat < -3.7
+
+
+def test_poisson_bootstrap_observed_arm_exact(spark):
+    """Replicate -1 forces w = 1, so the observed means/diff equal the
+    plain group means regardless of the bootstrap draws."""
+    from ironman_medallion_lakehouse_spark.operators.experiment import (
+        poisson_bootstrap_mean_diff,
+    )
+
+    rows = [Row(k=i, g="a", v=float(10 + i % 5)) for i in range(40)] + [
+        Row(k=100 + i, g="b", v=float(20 + i % 3)) for i in range(40)
+    ]
+    out = poisson_bootstrap_mean_diff(
+        spark.createDataFrame(rows), "v", "g", "a", "b", key_col="k", replicates=16
+    ).collect()[0]
+    ma = sum(10 + i % 5 for i in range(40)) / 40
+    mb = sum(20 + i % 3 for i in range(40)) / 40
+    assert (out.n_a, out.n_b) == (40, 40)
+    assert out.mean_a == round(ma, 6) and out.mean_b == round(mb, 6)
+    assert out.diff == round(ma - mb, 6)
+    # groups this size essentially never draw total weight 0
+    assert out.n_reps == 16
+    assert out.se_boot > 0
+    assert out.ci_lo < out.diff < out.ci_hi
+    # the CI is diff +/- 1.959964 * se, rounded
+    assert out.ci_lo == round(out.diff - 1.959964 * out.se_boot, 5) or abs(
+        out.ci_lo - (out.diff - 1.959964 * out.se_boot)
+    ) < 1e-5
+
+
+def test_poisson_bootstrap_deterministic_under_repartition(spark):
+    from ironman_medallion_lakehouse_spark.operators.experiment import (
+        poisson_bootstrap_mean_diff,
+    )
+
+    rows = [Row(k=i, g="ab"[i % 2], v=float(i)) for i in range(60)]
+    df = spark.createDataFrame(rows)
+    a = poisson_bootstrap_mean_diff(
+        df, "v", "g", "a", "b", key_col="k", replicates=8
+    ).collect()[0]
+    b = poisson_bootstrap_mean_diff(
+        df.repartition(7), "v", "g", "a", "b", key_col="k", replicates=8
+    ).collect()[0]
+    assert a == b
+
+
+def test_poisson_weights_mean_near_one(spark):
+    """Across many (row, replicate) draws the Poisson(1) weights must
+    average ~1 (the bootstrap's resample-size-preservation property)."""
+    from ironman_medallion_lakehouse_spark.operators.experiment import (
+        poisson_bootstrap_mean_diff,
+    )
+
+    rows = [Row(k=i, g="ab"[i % 2], v=1.0) for i in range(500)]
+    out = poisson_bootstrap_mean_diff(
+        spark.createDataFrame(rows), "v", "g", "a", "b", key_col="k", replicates=32
+    ).collect()[0]
+    # value is constant 1.0 -> every replicate diff is 0; se = 0 -> CI
+    # degenerates to the point estimate, all exactly zero
+    assert out.diff == 0.0 and out.se_boot == 0.0
+    assert out.ci_lo == 0.0 and out.ci_hi == 0.0
