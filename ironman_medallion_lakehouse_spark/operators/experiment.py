@@ -582,6 +582,138 @@ def poisson_bootstrap_mean_diff(
     )
 
 
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    bin_edges: list[float],
+) -> DataFrame:
+    """Population Stability Index — the ML-monitoring standard for
+    "has this feature/score distribution shifted between two
+    populations" (reference vs current scoring batch):
+
+        PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i)
+
+    over a FIXED binning (``bin_edges`` literals; two open-ended outer
+    bins), with add-0.5 smoothing so an empty bin contributes a finite
+    term: p_i = (c_i + 0.5)/(n + 0.5·B). Common read: < 0.1 stable,
+    0.1–0.25 moderate shift, > 0.25 major shift. ONE row
+    (n_a, n_b, psi). The binned complement of KS (q142): insensitive
+    to within-bin wiggle, sensitive to mass moving between bins, and
+    — unlike KS — embarrassingly parallel with NO serial section.
+
+    Exactness: bin index = #{edges ≤ v} (the same literal-threshold
+    trick as the bootstrap weights — trivially engine-portable); bin
+    counts are exact integers from one map-side-combined aggregate;
+    each bin's term is a fixed double expression rounded into
+    DECIMAL(18,9) before the B-row sum (order-free). Plan: one grouped
+    count on ≤ B+? keys, one tiny total, scalar output."""
+    edges = [float(e) for e in bin_edges]
+    nbins = len(edges) + 1
+    v = F.col(value_col)
+    b = F.lit(0)
+    for e in edges:
+        b = b + F.when(v >= F.lit(e), 1).otherwise(0)
+    per_bin = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .filter(v.isNotNull())
+        .select(
+            b.alias("bin"),
+            F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("ia"),
+            F.when(F.col(group_col) == group_b, 1).otherwise(0).alias("ib"),
+        )
+        .groupBy("bin")
+        .agg(F.sum("ia").alias("ca"), F.sum("ib").alias("cb"))
+    )
+    tot = per_bin.agg(
+        F.sum("ca").cast("bigint").alias("n_a"), F.sum("cb").cast("bigint").alias("n_b")
+    )
+    j = per_bin.crossJoin(F.broadcast(tot))
+    p = (F.col("ca").cast("double") + 0.5) / (
+        F.col("n_a").cast("double") + 0.5 * nbins
+    )
+    q = (F.col("cb").cast("double") + 0.5) / (
+        F.col("n_b").cast("double") + 0.5 * nbins
+    )
+    term = ((p - q) * F.log(p / q)).cast("decimal(18,9)")
+    return (
+        j.groupBy("n_a", "n_b")
+        .agg(F.sum(term).alias("_psi"))
+        .select(
+            "n_a", "n_b", F.round(F.col("_psi").cast("double"), 6).alias("psi")
+        )
+    )
+
+
+def ks_two_sample_kll(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    k: int = 200,
+    grid: int = 100,
+) -> DataFrame:
+    """The KS statistic's 100 TB scale path — the one ``ks_two_sample``
+    's docstring prescribes: estimate D from mergeable KLL quantile
+    sketches instead of exact per-distinct-value counts, removing the
+    serial running-sum section entirely. Each group is collapsed to a
+    k-parameter KLL sketch (ONE map-side-combined aggregate, mergeable
+    across partitions/batches — a streaming gate can keep the
+    reference side's sketch materialized); each sketch is read out at
+    ``grid``+1 evenly spaced quantiles, and
+
+        D̂ = max over both grids' points x of |F̂_a(x) − F̂_b(x)|,
+        F̂_g(x) = #{quantile points of g ≤ x} / (grid+1)
+
+    Error is O(1/grid) + the sketch's rank error (~1.3 % at k=200), so
+    |D̂ − D| ≲ 0.03 in practice; the exact form stays the
+    oracle-checkable ground truth (q142 pins |D̂ − D| ≤ 0.05 as a
+    driver-checked boolean — the q28/q82 sketch-arm protocol). ONE row
+    (d_kll). Plan: one sketch aggregate, then all arithmetic on ONE
+    row of two (grid+1)-element arrays (localCheckpoint'ed so the
+    interpreted higher-order functions never re-evaluate the sketch
+    reads — the r3 HOF rule); nothing data-sized leaves the scan."""
+    sk = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.when(F.col(group_col) == group_a, F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("_g")
+        )
+        .agg(
+            F.kll_sketch_agg_double(
+                F.col(value_col).cast("double"), F.lit(int(k))
+            ).alias("kll")
+        )
+    )
+    row = sk.groupBy().pivot("_g", ["a", "b"]).agg(F.first("kll"))
+    ps = [i / grid for i in range(grid + 1)]
+
+    def _qs(c: str):
+        return F.array(
+            *[F.kll_sketch_get_quantile_double(F.col(c), F.lit(p)) for p in ps]
+        )
+
+    arrays = row.select(_qs("a").alias("qa"), _qs("b").alias("qb"))
+    arrays = arrays.localCheckpoint(eager=True)  # freeze the sketch reads
+    npts = float(grid + 1)
+
+    def _cdf(arr: str, x):
+        return F.size(F.filter(F.col(arr), lambda e: e <= x)).cast("double") / npts
+
+    d = F.array_max(
+        F.transform(
+            F.concat(F.col("qa"), F.col("qb")),
+            lambda x: F.abs(_cdf("qa", x) - _cdf("qb", x)),
+        )
+    )
+    return arrays.select(F.round(d, 6).alias("d_kll"))
+
+
 def welch_t_test(
     df: DataFrame,
     value_col: str,

@@ -983,12 +983,18 @@ def q141_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohens_kappa(labeled, "rater_a", "rater_b")
 
 
-# ------------------------------------ q142 two-sample KS (drift test)
+# ------------------------ q142 drift battery (KS + PSI + KLL-KS arm)
+
+_Q142_PSI_EDGES = [5.0, 15.0, 30.0, 50.0, 80.0, 120.0, 200.0]
+_Q142_BIN_SQL = " + ".join(
+    f"(CASE WHEN v >= {e} THEN 1 ELSE 0 END)" for e in _Q142_PSI_EDGES
+)
+_Q142_NBINS = len(_Q142_PSI_EDGES) + 1
 
 
 @register(
     "q142_ks_drift",
-    oracle="""
+    oracle=f"""
     WITH vals AS (
       SELECT value AS v,
              CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
@@ -1018,29 +1024,76 @@ def q141_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND(MAX(ABS(CAST(ca_end AS DOUBLE) / tot.n_a
                            - CAST(cb_end AS DOUBLE) / tot.n_b)), 6) AS d_stat
       FROM cum, tot GROUP BY tot.n_a, tot.n_b
+    ),
+    psic AS (
+      SELECT {_Q142_BIN_SQL} AS bin, SUM(ia) AS ca, SUM(ib) AS cb
+      FROM vals GROUP BY 1
+    ),
+    psit AS (SELECT SUM(ca) AS pna, SUM(cb) AS pnb FROM psic),
+    psi AS (
+      SELECT ROUND(CAST(SUM(CAST(
+          ((CAST(ca AS DOUBLE) + 0.5)
+             / (CAST(pna AS DOUBLE) + 0.5 * {_Q142_NBINS})
+           - (CAST(cb AS DOUBLE) + 0.5)
+             / (CAST(pnb AS DOUBLE) + 0.5 * {_Q142_NBINS}))
+          * ln(((CAST(ca AS DOUBLE) + 0.5)
+                  / (CAST(pna AS DOUBLE) + 0.5 * {_Q142_NBINS}))
+               / ((CAST(cb AS DOUBLE) + 0.5)
+                  / (CAST(pnb AS DOUBLE) + 0.5 * {_Q142_NBINS})))
+        AS DECIMAL(18,9))) AS DOUBLE), 6) AS psi
+      FROM psic, psit
     )
     SELECT n_a, n_b, d_stat,
            ROUND(d_stat * sqrt(CAST(n_a * n_b AS DOUBLE)
-                               / CAST(n_a + n_b AS DOUBLE)), 6) AS ks_stat
-    FROM gap
+                               / CAST(n_a + n_b AS DOUBLE)), 6) AS ks_stat,
+           psi.psi,
+           TRUE AS d_kll_ok
+    FROM gap, psi
     """,
 )
 def q142_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-sample Kolmogorov-Smirnov drift test
-    (operators/experiment.ks_two_sample): does the click batch's value
-    distribution match the view batch's? — the continuous complement
-    of q130's chi-square, the screen a pipeline runs on each crawl
-    batch's length/quality/score distribution before admitting it
-    (streaming/ingest wires it as the gate's drift arm). D evaluated
-    at tie-absorbed jump points from exact integer running counts;
-    r7: pre-aggregated to per-distinct-value counts so the one serial
-    sort sees the value domain, not the observations (VERDICT r6
-    item 3; at 100 TB with a truly continuous metric, run on a
-    per-batch sample or KLL quantiles)."""
-    from ironman_medallion_lakehouse_spark.operators.experiment import ks_two_sample
+    """Distribution-drift battery (operators/experiment): does the
+    click batch's value distribution match the view batch's? Three
+    arms over the same two samples, one row:
+
+    - ``d_stat``/``ks_stat`` — exact two-sample KS at tie-absorbed
+      jump points (the continuous complement of q130's chi-square;
+      streaming/ingest wires it as the gate's drift arm). r7:
+      pre-aggregated to per-distinct-value counts so the one serial
+      sort sees the value domain, not the observations (VERDICT r6
+      item 3).
+    - ``psi`` — Population Stability Index over fixed literal bins
+      (the ML-monitoring binned drift standard; add-0.5 smoothing;
+      NO serial section at all), exact-decimal term sums hash-matched
+      against the oracle's replay.
+    - ``d_kll_ok`` — the KS 100 TB scale path the exact form's
+      docstring prescribes: D̂ from mergeable KLL quantile sketches
+      (ks_two_sample_kll), pinned within 0.05 of the exact D as a
+      driver-checked boolean (the q28/q82 sketch-arm protocol)."""
+    from ironman_medallion_lakehouse_spark.operators.experiment import (
+        ks_two_sample,
+        ks_two_sample_kll,
+        psi_drift,
+    )
 
     t = load_tables(spark, sf_dir, "events")
-    return ks_two_sample(t["events"], "value", "event_type", "click", "view")
+    ev = t["events"]
+    args = (ev, "value", "event_type", "click", "view")
+    ks = ks_two_sample(*args)
+    psi = psi_drift(*args, bin_edges=_Q142_PSI_EDGES).select("psi")
+    dk = ks_two_sample_kll(*args)
+    return (
+        ks.crossJoin(F.broadcast(psi))
+        .crossJoin(F.broadcast(dk))
+        .select(
+            "n_a",
+            "n_b",
+            "d_stat",
+            "ks_stat",
+            "psi",
+            (F.abs(F.col("d_kll") - F.col("d_stat")) <= 0.05).alias("d_kll_ok"),
+        )
+    )
 
 
 # ------- q143 A/B significance battery (t + z + rank-sum + bootstrap)

@@ -1159,3 +1159,71 @@ def test_poisson_weights_mean_near_one(spark):
     # degenerates to the point estimate, all exactly zero
     assert out.diff == 0.0 and out.se_boot == 0.0
     assert out.ci_lo == 0.0 and out.ci_hi == 0.0
+
+
+def test_psi_identical_distributions_zero(spark):
+    from ironman_medallion_lakehouse_spark.operators.experiment import psi_drift
+
+    rows = [Row(g=g, v=float(i % 97)) for g in ("a", "b") for i in range(3000)]
+    out = psi_drift(
+        spark.createDataFrame(rows), "v", "g", "a", "b", [20.0, 40.0, 60.0, 80.0]
+    ).collect()[0]
+    assert (out.n_a, out.n_b, out.psi) == (3000, 3000, 0.0)
+
+
+def test_psi_flags_planted_shift(spark):
+    """All of B's mass moves above the top edge -> major shift."""
+    from ironman_medallion_lakehouse_spark.operators.experiment import psi_drift
+
+    rows = [Row(g="a", v=float(i % 50)) for i in range(2000)] + [
+        Row(g="b", v=float(200 + i % 50)) for i in range(2000)
+    ]
+    out = psi_drift(
+        spark.createDataFrame(rows), "v", "g", "a", "b", [25.0, 50.0, 100.0]
+    ).collect()[0]
+    assert out.psi > 0.25  # the standard "major shift" threshold
+
+
+def test_psi_empty_bin_smoothed_finite(spark):
+    """A bin with zero observations on one side stays finite via the
+    add-0.5 smoothing (no ln(0) / division blow-up)."""
+    from ironman_medallion_lakehouse_spark.operators.experiment import psi_drift
+
+    rows = [Row(g="a", v=1.0)] * 10 + [Row(g="b", v=100.0)] * 10
+    out = psi_drift(
+        spark.createDataFrame(rows), "v", "g", "a", "b", [50.0]
+    ).collect()[0]
+    import math
+
+    p1, q1 = 10.5 / 11.0, 0.5 / 11.0
+    expected = round(
+        round((p1 - q1) * math.log(p1 / q1), 9) + round((q1 - p1) * math.log(q1 / p1), 9),
+        6,
+    )
+    assert out.psi == expected
+
+
+def test_kll_ks_tracks_exact(spark):
+    """The sketch path's D stays within the q142 0.05 envelope of the
+    exact statistic on a real separation AND under H0."""
+    from ironman_medallion_lakehouse_spark.operators.experiment import (
+        ks_two_sample,
+        ks_two_sample_kll,
+    )
+
+    import random
+
+    random.seed(11)
+    rows = [Row(g="a", v=random.gauss(50, 15)) for _ in range(5000)] + [
+        Row(g="b", v=random.gauss(58, 15)) for _ in range(5000)
+    ]
+    df = spark.createDataFrame(rows)
+    d = ks_two_sample(df, "v", "g", "a", "b").collect()[0].d_stat
+    dk = ks_two_sample_kll(df, "v", "g", "a", "b").collect()[0].d_kll
+    assert d > 0.15  # the separation is real
+    assert abs(d - dk) <= 0.05
+
+    rows0 = [Row(g=g, v=float((i * 13) % 211)) for g in ("a", "b") for i in range(4000)]
+    df0 = spark.createDataFrame(rows0)
+    dk0 = ks_two_sample_kll(df0, "v", "g", "a", "b").collect()[0].d_kll
+    assert dk0 <= 0.05  # identical samples -> near-zero estimate
