@@ -502,6 +502,15 @@ def poisson_bootstrap_mean_diff(
             F.col(key_col).cast("string").alias("_k"),
         )
     )
+    # Pre-expansion repartition: the explode multiplies rows (R+2)x
+    # INSIDE whatever partitioning the scan produced, so a small or
+    # coalesced input would push the whole hash/weight stage through a
+    # handful of tasks (measured: 3 tasks -> 412 s vs 32 -> ~3 s at 8x
+    # sf0.1). Shuffling the slim base costs 1/(R+2) of the expanded
+    # volume and pins the expansion stage at the configured width.
+    base = base.repartition(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    )
     reps = base.select(
         "_g",
         "_x",
