@@ -1,0 +1,83 @@
+"""BPE vocabulary learning + tokenization (operators/vocab.py) —
+the Sennrich et al. (2016) reference example, hand-checkable."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from ironman_medallion_lakehouse_spark.operators.vocab import (
+    END,
+    apply_bpe,
+    bpe_vocab,
+    learn_bpe,
+    word_counts,
+)
+
+
+def _corpus(spark):
+    text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    return spark.createDataFrame([Row(doc_id=1, text=text)])
+
+
+def test_learn_bpe_sennrich_example(spark):
+    """low x5, lower x2, newest x6, widest x3: (e,s) wins with 9, then
+    (es,t) 9, then (est,</w>) 9, then the l-o-w chain at 7."""
+    counts = word_counts(_corpus(spark))
+    merges = learn_bpe(counts, num_merges=5)
+    assert merges[:3] == [("e", "s"), ("es", "t"), ("est", END)]
+    # count-7 tier: lexicographic tiebreak (l,o) before (lo,w)
+    assert merges[3:] == [("l", "o"), ("lo", "w")]
+
+
+def test_learn_bpe_min_count_stops_early(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="ab cd")])
+    merges = learn_bpe(word_counts(df), num_merges=10, min_pair_count=2)
+    assert merges == []  # every pair occurs once
+
+
+def test_apply_bpe_tokenizes_with_learned_merges(spark):
+    counts = word_counts(_corpus(spark))
+    merges = learn_bpe(counts, num_merges=3)  # es, est, est</w>
+    out = apply_bpe(
+        spark.createDataFrame([Row(doc_id=7, text="newest low")]), merges
+    ).collect()[0]
+    assert out.tokens == ["n", "e", "w", "est" + END, "l", "o", "w", END]
+    assert out.n_tokens == 8
+
+
+def test_apply_bpe_repeated_symbol_greedy(spark):
+    """'aaaa' under merge (a,a): left-to-right greedy -> aa, aa."""
+    df = spark.createDataFrame([Row(doc_id=1, text="aaaa")])
+    out = apply_bpe(df, [("a", "a")]).collect()[0]
+    assert out.tokens == ["aa", "aa", END]
+
+
+def test_apply_bpe_merge_order_matters(spark):
+    """(a,b) then (ab,c): 'abc' -> ['abc</w>'-less...]: ab + c stay
+    mergeable only because ab formed first."""
+    df = spark.createDataFrame([Row(doc_id=1, text="abc")])
+    out = apply_bpe(df, [("a", "b"), ("ab", "c")]).collect()[0]
+    assert out.tokens == ["abc", END]
+    out2 = apply_bpe(df, [("ab", "c"), ("a", "b")]).collect()[0]
+    # reversed order: (ab,c) finds no adjacent 'ab' symbol yet
+    assert out2.tokens == ["ab", "c", END]
+
+
+def test_apply_bpe_preserves_word_order_and_vocab(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text="xy yx xy") for i in range(3)]
+    )
+    merges = [("x", "y")]
+    rows = {r.doc_id: r.tokens for r in apply_bpe(df, merges).collect()}
+    for i in range(3):
+        assert rows[i] == ["xy", END, "y", "x", END, "xy", END]
+    assert bpe_vocab(merges) == ["xy"]
+
+
+def test_learn_bpe_deterministic_under_repartition(spark):
+    counts = word_counts(_corpus(spark))
+    a = learn_bpe(counts, num_merges=4)
+    b = learn_bpe(counts.repartition(5), num_merges=4)
+    assert a == b
