@@ -100,6 +100,9 @@ def streaming_dedup_ingest(
     drift_signal=None,
     drift_max_d: float = 0.2,
     drift_table: str = "corpus.refused_batches",
+    drift_test: str = "ks",
+    drift_psi_edges: list[float] | None = None,
+    drift_max_psi: float = 0.25,
 ):
     """The streaming crawl-ingest GATE — the training-data pipeline's
     front door, composed from this repo's own operators: every
@@ -152,10 +155,26 @@ def streaming_dedup_ingest(
     reference signal values (the q142 pre-aggregated shape — the
     serial section is the distinct-value domain).
 
+    ``drift_test`` picks the screen: ``"ks"`` (exact two-sample KS,
+    above) or ``"psi"`` (Population Stability Index over the fixed
+    ``drift_psi_edges`` literal bins, refusing when psi >
+    ``drift_max_psi`` — the q142 battery's binned arm; it has NO
+    serial section at all, the better fit when the signal is genuinely
+    high-cardinality continuous, at the price of choosing bins up
+    front). The PSI quarantine row is (batch_id, n_docs, psi).
+
     Returns the streaming query; caller drives it."""
     from ironman_medallion_lakehouse_spark.operators import contamination as CO
     from ironman_medallion_lakehouse_spark.operators import dedup as D
-    from ironman_medallion_lakehouse_spark.operators.experiment import ks_two_sample
+    from ironman_medallion_lakehouse_spark.operators.experiment import (
+        ks_two_sample,
+        psi_drift,
+    )
+
+    if drift_test not in ("ks", "psi"):
+        raise ValueError(f"drift_test must be 'ks' or 'psi', got {drift_test!r}")
+    if drift_test == "psi" and drift_reference is not None and not drift_psi_edges:
+        raise ValueError("drift_test='psi' requires drift_psi_edges")
 
     bench_grams = None
     if benchmark is not None:
@@ -195,20 +214,43 @@ def streaming_dedup_ingest(
             both = batch_df.select(
                 signal.cast("double").alias("_sig"), F.lit("new").alias("_side")
             ).unionByName(ref_vals)
-            rows = ks_two_sample(both, "_sig", "_side", "new", "ref").collect()
-            ks = rows[0] if rows else None  # empty batch -> no test, admit
-            if ks is not None and ks.n_a > 0 and ks.d_stat is not None and ks.d_stat > drift_max_d:
-                refused = batch_df.sparkSession.createDataFrame(
-                    [
-                        (
-                            int(batch_id),
-                            int(ks.n_a),
-                            float(ks.d_stat),
-                            float(ks.ks_stat),
-                        )
-                    ],
-                    "batch_id long, n_docs long, d_stat double, ks_stat double",
-                )
+            refused = None
+            if drift_test == "psi":
+                rows = psi_drift(
+                    both, "_sig", "_side", "new", "ref", bin_edges=drift_psi_edges
+                ).collect()
+                r = rows[0] if rows else None  # empty batch -> no test, admit
+                if (
+                    r is not None
+                    and r.n_a > 0
+                    and r.psi is not None
+                    and r.psi > drift_max_psi
+                ):
+                    refused = batch_df.sparkSession.createDataFrame(
+                        [(int(batch_id), int(r.n_a), float(r.psi))],
+                        "batch_id long, n_docs long, psi double",
+                    )
+            else:
+                rows = ks_two_sample(both, "_sig", "_side", "new", "ref").collect()
+                ks = rows[0] if rows else None  # empty batch -> no test, admit
+                if (
+                    ks is not None
+                    and ks.n_a > 0
+                    and ks.d_stat is not None
+                    and ks.d_stat > drift_max_d
+                ):
+                    refused = batch_df.sparkSession.createDataFrame(
+                        [
+                            (
+                                int(batch_id),
+                                int(ks.n_a),
+                                float(ks.d_stat),
+                                float(ks.ks_stat),
+                            )
+                        ],
+                        "batch_id long, n_docs long, d_stat double, ks_stat double",
+                    )
+            if refused is not None:
                 _retrying(
                     lambda: store.merge_insert_only(
                         refused, drift_table, keys=["batch_id"]

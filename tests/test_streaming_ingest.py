@@ -244,3 +244,82 @@ def test_streaming_gate_refuses_drifted_batch(spark, tmp_path):
         assert store.read("corpus.refused_batches").count() == 1
     finally:
         query.stop()
+
+
+def test_streaming_gate_psi_drift_arm(spark, tmp_path):
+    """drift_test='psi': the binned drift screen refuses a shifted
+    batch whole (quarantine row records the PSI the operator itself
+    computes on the same frames), then admits a conforming batch."""
+    from pyspark.sql import functions as F
+
+    from ironman_medallion_lakehouse_spark.operators.experiment import psi_drift
+    from ironman_medallion_lakehouse_spark.streaming.ingest import (
+        streaming_dedup_ingest,
+    )
+
+    src = str(tmp_path / "docs_src")
+    store = TableStore(spark, str(tmp_path / "wh"))
+    n_words = F.size(F.split(F.col("text"), " "))
+    # bins chosen so the 40-60-word reference spans the [40,50)/[50,70)
+    # pair; a conforming batch lands in both, the 3-5-word drifted
+    # batch lands entirely in the first bin
+    edges = [10.0, 25.0, 40.0, 50.0, 70.0]
+
+    def doc(i, nw):
+        return Row(doc_id=i, text=" ".join(f"w{i}t{j}" for j in range(nw)))
+
+    reference = spark.createDataFrame([doc(900 + i, 40 + i % 21) for i in range(30)])
+    b1 = spark.createDataFrame([doc(i, 45 + i % 10) for i in range(1, 9)])
+    b1.write.mode("append").parquet(src)
+    query = streaming_dedup_ingest(
+        spark, store, src, b1.schema, str(tmp_path / "ckpt"),
+        bands=16, threshold=0.8,
+        drift_reference=reference, drift_signal=n_words,
+        drift_test="psi", drift_psi_edges=edges, drift_max_psi=0.5,
+    )
+    try:
+        query.processAllAvailable()
+        assert store.read("corpus.documents").count() == 8
+        assert not store.table_exists("corpus.refused_batches")
+
+        b2 = spark.createDataFrame([doc(100 + i, 3 + i % 3) for i in range(8)])
+        b2.write.mode("append").parquet(src)
+        query.processAllAvailable()
+        admitted = {r.doc_id for r in store.read("corpus.documents").collect()}
+        assert admitted == set(range(1, 9))
+        refused = store.read("corpus.refused_batches").collect()
+        assert len(refused) == 1 and refused[0].n_docs == 8
+        both = b2.select(
+            n_words.cast("double").alias("_sig"), F.lit("new").alias("_side")
+        ).unionByName(
+            reference.select(
+                n_words.cast("double").alias("_sig"), F.lit("ref").alias("_side")
+            )
+        )
+        want = psi_drift(both, "_sig", "_side", "new", "ref", bin_edges=edges).collect()[0]
+        assert refused[0].psi == want.psi and want.psi > 0.5
+
+        b3 = spark.createDataFrame([doc(200 + i, 40 + (3 * i) % 21) for i in range(8)])
+        b3.write.mode("append").parquet(src)
+        query.processAllAvailable()
+        admitted = {r.doc_id for r in store.read("corpus.documents").collect()}
+        assert set(range(200, 208)) <= admitted
+        assert store.read("corpus.refused_batches").count() == 1
+    finally:
+        query.stop()
+
+
+def test_streaming_gate_psi_requires_edges(spark, tmp_path):
+    import pytest as _pytest
+
+    from ironman_medallion_lakehouse_spark.streaming.ingest import (
+        streaming_dedup_ingest,
+    )
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    ref = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+    with _pytest.raises(ValueError, match="drift_psi_edges"):
+        streaming_dedup_ingest(
+            spark, store, str(tmp_path / "s"), ref.schema, str(tmp_path / "c"),
+            drift_reference=ref, drift_test="psi",
+        )
