@@ -80,6 +80,11 @@ HEADLINE = [
     # single-partition sort shows up as a task-count/time jump
     "q125_abc_analysis",
     "q142_ks_drift",
+    # r7 continuation: q142 now times the full drift battery (exact KS
+    # + PSI + the KLL sketch arm — task fingerprint reset expected);
+    # q143's A/B battery is dominated by the R=32 Poisson bootstrap,
+    # the one new compute-bound-linear shape worth tracking
+    "q143_ab_test_battery",
 ]
 
 

@@ -1200,3 +1200,78 @@ def feature_hash_vectors(
             for j in range(dim)
         ],
     )
+
+
+def embedding_mean_drift(
+    reference: DataFrame,
+    current: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space drift screen: has the CURRENT batch's embedding
+    distribution moved relative to a REFERENCE sample? The linear-time
+    mean-embedding statistic (the first moment of MMD with a linear
+    kernel — Gretton et al. 2012's cheapest special case): ONE row
+
+        (n_ref, n_cur, mean_cosine, norm_ratio)
+
+    where mean_cosine = cos(μ_ref, μ_cur) and norm_ratio =
+    ‖μ_cur‖/‖μ_ref‖. A topical/domain shift rotates the mean
+    (cosine drops); a quality/length regime shift often shows up as a
+    norm change first. Complements the scalar-signal screens (q142's
+    KS/PSI): those watch one projected signal, this watches the full
+    representation space at one-aggregate cost.
+
+    Determinism + scale: per-dimension DECIMAL(28,12) sums via ONE
+    posexplode + groupBy(side, dim) with map-side partial combine —
+    the kmeans_centroids accumulation discipline, order- and
+    partitioning-insensitive; the two mean vectors (2 × dim rows) then
+    collapse through exact dot/norm sums and one fixed double cosine,
+    rounded to 6 decimals. Mergeable: the dimension sums are plain
+    sums, so a streaming gate can keep the reference side's
+    (dim, Σ, n) frame materialized and pay only the batch's pass —
+    the corpus_sigs/corpus_hashes precedent. NULL cosine when either
+    mean is the zero vector."""
+    def _sums(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(F.posexplode(F.col(vec_col)).alias("pos", "val"))
+            .groupBy("pos")
+            .agg(
+                F.sum(F.col("val").cast("decimal(28,12)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(F.lit(side).alias("side"), "pos", "s", "n")
+        )
+
+    both = _sums(reference, "ref").unionByName(_sums(current, "cur"))
+    means = both.select(
+        "side",
+        "pos",
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias("m"),
+        "n",
+    )
+    row = (
+        means.groupBy("pos")
+        .pivot("side", ["ref", "cur"])
+        .agg(F.first("m").alias("m"), F.first("n").alias("n"))
+    )
+    agg = row.agg(
+        F.max("ref_n").cast("bigint").alias("n_ref"),
+        F.max("cur_n").cast("bigint").alias("n_cur"),
+        F.sum(
+            (F.col("ref_m") * F.col("cur_m")).cast("decimal(28,12)")
+        ).alias("_dot"),
+        F.sum((F.col("ref_m") * F.col("ref_m")).cast("decimal(28,12)")).alias("_na"),
+        F.sum((F.col("cur_m") * F.col("cur_m")).cast("decimal(28,12)")).alias("_nb"),
+    )
+    na = F.sqrt(F.col("_na").cast("double"))
+    nb = F.sqrt(F.col("_nb").cast("double"))
+    ok = (F.col("_na") > 0) & (F.col("_nb") > 0)
+    return agg.select(
+        "n_ref",
+        "n_cur",
+        F.when(ok, F.round(F.col("_dot").cast("double") / (na * nb), 6)).alias(
+            "mean_cosine"
+        ),
+        F.when(ok, F.round(nb / na, 6)).alias("norm_ratio"),
+    )

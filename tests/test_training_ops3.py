@@ -1227,3 +1227,54 @@ def test_kll_ks_tracks_exact(spark):
     df0 = spark.createDataFrame(rows0)
     dk0 = ks_two_sample_kll(df0, "v", "g", "a", "b").collect()[0].d_kll
     assert dk0 <= 0.05  # identical samples -> near-zero estimate
+
+
+def test_embedding_mean_drift_identical_sets(spark):
+    from ironman_medallion_lakehouse_spark.operators.similarity import (
+        embedding_mean_drift,
+    )
+
+    rows = [Row(embedding=[float(i % 3), float(i % 5), 1.0]) for i in range(50)]
+    df = spark.createDataFrame(rows)
+    out = embedding_mean_drift(df, df).collect()[0]
+    assert (out.n_ref, out.n_cur) == (50, 50)
+    assert out.mean_cosine == 1.0 and out.norm_ratio == 1.0
+
+
+def test_embedding_mean_drift_detects_rotation_and_scale(spark):
+    from ironman_medallion_lakehouse_spark.operators.similarity import (
+        embedding_mean_drift,
+    )
+
+    ref = spark.createDataFrame([Row(embedding=[1.0, 0.0])] * 20)
+    rot = spark.createDataFrame([Row(embedding=[0.0, 1.0])] * 20)
+    out = embedding_mean_drift(ref, rot).collect()[0]
+    assert out.mean_cosine == 0.0 and out.norm_ratio == 1.0
+    scaled = spark.createDataFrame([Row(embedding=[3.0, 0.0])] * 20)
+    out2 = embedding_mean_drift(ref, scaled).collect()[0]
+    assert out2.mean_cosine == 1.0 and out2.norm_ratio == 3.0
+
+
+def test_embedding_mean_drift_partitioning_invariant(spark):
+    from ironman_medallion_lakehouse_spark.operators.similarity import (
+        embedding_mean_drift,
+    )
+
+    rows = [Row(embedding=[float(i), float(60 - i), float(i % 7)]) for i in range(60)]
+    a, b = spark.createDataFrame(rows[:30]), spark.createDataFrame(rows[30:])
+    r1 = embedding_mean_drift(a, b).collect()[0]
+    r2 = embedding_mean_drift(a.repartition(11), b.repartition(5)).collect()[0]
+    assert r1 == r2
+
+
+def test_embedding_mean_drift_zero_mean_null(spark):
+    from ironman_medallion_lakehouse_spark.operators.similarity import (
+        embedding_mean_drift,
+    )
+
+    ref = spark.createDataFrame(
+        [Row(embedding=[1.0, 0.0]), Row(embedding=[-1.0, 0.0])]
+    )
+    cur = spark.createDataFrame([Row(embedding=[1.0, 1.0])])
+    out = embedding_mean_drift(ref, cur).collect()[0]
+    assert out.mean_cosine is None and out.norm_ratio is None
