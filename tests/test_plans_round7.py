@@ -23,12 +23,18 @@ def _plan(spark, name: str) -> str:
 
 
 def test_ks_window_runs_over_distinct_values(spark):
-    """VERDICT r6 item 3: q142's global running-sum window must consume
+    """VERDICT r6 item 3: the KS global running-sum window must consume
     the per-distinct-value aggregate, not the raw observation rows —
     the groupBy(v) collapses rows AND absorbs ties, so exactly one
     Window node remains (the old shape had a second PARTITION BY v
-    tie-absorption window over raw rows)."""
-    plan = _plan(spark, "q142_ks_drift")
+    tie-absorption window over raw rows). Asserted on the operator
+    itself (q142 grew PSI/KLL arms in r7c, so the ENTRY's plan now
+    legitimately carries their extra scans)."""
+    from ironman_medallion_lakehouse_spark.operators.experiment import ks_two_sample
+    from ironman_medallion_lakehouse_spark.session import load_tables
+
+    ev = load_tables(spark, SF, "events")["events"]
+    plan = _plan_of(ks_two_sample(ev, "value", "event_type", "click", "view"))
     # exactly one Window node in the whole plan
     windows = re.findall(r"\(\d+\) Window\b", plan)
     assert len(windows) == 1, f"expected 1 Window node, plan has {len(windows)}"
