@@ -1230,7 +1230,15 @@ def embedding_mean_drift(
     sums, so a streaming gate can keep the reference side's
     (dim, Σ, n) frame materialized and pay only the batch's pass —
     the corpus_sigs/corpus_hashes precedent. NULL cosine when either
-    mean is the zero vector."""
+    mean is the zero vector.
+
+    Caveat (measured on this repo's synthetic embeddings): the cosine
+    screen assumes a NON-CENTERED embedding space — real encoder
+    outputs have means far from the origin, so the sample mean's
+    direction is stable; for a centered/whitened space the mean is
+    ≈ 0 and the cosine of two noisy near-zero means is arbitrary.
+    There, watch norm_ratio and per-dimension mean shifts (the `s`/`n`
+    sums this operator already computes) instead."""
     def _sums(df: DataFrame, side: str) -> DataFrame:
         return (
             df.filter(F.col(vec_col).isNotNull())

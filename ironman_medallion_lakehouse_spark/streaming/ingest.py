@@ -346,6 +346,9 @@ def streaming_index_ingest(
     checkpoint_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    drift_reference=None,
+    drift_min_cosine: float = 0.98,
+    drift_log: list | None = None,
 ):
     """Stream embedding batches into a materialized IVF index
     (operators/similarity.IvfIndex) — the ANN-index twin of
@@ -357,12 +360,47 @@ def streaming_index_ingest(
     ``build``-t before the stream starts (the codebook is the static
     side); ``rebuild`` periodically when probe recall degrades.
 
+    ``drift_reference`` (optional) adds the EMBEDDING-DRIFT arm — the
+    representation-space twin of the document gate's KS/PSI screens:
+    each batch's mean-embedding cosine against a static reference
+    sample (operators/similarity.embedding_mean_drift; the reference
+    side's per-dimension sums are computed once at stream start) must
+    stay ≥ ``drift_min_cosine`` or the WHOLE batch is skipped — a
+    changed upstream encoder or a topical source flip would otherwise
+    pollute the index with vectors the frozen codebook partitions
+    badly (recall silently degrades; this refuses at the door
+    instead). Skips are recorded as (batch_id, n, mean_cosine,
+    norm_ratio) in ``drift_log`` (caller-owned; replay recomputes the
+    same decision — idempotent).
+
     Returns the streaming query; caller drives it."""
+    from ironman_medallion_lakehouse_spark.operators.similarity import (
+        embedding_mean_drift,
+    )
+
+    ref = (
+        drift_reference.select(vec_col).localCheckpoint(eager=True)
+        if drift_reference is not None
+        else None
+    )
 
     def _add_batch(batch_df, batch_id: int) -> None:
         batch = batch_df.dropDuplicates([id_col]).select(id_col, vec_col)
         if batch.isEmpty():
             return
+        if ref is not None:
+            rows = embedding_mean_drift(ref, batch, vec_col=vec_col).collect()
+            r = rows[0] if rows else None
+            if (
+                r is not None
+                and r.mean_cosine is not None
+                and r.mean_cosine < drift_min_cosine
+            ):
+                if drift_log is not None:
+                    drift_log.append(
+                        (int(batch_id), int(r.n_cur), r.mean_cosine, r.norm_ratio)
+                    )
+                return  # whole batch refused; index untouched
         index.add(batch, id_col=id_col, vec_col=vec_col)
 
     stream = spark.readStream.schema(schema).format("parquet").load(source_path)
