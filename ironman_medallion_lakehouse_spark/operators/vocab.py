@@ -188,3 +188,46 @@ def apply_bpe(
             id_col, "tokens", F.size("tokens").cast("bigint").alias("n_tokens")
         )
     )
+
+
+def bpe_tokens_expr(text, merges: list[tuple[str, str]], lowercase: bool = True):
+    """Per-document BPE tokens as a PURE COLUMN expression for a FIXED
+    literal merge list — zero shuffle, composable into a one-scan
+    battery (q47): whitespace words → char symbols + end marker → the
+    greedy merge fold per merge, all inside nested higher-order
+    functions that reference only lambda variables and literals (the
+    r3 HOF rule). For corpus-learned merges at production vocab sizes
+    use ``apply_bpe`` (distinct-words + broadcast join); this form is
+    for bounded literal vocabularies and oracle-checkable surfaces.
+    ``bpe_tokens_sql`` builds the DuckDB mirror from the same list."""
+    t = F.lower(text) if lowercase else text
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != F.lit(""))
+
+    def _tok(w):
+        syms = F.concat(F.split(w, ""), F.array(F.lit(END)))
+        for a, b in merges:
+            syms = _merge_fold(syms, a, b)
+        return syms
+
+    return F.flatten(F.transform(words, _tok))
+
+
+def bpe_tokens_sql(text_sql: str, merges: list[tuple[str, str]]) -> str:
+    """DuckDB replay of ``bpe_tokens_expr`` for the same literal merge
+    list: the greedy fold as chained list_reduce calls (seeded with an
+    empty VARCHAR[] accumulator via the singleton-wrap trick)."""
+    syms = f"list_concat(string_split(w, ''), ['{END}'])"
+    for a, b in merges:
+        syms = (
+            "list_reduce(list_concat([CAST([] AS VARCHAR[])], "
+            f"list_transform({syms}, x -> [x])), "
+            f"(acc, s) -> CASE WHEN len(acc) > 0 AND acc[-1] = '{a}' "
+            f"AND s[1] = '{b}' "
+            f"THEN list_concat(acc[1:len(acc)-1], ['{a}{b}']) "
+            "ELSE list_concat(acc, s) END)"
+        )
+    return (
+        "flatten(list_transform(list_filter("
+        f"string_split_regex(lower({text_sql}), '\\s+'), w -> w <> ''), "
+        f"w -> {syms}))"
+    )

@@ -24,6 +24,7 @@ from ironman_medallion_lakehouse_spark.functions import text as T
 from ironman_medallion_lakehouse_spark.operators import dedup as D
 from ironman_medallion_lakehouse_spark.operators import multimodal as M
 from ironman_medallion_lakehouse_spark.operators import similarity as S
+from ironman_medallion_lakehouse_spark.operators import vocab as VB
 from ironman_medallion_lakehouse_spark.session import load_tables
 from ironman_medallion_lakehouse_spark.streaming import event_windows as EW
 from ironman_medallion_lakehouse_spark.suite import davg, dsum, register
@@ -779,6 +780,16 @@ def _lang_score_sql(lang: str) -> str:
     return f"len(list_intersect({_WORDS}, [{words}]))"
 
 
+# BPE battery arm (r7c): a FIXED literal merge prefix chosen to fire
+# on the synthetic corpus's common words (row/scan/hash/table) and to
+# exercise chained merges + greedy left-to-right semantics; the oracle
+# replays the same fold via vocab.bpe_tokens_sql (DuckDB list_reduce).
+# Corpus-LEARNED vocabularies (vocab.learn_bpe) are pytest-attested —
+# the learning loop is iterative and not SQL-expressible.
+_Q47_BPE_MERGES = [("r", "o"), ("ro", "w"), ("row", "</w>"), ("a", "n"),
+                   ("h", "a"), ("t", "a")]
+
+
 @register(
     "q47_text_battery",
     oracle=f"""
@@ -867,7 +878,11 @@ def _lang_score_sql(lang: str) -> str:
             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
             '\\+?\\b\\d{{3}}[-. ]\\d{{3}}[-. ]\\d{{4}}\\b', '<PHONE>', 'g'))
         AS pii_scrub_fp,
-      u5.canonical_url
+      u5.canonical_url,
+      CAST(len({VB.bpe_tokens_sql('text', _Q47_BPE_MERGES)}) AS BIGINT)
+        AS n_bpe_tokens,
+      md5(array_to_string({VB.bpe_tokens_sql('text', _Q47_BPE_MERGES)}, ' '))
+        AS bpe_fp
     FROM grams JOIN u5 USING (doc_id)
     """,
 )
@@ -950,6 +965,17 @@ def q47_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(F.col("doc_id") % 5 == 3, F.lit("http://example.com"))
             .otherwise(F.lit("https://example.com/path?b=2&a=1"))
         ).alias("canonical_url"),
+        # BPE tokenization arm (r7c): tokens under the fixed literal
+        # merge prefix, as a pure Column expression (vocab.
+        # bpe_tokens_expr — zero shuffle, stays inside the battery's
+        # one narrow pass); the oracle replays the same greedy fold
+        # via DuckDB list_reduce. Learned vocabularies are pytest-only.
+        F.size(VB.bpe_tokens_expr(F.col("text"), _Q47_BPE_MERGES))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+        F.md5(
+            F.array_join(VB.bpe_tokens_expr(F.col("text"), _Q47_BPE_MERGES), " ")
+        ).alias("bpe_fp"),
     ]
     return d.select(*cols)
 

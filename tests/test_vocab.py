@@ -81,3 +81,38 @@ def test_learn_bpe_deterministic_under_repartition(spark):
     a = learn_bpe(counts, num_merges=4)
     b = learn_bpe(counts.repartition(5), num_merges=4)
     assert a == b
+
+
+def test_bpe_tokens_expr_matches_sql_replay(spark):
+    """The pure-Column battery form and its DuckDB mirror tokenize
+    identically — incl. chained merges, greedy repeats, empty text."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from ironman_medallion_lakehouse_spark.operators.vocab import (
+        bpe_tokens_expr,
+        bpe_tokens_sql,
+    )
+
+    merges = [("r", "o"), ("ro", "w"), ("row", END), ("a", "n")]
+    texts = ["row scan hash table", "The  ROW rows", "", "a an ann row"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.toks
+        for r in df.select(
+            "doc_id", bpe_tokens_expr(F.col("text"), merges).alias("toks")
+        ).collect()
+    }
+    sql = bpe_tokens_sql("text", merges)
+    want = dict(
+        duckdb.connect()
+        .execute(
+            f"SELECT doc_id, {sql} AS toks FROM (SELECT unnest(range(4)) AS doc_id,"
+            f" unnest({texts!r}) AS text)"
+        )
+        .fetchall()
+    )
+    assert got == want
+    assert got[0][:1] == ["row" + END]  # the chained 3-merge prefix fired
