@@ -47,3 +47,58 @@ def test_ks_window_runs_over_distinct_values(spark):
     scans = re.findall(r"\(\d+\) Scan parquet", plan)
     assert len(scans) == 1, f"pipeline evaluated {len(scans)} times"
     assert plan.count("SinglePartition") == 1
+
+
+def test_mann_whitney_window_runs_over_distinct_values(spark):
+    """r7c: mann_whitney_u inherits the KS discipline — the groupBy(v)
+    pre-aggregation feeds the one global window, so the serial section
+    sees distinct values, with map-side partial combine below it."""
+    from ironman_medallion_lakehouse_spark.operators.experiment import mann_whitney_u
+    from ironman_medallion_lakehouse_spark.session import load_tables
+
+    ev = load_tables(spark, SF, "events")["events"]
+    plan = _plan_of(mann_whitney_u(ev, "value", "event_type", "click", "view"))
+    windows = re.findall(r"\(\d+\) Window\b", plan)
+    assert len(windows) == 1, f"expected 1 Window node, plan has {len(windows)}"
+    assert re.search(r"Keys \[1\]: \[v#\d+\]", plan), "groupBy(v) missing"
+    assert "partial_sum" in plan, "pre-aggregation lost its partial phase"
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, f"pipeline evaluated {len(scans)} times"
+    assert plan.count("SinglePartition") == 1
+
+
+def test_poisson_bootstrap_no_data_sized_shuffle(spark):
+    """r7c: the bootstrap's only exchanges are the pre-expansion
+    repartition of the SLIM base (1/(R+2) of expanded volume) and the
+    R-key aggregate — nothing shuffles the exploded frame itself, and
+    the weight aggregation is map-side combined."""
+    from ironman_medallion_lakehouse_spark.operators.experiment import (
+        poisson_bootstrap_mean_diff,
+    )
+    from ironman_medallion_lakehouse_spark.session import load_tables
+
+    o = load_tables(spark, SF, "orders")["orders"]
+    from pyspark.sql import functions as F
+
+    ov = o.select(
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("a")).otherwise(F.lit("b")).alias("g"),
+        "o_totalprice",
+        "o_orderkey",
+    )
+    plan = _plan_of(
+        poisson_bootstrap_mean_diff(
+            ov, "o_totalprice", "g", "a", "b", key_col="o_orderkey", replicates=8
+        )
+    )
+    assert "partial_sum" in plan  # map-side combine on the rep keys
+    assert "Generate" in plan  # the (R+2)x explode is present
+    # bounded exchange census: the pre-expansion RoundRobin repartition
+    # of the slim base, the rep-key hash aggregate, and the final
+    # single-partition gather of the (R+2)-row frame — nothing shuffles
+    # the exploded volume itself
+    ex = re.findall(
+        r"Exchange (hashpartitioning|RoundRobinPartitioning|"
+        r"rangepartitioning|SinglePartition)",
+        plan,
+    )
+    assert len(ex) <= 3, f"unexpected exchanges: {ex}"
