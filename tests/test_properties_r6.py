@@ -183,3 +183,55 @@ def test_pairwise_overlap_matches_set_reference(spark, pairs):
                 len(sets[a]) + len(sets[b]) - inter,
             )
     assert got == expect
+
+
+# ---------------------------------------------------------- r7c: BPE
+
+
+def _bpe_py(word: str, merges) -> list[str]:
+    """Pure-Python greedy left-to-right merge fold — the independent
+    reference for operators/vocab._merge_fold."""
+    syms = list(word) + ["</w>"]
+    for a, b in merges:
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcdr", min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+    ),
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", "d", "r", "ab", "ra"]),
+            st.sampled_from(["a", "b", "c", "d", "r", "</w>"]),
+        ),
+        min_size=0,
+        max_size=4,
+    ),
+)
+def test_bpe_fold_matches_python_reference(spark, words, merges):
+    """Properties: (1) the Spark fold equals an independent pure-Python
+    greedy fold for ANY word/merge combination — incl. merges whose
+    left side is itself a merge product; (2) concatenating the tokens
+    and stripping end markers reconstructs the input exactly (the fold
+    never loses, duplicates, or reorders characters)."""
+    from ironman_medallion_lakehouse_spark.operators.vocab import bpe_tokens_expr
+
+    # build merges list where later merges may reference earlier
+    # products ("ab", "ra") — the chained-merge regime
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(bpe_tokens_expr(F.col("text"), merges).alias("t")).collect()[0].t
+    want = [tok for w in words for tok in _bpe_py(w, merges)]
+    assert got == want
+    assert "".join(got).replace("</w>", " ").rstrip() == " ".join(words)
