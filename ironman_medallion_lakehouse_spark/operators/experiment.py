@@ -591,6 +591,68 @@ def poisson_bootstrap_mean_diff(
     )
 
 
+def srm_check(
+    df: DataFrame,
+    group_col: str,
+    expected: dict,
+) -> DataFrame:
+    """Sample-Ratio Mismatch check — the A/B sanity gate run BEFORE any
+    significance readout is trusted (Fabijan et al., KDD 2019: a
+    broken randomizer / lossy logging pipeline shows up as assignment
+    counts that don't match the design ratios, and every downstream
+    p-value is then meaningless). Chi-square GOODNESS-OF-FIT of the
+    observed per-variant counts against the literal design ratios
+    ``expected`` (variant -> probability; must sum to 1):
+
+        chi2 = Σ_variants (O_v − n·p_v)² / (n·p_v),  dof = |variants|−1
+
+    ONE row (n, dof, chi2) — chi2 ≫ the dof-quantile (e.g. 3.84 at
+    dof 1, α=0.05) means STOP: the experiment's plumbing is broken.
+    Distinct from ``chi_square_independence`` (two observed columns);
+    this tests one observed column against DESIGN constants. Rows
+    whose variant is not in ``expected`` are ignored (pre-filter
+    debug/holdout labels upstream if they should count). A designed
+    variant with ZERO observed rows still contributes its full
+    expected mass (term = n·p_v) — the literal expected frame is the
+    join spine, not the observed counts.
+
+    All counts exact integers from one map-side-combined aggregate;
+    per-variant terms are fixed double expressions rounded into
+    DECIMAL(18,9) pre-sum (order-free, engine-exact). Plan: one
+    grouped count on |variants| keys, a broadcast join onto the
+    |variants|-row literal frame, scalar output."""
+    ps = {str(k): float(v) for k, v in expected.items()}
+    if abs(sum(ps.values()) - 1.0) > 1e-9:
+        raise ValueError(f"expected ratios must sum to 1, got {sum(ps.values())}")
+    spark = df.sparkSession
+    design = spark.createDataFrame(
+        [(k, v) for k, v in ps.items()], "_g string, _p double"
+    )
+    counts = (
+        df.filter(F.col(group_col).cast("string").isin(list(ps)))
+        .groupBy(F.col(group_col).cast("string").alias("_g"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    j = design.join(counts, "_g", "left").select(
+        "_p", F.coalesce(F.col("o"), F.lit(0)).alias("o")
+    )
+    tot = j.agg(F.sum("o").alias("n"))
+    k = j.crossJoin(F.broadcast(tot))
+    e = F.col("n").cast("double") * F.col("_p")
+    term = (
+        (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    ).cast("decimal(18,9)")
+    return (
+        k.groupBy("n")
+        .agg(F.sum(term).alias("_chi2"))
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            F.lit(len(ps) - 1).cast("bigint").alias("dof"),
+            F.round(F.col("_chi2").cast("double"), 6).alias("chi2"),
+        )
+    )
+
+
 def psi_drift(
     df: DataFrame,
     value_col: str,

@@ -1219,6 +1219,25 @@ _Q143_W_SQL = " + ".join(
         CAST(NULL AS DOUBLE) AS ci_lo, CAST(NULL AS DOUBLE) AS ci_hi
       FROM mwx
     ),
+    srmc AS (SELECT g, COUNT(*) AS o FROM base GROUP BY g),
+    srmj AS (
+      SELECT d.p, COALESCE(o, 0) AS o
+      FROM (VALUES ('a', 0.5), ('b', 0.5)) d(g, p) LEFT JOIN srmc USING (g)
+    ),
+    srmt AS (SELECT SUM(o) AS srm_n FROM srmj),
+    srm AS (
+      SELECT 'srm' AS test, CAST(srm_n AS BIGINT) AS n_a,
+        CAST(NULL AS BIGINT) AS n_b,
+        CAST(NULL AS DOUBLE) AS est_a, CAST(NULL AS DOUBLE) AS est_b,
+        ROUND(CAST(SUM(CAST(
+          (CAST(o AS DOUBLE) - CAST(srm_n AS DOUBLE) * p)
+          * (CAST(o AS DOUBLE) - CAST(srm_n AS DOUBLE) * p)
+          / (CAST(srm_n AS DOUBLE) * p) AS DECIMAL(18,9))) AS DOUBLE), 6)
+          AS stat,
+        CAST(1 AS DOUBLE) AS dof,
+        CAST(NULL AS DOUBLE) AS ci_lo, CAST(NULL AS DOUBLE) AS ci_hi
+      FROM srmj, srmt GROUP BY srm_n
+    ),
     brep AS (
       SELECT g, x, key, rep
       FROM base CROSS JOIN (
@@ -1283,6 +1302,7 @@ _Q143_W_SQL = " + ".join(
     )
     SELECT * FROM welch UNION ALL SELECT * FROM prop
     UNION ALL SELECT * FROM mw UNION ALL SELECT * FROM boot
+    UNION ALL SELECT * FROM srm
     """,
 )
 def q143_ab_test_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1305,6 +1325,7 @@ def q143_ab_test_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ironman_medallion_lakehouse_spark.operators.experiment import (
         mann_whitney_u,
         poisson_bootstrap_mean_diff,
+        srm_check,
         two_proportion_ztest,
         welch_t_test,
     )
@@ -1325,6 +1346,7 @@ def q143_ab_test_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     tt = welch_t_test(o, "o_totalprice", "variant", "a", "b")
     zz = two_proportion_ztest(o, "converted", "variant", "a", "b")
     mw = mann_whitney_u(o, "o_totalprice", "variant", "a", "b")
+    sr = srm_check(o, "variant", {"a": 0.5, "b": 0.5})
     bt = poisson_bootstrap_mean_diff(
         o,
         "o_totalprice",
@@ -1382,6 +1404,21 @@ def q143_ab_test_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(None).cast("double").alias("dof"),
                 "ci_lo",
                 "ci_hi",
+            )
+        )
+        .unionByName(
+            # SRM row: n_a carries the TOTAL assigned count, the real
+            # dof rides the dof column; per-variant counts are the
+            # welch/prop rows' n_a/n_b
+            sr.select(
+                F.lit("srm").alias("test"),
+                F.col("n").alias("n_a"),
+                F.lit(None).cast("bigint").alias("n_b"),
+                F.lit(None).cast("double").alias("est_a"),
+                F.lit(None).cast("double").alias("est_b"),
+                F.col("chi2").alias("stat"),
+                F.col("dof").cast("double").alias("dof"),
+                *nulls,
             )
         )
     )

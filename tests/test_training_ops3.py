@@ -1278,3 +1278,44 @@ def test_embedding_mean_drift_zero_mean_null(spark):
     cur = spark.createDataFrame([Row(embedding=[1.0, 1.0])])
     out = embedding_mean_drift(ref, cur).collect()[0]
     assert out.mean_cosine is None and out.norm_ratio is None
+
+
+def test_srm_check_hand_computed(spark):
+    """60/40 observed vs a 50/50 design over 100 units:
+    chi2 = 100/50 + 100/50 = 4.0 (> 3.84 -> broken randomizer)."""
+    from ironman_medallion_lakehouse_spark.operators.experiment import srm_check
+
+    rows = [Row(g="a")] * 60 + [Row(g="b")] * 40
+    out = srm_check(spark.createDataFrame(rows), "g", {"a": 0.5, "b": 0.5}).collect()[0]
+    assert (out.n, out.dof, out.chi2) == (100, 1, 4.0)
+
+
+def test_srm_check_zero_observed_variant_counts_fully(spark):
+    """A designed variant with no rows still contributes its expected
+    mass: all 30 rows in 'a' under a 50/50 design -> chi2 = 15+15."""
+    from ironman_medallion_lakehouse_spark.operators.experiment import srm_check
+
+    rows = [Row(g="a")] * 30
+    out = srm_check(spark.createDataFrame(rows), "g", {"a": 0.5, "b": 0.5}).collect()[0]
+    assert (out.n, out.chi2) == (30, 30.0)
+
+
+def test_srm_check_ignores_unknown_labels_and_validates_ratios(spark):
+    import pytest as _pytest
+
+    from ironman_medallion_lakehouse_spark.operators.experiment import srm_check
+
+    rows = [Row(g="a")] * 10 + [Row(g="b")] * 10 + [Row(g="holdout")] * 5
+    out = srm_check(spark.createDataFrame(rows), "g", {"a": 0.5, "b": 0.5}).collect()[0]
+    assert out.n == 20 and out.chi2 == 0.0
+    with _pytest.raises(ValueError, match="sum to 1"):
+        srm_check(spark.createDataFrame(rows), "g", {"a": 0.5, "b": 0.4})
+
+
+def test_srm_check_unbalanced_design(spark):
+    """90/10 design met exactly -> chi2 = 0 even though counts differ."""
+    from ironman_medallion_lakehouse_spark.operators.experiment import srm_check
+
+    rows = [Row(g="a")] * 90 + [Row(g="b")] * 10
+    out = srm_check(spark.createDataFrame(rows), "g", {"a": 0.9, "b": 0.1}).collect()[0]
+    assert out.chi2 == 0.0 and out.dof == 1
