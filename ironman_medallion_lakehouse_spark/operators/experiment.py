@@ -849,6 +849,76 @@ def welch_t_test(
     )
 
 
+def msprt_normal(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    tau2: float = 1.0,
+) -> DataFrame:
+    """Mixture Sequential Probability Ratio Test — the ALWAYS-VALID
+    inference readout (Johari, Koomen, Pekelis & Walsh, KDD 2017
+    "Peeking at A/B Tests"): unlike the fixed-horizon t/z tests, its
+    p-value may be monitored continuously and stopped on at any time
+    without inflating false positives. Normal mixture N(0, τ²) over
+    the effect, with θ̂ = mean_a − mean_b and V = s²_a/n_a + s²_b/n_b
+    (the Welch variance):
+
+        ln Λ = ½·ln(V/(V+τ²)) + θ̂²·τ²/(2·V·(V+τ²))
+        p_always_valid at this look = min(1, e^{−ln Λ})
+
+    ONE row (n_a, n_b, mean_a, mean_b, log_lambda, p_always_valid).
+    The always-valid guarantee is over the RUNNING MINIMUM of p across
+    looks — persist the min externally (one scalar per experiment);
+    this computes the current look. ``tau2`` tunes power toward the
+    effect sizes worth detecting (Johari et al. §5). NULLs when either
+    group has < 2 observations or V = 0.
+
+    Same determinism + plan as ``welch_t_test``: one map-side-combined
+    aggregate of exact decimal sums, fixed scalar double math after,
+    rounded to 6 decimals (ln Λ overflows nowhere — the exp lives only
+    inside the p clamp, where IEEE e^{−huge} → 0 identically in both
+    engines)."""
+    x = F.col(value_col).cast("decimal(12,4)")
+    g = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.when(F.col(group_col) == group_a, F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("_g")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(x * x).alias("sxx"),
+        )
+    )
+    row = g.groupBy().pivot("_g", ["a", "b"]).agg(
+        F.first("n").alias("n"), F.first("sx").alias("sx"), F.first("sxx").alias("sxx")
+    )
+    na, nb = F.col("a_n").cast("double"), F.col("b_n").cast("double")
+    ma = F.col("a_sx").cast("double") / na
+    mb = F.col("b_sx").cast("double") / nb
+    va = (F.col("a_sxx").cast("double") - na * ma * ma) / (na - 1)
+    vb = (F.col("b_sxx").cast("double") - nb * mb * mb) / (nb - 1)
+    v = va / na + vb / nb
+    t2 = F.lit(float(tau2))
+    theta = ma - mb
+    log_lam = 0.5 * F.log(v / (v + t2)) + theta * theta * t2 / (2 * v * (v + t2))
+    p = F.least(F.lit(1.0), F.exp(-log_lam))
+    ok = (na >= 2) & (nb >= 2) & (v > 0)
+    return row.select(
+        F.col("a_n").cast("bigint").alias("n_a"),
+        F.col("b_n").cast("bigint").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.when(ok, F.round(log_lam, 6)).alias("log_lambda"),
+        F.when(ok, F.round(p, 6)).alias("p_always_valid"),
+    )
+
+
 def two_proportion_ztest(
     df: DataFrame,
     success_col: str,

@@ -1100,6 +1100,10 @@ def q142_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q143_BOOT_R = 32
 _Q143_CI_Z = 1.959964
+# mSPRT mixture variance, tuned to the metric's scale (o_totalprice
+# variance-of-the-estimate is ~1e6 at sf0.01 — tau2 of the same order
+# keeps ln-Lambda in a numerically interesting range)
+_Q143_TAU2 = 1000000.0
 # Poisson(1) weight CASE shared verbatim with the Spark operator's
 # integer thresholds (experiment.POISSON1_THRESHOLDS)
 _Q143_W_SQL = " + ".join(
@@ -1219,6 +1223,22 @@ _Q143_W_SQL = " + ".join(
         CAST(NULL AS DOUBLE) AS ci_lo, CAST(NULL AS DOUBLE) AS ci_hi
       FROM mwx
     ),
+    msx AS (
+      SELECT *,
+        0.5 * ln(se2 / (se2 + 1000000.0)) + (ma_ - mb_) * (ma_ - mb_) * 1000000.0
+          / (2 * se2 * (se2 + 1000000.0)) AS ll
+      FROM w
+    ),
+    msprt AS (
+      SELECT 'msprt' AS test, CAST(n_a AS BIGINT) AS n_a,
+        CAST(n_b AS BIGINT) AS n_b,
+        ROUND(ma_, 6) AS est_a, ROUND(mb_, 6) AS est_b,
+        CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
+             THEN ROUND(ll, 6) END AS stat,
+        CAST(NULL AS DOUBLE) AS dof,
+        CAST(NULL AS DOUBLE) AS ci_lo, CAST(NULL AS DOUBLE) AS ci_hi
+      FROM msx
+    ),
     srmc AS (SELECT g, COUNT(*) AS o FROM base GROUP BY g),
     srmj AS (
       SELECT d.p, COALESCE(o, 0) AS o
@@ -1302,7 +1322,7 @@ _Q143_W_SQL = " + ".join(
     )
     SELECT * FROM welch UNION ALL SELECT * FROM prop
     UNION ALL SELECT * FROM mw UNION ALL SELECT * FROM boot
-    UNION ALL SELECT * FROM srm
+    UNION ALL SELECT * FROM srm UNION ALL SELECT * FROM msprt
     """,
 )
 def q143_ab_test_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1324,6 +1344,7 @@ def q143_ab_test_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ci_lo, ci_hi); arms without a dof/CI carry NULLs."""
     from ironman_medallion_lakehouse_spark.operators.experiment import (
         mann_whitney_u,
+        msprt_normal,
         poisson_bootstrap_mean_diff,
         srm_check,
         two_proportion_ztest,
@@ -1347,6 +1368,7 @@ def q143_ab_test_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     zz = two_proportion_ztest(o, "converted", "variant", "a", "b")
     mw = mann_whitney_u(o, "o_totalprice", "variant", "a", "b")
     sr = srm_check(o, "variant", {"a": 0.5, "b": 0.5})
+    ms = msprt_normal(o, "o_totalprice", "variant", "a", "b", tau2=_Q143_TAU2)
     bt = poisson_bootstrap_mean_diff(
         o,
         "o_totalprice",
@@ -1404,6 +1426,22 @@ def q143_ab_test_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(None).cast("double").alias("dof"),
                 "ci_lo",
                 "ci_hi",
+            )
+        )
+        .unionByName(
+            # mSPRT row: stat carries ln-Lambda (unclamped, fully
+            # hash-sensitive); the always-valid p = min(1, e^-stat)
+            # is operator-level (pytest) — the parity split has no
+            # real effect, so p legitimately clamps to 1 here
+            ms.select(
+                F.lit("msprt").alias("test"),
+                "n_a",
+                "n_b",
+                F.col("mean_a").alias("est_a"),
+                F.col("mean_b").alias("est_b"),
+                F.col("log_lambda").alias("stat"),
+                F.lit(None).cast("double").alias("dof"),
+                *nulls,
             )
         )
         .unionByName(

@@ -1319,3 +1319,42 @@ def test_srm_check_unbalanced_design(spark):
     rows = [Row(g="a")] * 90 + [Row(g="b")] * 10
     out = srm_check(spark.createDataFrame(rows), "g", {"a": 0.9, "b": 0.1}).collect()[0]
     assert out.chi2 == 0.0 and out.dof == 1
+
+
+def test_msprt_hand_computed(spark):
+    """A=[1,2,3], B=[2,4,6], tau2=1: V = se2 = 5/3;
+    lnL = 0.5*ln(V/(V+1)) + 4/(2*V*(V+1)); p = min(1, e^-lnL)."""
+    from ironman_medallion_lakehouse_spark.operators.experiment import msprt_normal
+
+    rows = [Row(g="a", v=float(x)) for x in (1, 2, 3)] + [
+        Row(g="b", v=float(x)) for x in (2, 4, 6)
+    ]
+    out = msprt_normal(spark.createDataFrame(rows), "v", "g", "a", "b", tau2=1.0).collect()[0]
+    v = 5 / 3
+    lnl = 0.5 * math.log(v / (v + 1.0)) + (2.0 - 4.0) ** 2 * 1.0 / (2 * v * (v + 1.0))
+    assert out.log_lambda == round(lnl, 6)
+    assert out.p_always_valid == round(min(1.0, math.exp(-lnl)), 6)
+
+
+def test_msprt_strong_effect_small_p(spark):
+    """A clear separation with tight variance drives the always-valid
+    p toward 0; a null effect clamps it at 1."""
+    from ironman_medallion_lakehouse_spark.operators.experiment import msprt_normal
+
+    rows = [Row(g="a", v=10.0 + (i % 3) * 0.01) for i in range(60)] + [
+        Row(g="b", v=20.0 + (i % 3) * 0.01) for i in range(60)
+    ]
+    out = msprt_normal(spark.createDataFrame(rows), "v", "g", "a", "b", tau2=1.0).collect()[0]
+    assert out.log_lambda > 10 and out.p_always_valid < 0.001
+
+    null_rows = [Row(g=g, v=float(i % 7)) for g in ("a", "b") for i in range(40)]
+    out0 = msprt_normal(spark.createDataFrame(null_rows), "v", "g", "a", "b", tau2=1.0).collect()[0]
+    assert out0.p_always_valid == 1.0  # no evidence -> don't stop
+
+
+def test_msprt_degenerate_nulls(spark):
+    from ironman_medallion_lakehouse_spark.operators.experiment import msprt_normal
+
+    rows = [Row(g="a", v=1.0), Row(g="b", v=2.0), Row(g="b", v=3.0)]
+    out = msprt_normal(spark.createDataFrame(rows), "v", "g", "a", "b").collect()[0]
+    assert out.log_lambda is None and out.p_always_valid is None
