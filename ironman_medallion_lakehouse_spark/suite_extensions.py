@@ -789,6 +789,14 @@ def _lang_score_sql(lang: str) -> str:
 _Q47_BPE_MERGES = [("r", "o"), ("ro", "w"), ("row", "</w>"), ("a", "n"),
                    ("h", "a"), ("t", "a")]
 
+# HTML shell for the strip_html battery arm: exercises block drop
+# (style+script incl. a '<' inside code), comment drop, tag removal,
+# and entity decode. Quote-free attributes keep the SQL literal clean.
+_Q47_HTML_PRE = ("<html><head><style>p{color:red}</style>"
+                 "<script>if(1<2){x=1;}</script></head><body><p>")
+_Q47_HTML_POST = ("</p><!-- nav --><a href=#>link</a> &amp; tail"
+                  "</body></html>")
+
 
 @register(
     "q47_text_battery",
@@ -882,7 +890,9 @@ _Q47_BPE_MERGES = [("r", "o"), ("ro", "w"), ("row", "</w>"), ("a", "n"),
       CAST(len({VB.bpe_tokens_sql('text', _Q47_BPE_MERGES)}) AS BIGINT)
         AS n_bpe_tokens,
       md5(array_to_string({VB.bpe_tokens_sql('text', _Q47_BPE_MERGES)}, ' '))
-        AS bpe_fp
+        AS bpe_fp,
+      md5({T.strip_html_sql("'<html><head><style>p{{color:red}}</style><script>if(1<2){{x=1;}}</script></head><body><p>' || substr(text, 1, 48) || '</p><!-- nav --><a href=#>link</a> &amp; tail</body></html>'")})
+        AS html_strip_fp
     FROM grams JOIN u5 USING (doc_id)
     """,
 )
@@ -976,6 +986,20 @@ def q47_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.array_join(VB.bpe_tokens_expr(F.col("text"), _Q47_BPE_MERGES), " ")
         ).alias("bpe_fp"),
+        # HTML-strip arm (r7c): each doc's text slice wrapped in a
+        # deterministic page shell (style/script blocks, a comment,
+        # tags, entities — every strip_html branch) and stripped; the
+        # oracle replays via text.strip_html_sql (the PII-suffix
+        # synthesize-the-input precedent — the corpus carries no HTML)
+        F.md5(
+            T.strip_html(
+                F.concat(
+                    F.lit(_Q47_HTML_PRE),
+                    F.substring(F.col("text"), 1, 48),
+                    F.lit(_Q47_HTML_POST),
+                )
+            )
+        ).alias("html_strip_fp"),
     ]
     return d.select(*cols)
 

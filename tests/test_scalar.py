@@ -107,3 +107,27 @@ def test_canonical_url_golden_cases(spark):
     got = {r.i: r.c for r in df.select("i", canonical_url("u").alias("c")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
+def test_strip_html_golden(spark):
+    from pyspark.sql import Row
+
+    from ironman_medallion_lakehouse_spark.functions.text import strip_html
+
+    cases = [
+        (
+            "<html><head><style>p{color:red}</style>"
+            "<SCRIPT type='x'>var a=1;\nif(a<2){a++}</SCRIPT></head>"
+            "<body><!-- nav\nstuff --><p>Hello &amp; welcome</p>"
+            "<a href='x'>world</a>&nbsp;&#39;quoted&#39;</body></html>",
+            "Hello & welcome world 'quoted'",
+        ),
+        ("no markup at all", "no markup at all"),
+        ("<p>multi\n  line</p>\t<div>text</div>", "multi line text"),
+        ("<noscript>enable js</noscript>real", "real"),
+        ("a &lt;tag&gt; literal &quot;q&quot;", 'a <tag> literal "q"'),
+    ]
+    df = spark.createDataFrame([Row(i=i, t=t) for i, (t, _) in enumerate(cases)])
+    got = {r.i: r.s for r in df.select("i", strip_html("t").alias("s")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
