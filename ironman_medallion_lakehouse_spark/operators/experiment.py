@@ -785,6 +785,49 @@ def ks_two_sample_kll(
     return arrays.select(F.round(d, 6).alias("d_kll"))
 
 
+def kll_quantile_grid(
+    df: DataFrame, value_col: str, k: int = 200, grid: int = 100
+) -> DataFrame:
+    """ONE row (q array<double>): a frame's KLL sketch read out at
+    ``grid``+1 evenly spaced quantiles — the materializable HALF of
+    ``ks_two_sample_kll``. A streaming gate builds the REFERENCE
+    side's grid once (or maintains the underlying sketch by merge —
+    it's mergeable) and compares every batch against it via
+    ``ks_kll_from_grids`` without ever touching reference values
+    again; per-batch cost is the batch's own sketch aggregate."""
+    sk = df.filter(F.col(value_col).isNotNull()).agg(
+        F.kll_sketch_agg_double(F.col(value_col).cast("double"), F.lit(int(k))).alias(
+            "kll"
+        )
+    )
+    ps = [i / grid for i in range(grid + 1)]
+    q = F.array(*[F.kll_sketch_get_quantile_double(F.col("kll"), F.lit(p)) for p in ps])
+    return sk.select(q.alias("q")).localCheckpoint(eager=True)
+
+
+def ks_kll_from_grids(grid_a: DataFrame, grid_b: DataFrame) -> DataFrame:
+    """D̂ from two ``kll_quantile_grid`` rows (must share the same
+    grid size): one cross of two one-row frames, all arithmetic on the
+    two arrays. ONE row (d_kll). NULL when either grid is empty/null
+    (empty input frame)."""
+    a = grid_a.select(F.col("q").alias("qa"))
+    b = grid_b.select(F.col("q").alias("qb"))
+    row = a.crossJoin(b)
+
+    def _cdf(arr: str, x, n):
+        return F.size(F.filter(F.col(arr), lambda e: e <= x)).cast("double") / n
+
+    na = F.size("qa").cast("double")
+    d = F.array_max(
+        F.transform(
+            F.concat(F.col("qa"), F.col("qb")),
+            lambda x: F.abs(_cdf("qa", x, na) - _cdf("qb", x, na)),
+        )
+    )
+    ok = F.col("qa").isNotNull() & F.col("qb").isNotNull() & (F.size("qa") > 0)
+    return row.select(F.when(ok, F.round(d, 6)).alias("d_kll"))
+
+
 def welch_t_test(
     df: DataFrame,
     value_col: str,

@@ -156,23 +156,32 @@ def streaming_dedup_ingest(
     serial section is the distinct-value domain).
 
     ``drift_test`` picks the screen: ``"ks"`` (exact two-sample KS,
-    above) or ``"psi"`` (Population Stability Index over the fixed
+    above), ``"psi"`` (Population Stability Index over the fixed
     ``drift_psi_edges`` literal bins, refusing when psi >
     ``drift_max_psi`` — the q142 battery's binned arm; it has NO
     serial section at all, the better fit when the signal is genuinely
     high-cardinality continuous, at the price of choosing bins up
-    front). The PSI quarantine row is (batch_id, n_docs, psi).
+    front), or ``"kll"`` (the fully sketched form: the reference side
+    is collapsed ONCE at stream start to a KLL quantile grid and its
+    raw values never touched again — per-batch cost is the batch's own
+    sketch aggregate, and the D̂ threshold is compared like KS's exact
+    D with the sketch's ~0.02 error band in mind). Quarantine rows:
+    PSI (batch_id, n_docs, psi); KLL (batch_id, n_docs, d_kll).
 
     Returns the streaming query; caller drives it."""
     from ironman_medallion_lakehouse_spark.operators import contamination as CO
     from ironman_medallion_lakehouse_spark.operators import dedup as D
     from ironman_medallion_lakehouse_spark.operators.experiment import (
+        kll_quantile_grid,
+        ks_kll_from_grids,
         ks_two_sample,
         psi_drift,
     )
 
-    if drift_test not in ("ks", "psi"):
-        raise ValueError(f"drift_test must be 'ks' or 'psi', got {drift_test!r}")
+    if drift_test not in ("ks", "psi", "kll"):
+        raise ValueError(
+            f"drift_test must be 'ks', 'psi' or 'kll', got {drift_test!r}"
+        )
     if drift_test == "psi" and drift_reference is not None and not drift_psi_edges:
         raise ValueError("drift_test='psi' requires drift_psi_edges")
 
@@ -189,7 +198,13 @@ def streaming_dedup_ingest(
         F.length(F.col(text_col)) if drift_signal is None else drift_signal
     )
     ref_vals = None
-    if drift_reference is not None:
+    ref_grid = None
+    if drift_reference is not None and drift_test == "kll":
+        # the sketched reference: one grid row, values never re-read
+        ref_grid = kll_quantile_grid(
+            drift_reference.select(signal.cast("double").alias("_sig")), "_sig"
+        )
+    elif drift_reference is not None:
         # reference signal values computed ONCE at stream start (the
         # reference sample is static; the bench_grams precedent)
         ref_vals = (
@@ -210,6 +225,23 @@ def streaming_dedup_ingest(
 
     def _gate_batch(batch_df, batch_id: int) -> None:
         batch_df = batch_df.dropDuplicates([id_col])
+        if ref_grid is not None:
+            cur = kll_quantile_grid(
+                batch_df.select(signal.cast("double").alias("_sig")), "_sig"
+            )
+            rows = ks_kll_from_grids(ref_grid, cur).collect()
+            r = rows[0] if rows else None  # null d (empty batch) -> admit
+            if r is not None and r.d_kll is not None and r.d_kll > drift_max_d:
+                refused = batch_df.sparkSession.createDataFrame(
+                    [(int(batch_id), int(batch_df.count()), float(r.d_kll))],
+                    "batch_id long, n_docs long, d_kll double",
+                )
+                _retrying(
+                    lambda: store.merge_insert_only(
+                        refused, drift_table, keys=["batch_id"]
+                    )
+                )
+                return  # whole batch quarantined; nothing admitted
         if ref_vals is not None:
             both = batch_df.select(
                 signal.cast("double").alias("_sig"), F.lit("new").alias("_side")

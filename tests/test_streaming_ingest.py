@@ -323,3 +323,57 @@ def test_streaming_gate_psi_requires_edges(spark, tmp_path):
             spark, store, str(tmp_path / "s"), ref.schema, str(tmp_path / "c"),
             drift_reference=ref, drift_test="psi",
         )
+
+
+def test_streaming_gate_kll_drift_arm(spark, tmp_path):
+    """drift_test='kll': the reference collapses to a sketch grid at
+    stream start; a conforming batch flows, a drifted batch is refused
+    with the recorded D matching ks_kll_from_grids on the same data."""
+    from pyspark.sql import functions as F
+
+    from ironman_medallion_lakehouse_spark.operators.experiment import (
+        kll_quantile_grid,
+        ks_kll_from_grids,
+    )
+    from ironman_medallion_lakehouse_spark.streaming.ingest import (
+        streaming_dedup_ingest,
+    )
+
+    src = str(tmp_path / "docs_src")
+    store = TableStore(spark, str(tmp_path / "wh"))
+    n_words = F.size(F.split(F.col("text"), " "))
+
+    def doc(i, nw):
+        return Row(doc_id=i, text=" ".join(f"w{i}t{j}" for j in range(nw)))
+
+    reference = spark.createDataFrame([doc(900 + i, 40 + i % 21) for i in range(30)])
+    b1 = spark.createDataFrame([doc(i, 40 + (3 * i) % 21) for i in range(1, 9)])
+    b1.write.mode("append").parquet(src)
+    query = streaming_dedup_ingest(
+        spark, store, src, b1.schema, str(tmp_path / "ckpt"),
+        bands=16, threshold=0.8,
+        drift_reference=reference, drift_signal=n_words,
+        drift_test="kll", drift_max_d=0.6,
+    )
+    try:
+        query.processAllAvailable()
+        assert store.read("corpus.documents").count() == 8
+        assert not store.table_exists("corpus.refused_batches")
+
+        b2 = spark.createDataFrame([doc(100 + i, 3 + i % 3) for i in range(8)])
+        b2.write.mode("append").parquet(src)
+        query.processAllAvailable()
+        assert store.read("corpus.documents").count() == 8
+        refused = store.read("corpus.refused_batches").collect()
+        assert len(refused) == 1 and refused[0].n_docs == 8
+        want = ks_kll_from_grids(
+            kll_quantile_grid(
+                reference.select(n_words.cast("double").alias("_sig")), "_sig"
+            ),
+            kll_quantile_grid(
+                b2.select(n_words.cast("double").alias("_sig")), "_sig"
+            ),
+        ).collect()[0]
+        assert refused[0].d_kll == want.d_kll and want.d_kll > 0.6
+    finally:
+        query.stop()
