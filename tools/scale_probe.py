@@ -20,7 +20,7 @@ exactly k× — the "k× more data at the same density" model the 100 TB
 question actually asks about. These are timed end-to-end (build +
 execute) because connected components runs jobs during construction.
 
-Usage: python tools/scale_probe.py [factor] [classic|dedup|all]
+Usage: python tools/scale_probe.py [factor] [classic|dedup|more|stats|all]
 """
 
 from __future__ import annotations
@@ -276,6 +276,62 @@ def _probe_more(spark, factor: int, out: dict) -> None:
     }
 
 
+def _probe_stats(spark, factor: int, out: dict) -> None:
+    """r7c statistics arms: Mann-Whitney (distinct-value serial
+    section, the KS discipline), PSI (no serial section), and the
+    Poisson bootstrap (compute-bound linear by design — R replicates
+    = R x one scan's weight work; the pre-expansion repartition keeps
+    the expansion stage at full width). Value domains are offset per
+    replica so the distinct-value frames genuinely grow."""
+    from ironman_medallion_lakehouse_spark.operators.experiment import (
+        mann_whitney_u,
+        poisson_bootstrap_mean_diff,
+        psi_drift,
+    )
+
+    t = load_tables(spark, SF_DIR, "events", "orders")
+
+    def rep_values(df, factor, keys, valcol):
+        if factor == 1:
+            return df
+        r = df.withColumn(
+            "_r", F.explode(F.array(*[F.lit(i) for i in range(factor)]))
+        )
+        for c in keys:
+            r = r.withColumn(c, F.col(c) + F.col("_r").cast("long") * 1_000_000_000)
+        r = r.withColumn(valcol, F.col(valcol) + F.col("_r").cast("double") * 10000.0)
+        return r.drop("_r")
+
+    shapes = {}
+    for f in (1, factor):
+        ev = rep_values(t["events"], f, ["event_id", "user_id"], "value")
+        o = _replicate(t["orders"], f, ["o_orderkey", "o_custkey"])
+        ov = o.select(
+            F.when(F.col("o_orderkey") % 2 == 0, F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("g"),
+            "o_totalprice",
+            "o_orderkey",
+        )
+        shapes.setdefault("mann_whitney_q143", {})[f] = mann_whitney_u(
+            ev, "value", "event_type", "click", "view"
+        )
+        shapes.setdefault("psi_q142", {})[f] = psi_drift(
+            ev, "value", "event_type", "click", "view",
+            [5.0, 15.0, 30.0, 50.0, 80.0, 120.0, 200.0],
+        )
+        shapes.setdefault("poisson_boot_q143", {})[f] = poisson_bootstrap_mean_diff(
+            ov, "o_totalprice", "g", "a", "b", key_col="o_orderkey", replicates=32
+        )
+    for name, d in shapes.items():
+        t1, tn = _time(d[1]), _time(d[factor])
+        out["queries"][name] = {
+            "t_1x": t1,
+            f"t_{factor}x": tn,
+            "ratio": round(tn / t1, 2) if t1 > 0 else None,
+        }
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     which = sys.argv[2] if len(sys.argv) > 2 else "all"
@@ -297,6 +353,8 @@ def main() -> None:
         _probe_dedup(spark, factor, out)
     if which in ("more", "all"):
         _probe_more(spark, factor, out)
+    if which in ("stats", "all"):
+        _probe_stats(spark, factor, out)
     print(json.dumps(out))
 
 
