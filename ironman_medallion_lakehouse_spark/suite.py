@@ -771,6 +771,13 @@ def _transitive_source_parts(fn, depth: int = 3, seen: set | None = None) -> lis
       wrapper -> suite-helper -> operator chain is still covered.
       Function-level (not file-level) hashing here keeps unrelated edits
       to the large suite modules from staling every entry they contain.
+
+    Name collection walks the function's code object AND every nested
+    code object reachable through ``co_consts`` (lambdas, comprehensions,
+    nested ``def``s), so a helper referenced only inside e.g.
+    ``sorted(xs, key=lambda r: helper(r))`` still stales the entry
+    (ADVICE r7 item 3 — the r6 blind spot stayed partially open for
+    lambda-only references).
     """
     import inspect
     import sys
@@ -783,7 +790,15 @@ def _transitive_source_parts(fn, depth: int = 3, seen: set | None = None) -> lis
     glb = getattr(fn, "__globals__", {})
     if code is None:
         return parts
-    for nm in code.co_names:
+
+    def _all_names(c, acc):
+        acc.update(c.co_names)
+        for const in c.co_consts:
+            if isinstance(const, types.CodeType):
+                _all_names(const, acc)
+        return acc
+
+    for nm in sorted(_all_names(code, set())):
         if nm.startswith(_PKG_PREFIX):
             # function-level `from pkg.mod import f` / `import pkg.mod`
             # compiles the dotted module path itself into co_names

@@ -245,6 +245,32 @@ def test_operator_edit_stales_delegating_entries(tmp_path):
     assert before != after, "operator-module edit must change the entry hash"
 
 
+def test_lambda_only_reference_reaches_helper(tmp_path):
+    """ADVICE r7 item 3: a helper referenced ONLY inside a nested
+    lambda/comprehension compiles into a child code object; name
+    collection must recurse into ``co_consts`` so the helper's source
+    still feeds the entry hash."""
+    from ironman_medallion_lakehouse_spark import suite as s
+    from ironman_medallion_lakehouse_spark.operators import experiment
+
+    glb = {"experiment": experiment, "sorted": sorted}
+    ns = {}
+    exec(
+        "def eng_lambda(xs):\n"
+        "    return sorted(xs, key=lambda r: experiment.ks_two_sample)\n"
+        "def eng_none(xs):\n"
+        "    return sorted(xs)\n",
+        glb,
+        ns,
+    )
+    parts_lambda = s._transitive_source_parts(ns["eng_lambda"])
+    parts_none = s._transitive_source_parts(ns["eng_none"])
+    assert any("operators.experiment=" in p for p in parts_lambda), (
+        "engine module referenced only inside a lambda must contribute its file hash"
+    )
+    assert not any("operators.experiment=" in p for p in parts_none)
+
+
 def test_backfilled_unknown_hash_counts_as_stale(tmp_path):
     """ADVICE r6 item 2: a rotated-out entry backfilled with an unknown
     verified-hash (``hash: null``) must be treated as stale → urgent,
