@@ -446,6 +446,17 @@ def mann_whitney_u(
 # Poisson(1) inverse-CDF thresholds on the [0, 1M) md5-uniform grid:
 # weight w = #{thresholds <= h}; integer literals shared verbatim with
 # every SQL oracle so both engines draw identical weights.
+def _shuffle_partitions_of(df) -> int:
+    """spark.sql.shuffle.partitions as an int, tolerating platforms
+    where the conf is non-numeric ('auto' under Databricks-managed AQE
+    — ADVICE r7 item 4): fall back to the input's own parallelism,
+    bounded below so a coalesced scan still fans out."""
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    except ValueError:
+        return max(df.rdd.getNumPartitions(), 32)
+
+
 POISSON1_THRESHOLDS = (367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989)
 
 
@@ -508,9 +519,7 @@ def poisson_bootstrap_mean_diff(
     # handful of tasks (measured: 3 tasks -> 412 s vs 32 -> ~3 s at 8x
     # sf0.1). Shuffling the slim base costs 1/(R+2) of the expanded
     # volume and pins the expansion stage at the configured width.
-    base = base.repartition(
-        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    )
+    base = base.repartition(_shuffle_partitions_of(df))
     reps = base.select(
         "_g",
         "_x",
@@ -806,10 +815,15 @@ def kll_quantile_grid(
 
 
 def ks_kll_from_grids(grid_a: DataFrame, grid_b: DataFrame) -> DataFrame:
-    """D̂ from two ``kll_quantile_grid`` rows (must share the same
-    grid size): one cross of two one-row frames, all arithmetic on the
-    two arrays. ONE row (d_kll). NULL when either grid is empty/null
-    (empty input frame)."""
+    """D̂ from two ``kll_quantile_grid`` rows: one cross of two one-row
+    frames, all arithmetic on the two arrays. ONE row (d_kll). NULL
+    when either grid is empty/null (empty input frame).
+
+    Each side's empirical CDF is normalized by ITS OWN grid size, so
+    grids built with different ``grid`` parameters still yield a
+    correct D̂ (ADVICE r7 item 1 — previously both sides divided by
+    |qa|, silently skewing D̂ for mismatched grids; the same-grid
+    contract lived only in the docstring)."""
     a = grid_a.select(F.col("q").alias("qa"))
     b = grid_b.select(F.col("q").alias("qb"))
     row = a.crossJoin(b)
@@ -818,13 +832,19 @@ def ks_kll_from_grids(grid_a: DataFrame, grid_b: DataFrame) -> DataFrame:
         return F.size(F.filter(F.col(arr), lambda e: e <= x)).cast("double") / n
 
     na = F.size("qa").cast("double")
+    nb = F.size("qb").cast("double")
     d = F.array_max(
         F.transform(
             F.concat(F.col("qa"), F.col("qb")),
-            lambda x: F.abs(_cdf("qa", x, na) - _cdf("qb", x, na)),
+            lambda x: F.abs(_cdf("qa", x, na) - _cdf("qb", x, nb)),
         )
     )
-    ok = F.col("qa").isNotNull() & F.col("qb").isNotNull() & (F.size("qa") > 0)
+    ok = (
+        F.col("qa").isNotNull()
+        & F.col("qb").isNotNull()
+        & (F.size("qa") > 0)
+        & (F.size("qb") > 0)
+    )
     return row.select(F.when(ok, F.round(d, 6)).alias("d_kll"))
 
 

@@ -346,6 +346,10 @@ class IvfIndex:
     def centroids_table(self) -> str:
         return f"{self.name}_centroids"
 
+    @property
+    def meta_table(self) -> str:
+        return f"{self.name}_meta"
+
     def build(
         self,
         embeddings: DataFrame,
@@ -364,6 +368,27 @@ class IvfIndex:
             self.assign_table,
             partition_by=["centroid_id"],
         )
+        # Persist the build geometry so rebuild() can default to it
+        # (ADVICE r7 item 2: a recall-maintenance rebuild must not
+        # silently change cell count because the caller forgot a kwarg).
+        spark = embeddings.sparkSession
+        meta = spark.createDataFrame(
+            [(int(n_cells), int(n_iter), id_col, vec_col)],
+            "n_cells int, n_iter int, id_col string, vec_col string",
+        )
+        self.store.save_overwrite(meta, self.meta_table)
+
+    def build_params(self) -> dict | None:
+        """The persisted build geometry (``None`` for a pre-meta index)."""
+        if not self.store.table_exists(self.meta_table):
+            return None
+        r = self.store.read(self.meta_table).collect()[0]
+        return {
+            "n_cells": r.n_cells,
+            "n_iter": r.n_iter,
+            "id_col": r.id_col,
+            "vec_col": r.vec_col,
+        }
 
     def add(
         self,
@@ -394,16 +419,28 @@ class IvfIndex:
 
     def rebuild(
         self,
-        n_cells: int = 8,
-        n_iter: int = 5,
-        id_col: str = "vec_id",
-        vec_col: str = "embedding",
+        n_cells: int | None = None,
+        n_iter: int | None = None,
+        id_col: str | None = None,
+        vec_col: str | None = None,
     ) -> None:
         """Re-cluster from the index's OWN stored vectors (the
         assignment table carries them) — run when enough ``add``
         batches have drifted the corpus away from the frozen codebook
         that probe recall degrades. One read + k-means + two
-        overwrites; no external vector source needed."""
+        overwrites; no external vector source needed.
+
+        Parameters default to the geometry persisted at build time
+        (``<name>_meta``), so a routine recall-maintenance rebuild
+        keeps the index's cell count and column names unless the
+        caller EXPLICITLY overrides them (ADVICE r7 item 2). A
+        pre-meta index (built before the meta table existed) falls
+        back to the historical defaults."""
+        saved = self.build_params() or {}
+        n_cells = n_cells if n_cells is not None else saved.get("n_cells", 8)
+        n_iter = n_iter if n_iter is not None else saved.get("n_iter", 5)
+        id_col = id_col if id_col is not None else saved.get("id_col", "vec_id")
+        vec_col = vec_col if vec_col is not None else saved.get("vec_col", "embedding")
         vectors = self.store.read(self.assign_table).select(id_col, vec_col)
         self.build(vectors, n_cells=n_cells, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
 

@@ -224,3 +224,26 @@ def test_streaming_index_ingest_embedding_drift_gate(spark, tmp_path):
         assert len(log) == 1
     finally:
         query.stop()
+
+
+def test_rebuild_defaults_to_build_geometry(spark, tmp_path):
+    """ADVICE r7 item 2: build() persists its geometry (n_cells,
+    n_iter, column names) in <name>_meta; a bare rebuild() keeps it
+    instead of silently reverting to the constructor defaults."""
+    emb = _emb(spark)
+    store = TableStore(spark, str(tmp_path / "wh"))
+    idx = IvfIndex(store, "ann.ivf")
+    idx.build(emb, n_cells=5, n_iter=3)
+    assert idx.build_params() == {
+        "n_cells": 5,
+        "n_iter": 3,
+        "id_col": "vec_id",
+        "vec_col": "embedding",
+    }
+    idx.rebuild()  # no kwargs — must keep the 5-cell geometry
+    assert store.read(idx.centroids_table).count() == 5
+    assert idx.build_params()["n_cells"] == 5
+    # an explicit override still wins and is re-persisted
+    idx.rebuild(n_cells=3)
+    assert store.read(idx.centroids_table).count() == 3
+    assert idx.build_params()["n_cells"] == 3

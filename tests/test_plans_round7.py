@@ -102,3 +102,38 @@ def test_poisson_bootstrap_no_data_sized_shuffle(spark):
         plan,
     )
     assert len(ex) <= 3, f"unexpected exchanges: {ex}"
+
+
+def test_poisson_bootstrap_tolerates_auto_shuffle_partitions(spark):
+    """ADVICE r7 item 4: platforms that set
+    spark.sql.shuffle.partitions to a non-numeric value (e.g. 'auto'
+    under Databricks AQE) must not crash the pre-expansion repartition
+    — it falls back to the input's own parallelism. Open-source Spark
+    refuses to SET a non-numeric value, so the vendor behavior is
+    exercised through a duck-typed stub."""
+    from ironman_medallion_lakehouse_spark.operators.experiment import (
+        _shuffle_partitions_of,
+    )
+
+    class _Conf:
+        def __init__(self, val):
+            self._val = val
+
+        def get(self, key, default=None):
+            return self._val
+
+    class _Stub:
+        def __init__(self, val, nparts):
+            self.sparkSession = type(
+                "S", (), {"conf": _Conf(val)}
+            )()
+            self.rdd = type("R", (), {"getNumPartitions": lambda s: nparts})()
+
+    assert _shuffle_partitions_of(_Stub("64", 4)) == 64
+    assert _shuffle_partitions_of(_Stub("auto", 4)) == 32  # floor kicks in
+    assert _shuffle_partitions_of(_Stub("auto", 96)) == 96
+    # and the real session path still resolves numerically
+    df = spark.range(10)
+    assert _shuffle_partitions_of(df) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )

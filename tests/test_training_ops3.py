@@ -1229,6 +1229,31 @@ def test_kll_ks_tracks_exact(spark):
     assert dk0 <= 0.05  # identical samples -> near-zero estimate
 
 
+def test_kll_grids_of_different_sizes(spark):
+    """ADVICE r7 item 1: ks_kll_from_grids normalizes each side's CDF
+    by its OWN grid size, so grids built with different ``grid``
+    parameters still compare correctly — identical distributions read
+    near-zero D even at 50-vs-200-point grids."""
+    from ironman_medallion_lakehouse_spark.operators.experiment import (
+        kll_quantile_grid,
+        ks_kll_from_grids,
+    )
+
+    rows = [Row(v=float((i * 13) % 211)) for i in range(4000)]
+    df = spark.createDataFrame(rows)
+    ga = kll_quantile_grid(df, "v", grid=50)
+    gb = kll_quantile_grid(df, "v", grid=200)
+    d = ks_kll_from_grids(ga, gb).collect()[0].d_kll
+    assert d is not None and d <= 0.05, d
+    # and a real separation still reads as drift across unequal grids
+    import random
+
+    random.seed(7)
+    df2 = spark.createDataFrame([Row(v=random.gauss(80, 10)) for _ in range(4000)])
+    d2 = ks_kll_from_grids(ga, kll_quantile_grid(df2, "v", grid=200)).collect()[0].d_kll
+    assert d2 > 0.3, d2
+
+
 def test_embedding_mean_drift_identical_sets(spark):
     from ironman_medallion_lakehouse_spark.operators.similarity import (
         embedding_mean_drift,
