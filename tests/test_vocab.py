@@ -116,3 +116,107 @@ def test_bpe_tokens_expr_matches_sql_replay(spark):
     )
     assert got == want
     assert got[0][:1] == ["row" + END]  # the chained 3-merge prefix fired
+
+
+def _py_serial_bpe(word_to_count, num_merges, min_pair_count=2):
+    """Classic in-memory Sennrich loop — the ground truth both Spark
+    learners must match: argmax (count desc, a asc, b asc), greedy
+    left-to-right merge."""
+    words = [(list(w) + [END], n) for w, n in word_to_count.items()]
+    merges = []
+    for _ in range(num_merges):
+        pc = {}
+        for syms, n in words:
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                pc[k] = pc.get(k, 0) + n
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if c < min_pair_count:
+            break
+        merges.append((a, b))
+        nxt = []
+        for syms, n in words:
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            nxt.append((out, n))
+        words = nxt
+    return merges
+
+
+def test_learn_bpe_batched_sennrich_equivalence(spark):
+    from ironman_medallion_lakehouse_spark.operators.vocab import learn_bpe_batched
+
+    counts = word_counts(_corpus(spark))
+    stats = {}
+    merges = learn_bpe_batched(counts, num_merges=5, stats=stats)
+    assert merges == learn_bpe(counts, num_merges=5)
+    assert merges == _py_serial_bpe(
+        {"low": 5, "lower": 2, "newest": 6, "widest": 3}, 5
+    )
+
+
+def test_learn_bpe_batched_equals_serial_on_random_corpora(spark):
+    """Property check of the batching rules (prefix / disjointness /
+    trigram bound / product-collision stop): on random small-alphabet
+    corpora — where overlapping repeats and 'aba'-style product
+    collisions actually occur — the batched learner's merge list is
+    IDENTICAL to the classic serial loop."""
+    import random
+
+    from ironman_medallion_lakehouse_spark.operators.vocab import learn_bpe_batched
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        vocab = {}
+        for _ in range(10):
+            w = "".join(rng.choice("abc") for _ in range(rng.randint(1, 5)))
+            vocab[w] = vocab.get(w, 0) + rng.randint(1, 9)
+        df = spark.createDataFrame(
+            [(w, n) for w, n in vocab.items()], "word string, n long"
+        )
+        got = learn_bpe_batched(df, num_merges=10, min_pair_count=1, max_batch=6)
+        want = _py_serial_bpe(vocab, 10, min_pair_count=1)
+        assert got == want, f"seed {seed}: {got} != {want}"
+
+
+def test_learn_bpe_batched_sync_points_per_merge_below_one(spark):
+    """The point of the dial (VERDICT r7 item 2): on a real corpus the
+    batched learner needs measurably fewer driver rounds AND fewer
+    Spark jobs than merges learned — the serial loop costs >= 1 job
+    per merge by construction."""
+    import os
+
+    from ironman_medallion_lakehouse_spark.operators.vocab import learn_bpe_batched
+
+    docs = spark.read.parquet(
+        os.path.join("/root/testdata/sf0.001", "documents.parquet")
+    )
+    counts = word_counts(docs)
+    sc = spark.sparkContext
+    sc.setJobGroup("bpe-batched-measure", "jobs-per-merge measurement")
+    try:
+        stats = {}
+        merges = learn_bpe_batched(counts, num_merges=16, max_batch=8, stats=stats)
+        jobs = len(sc.statusTracker().getJobIdsForGroup("bpe-batched-measure"))
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(merges) == 16
+    assert stats["rounds"] < len(merges), stats
+    assert jobs / len(merges) < 1.0, (jobs, len(merges))
+    sc.setJobGroup("bpe-serial-measure", "serial comparison")
+    try:
+        serial = learn_bpe(counts, num_merges=16)
+        jobs_serial = len(sc.statusTracker().getJobIdsForGroup("bpe-serial-measure"))
+    finally:
+        sc.setJobGroup(None, None)
+    # the batched result is still the exact serial result, at a
+    # fraction of the driver-coordinated jobs
+    assert merges == serial
+    assert jobs_serial / len(serial) >= 1.0  # serial's floor, for contrast
+    assert jobs < jobs_serial
