@@ -400,6 +400,48 @@ def bpe_tokens_expr(text, merges: list[tuple[str, str]], lowercase: bool = True)
     return F.flatten(F.transform(words, _tok))
 
 
+def learn_bpe_replay_sql(counts_sql: str, num_merges: int) -> str:
+    """DuckDB replay of the LEARNING loop itself (the r7 verdict's
+    oracle-slot ask): ``num_merges`` chained CTE stages, each one
+    computing the weighted adjacent-pair counts of the current symbol
+    table, taking the (count desc, a asc, b asc) argmax, and applying
+    the greedy left-to-right fold with the winning pair CROSS JOINed
+    in as columns. Returns a query yielding (step, a, b) — the same
+    ordered merge list ``learn_bpe``/``learn_bpe_batched`` produce
+    from the (word, n) table ``counts_sql`` yields. Usable for small
+    ``num_merges`` (the SQL grows linearly with it); production
+    learning stays on the distributed loop."""
+    pairs = (
+        "unnest(list_transform(generate_series(1, len(syms)-1), "
+        "i -> struct_pack(a := syms[i], b := syms[i+1]))) AS u(p)"
+    )
+    fold = (
+        "list_reduce(list_concat([CAST([] AS VARCHAR[])], "
+        "list_transform(syms, x -> [x])), "
+        "(acc, s) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.ma AND s[1] = m.mb "
+        "THEN list_concat(acc[1:len(acc)-1], [m.ma || m.mb]) "
+        "ELSE list_concat(acc, s) END)"
+    )
+    ctes = [
+        f"w0 AS (SELECT list_concat(string_split(word, ''), ['{END}']) AS syms, n"
+        f" FROM ({counts_sql}))"
+    ]
+    for i in range(1, int(num_merges) + 1):
+        ctes.append(
+            f"m{i} AS (SELECT p.a AS ma, p.b AS mb FROM ("
+            f"SELECT u.p, sum(n) AS total FROM w{i - 1}, {pairs} GROUP BY u.p) "
+            f"ORDER BY total DESC, p.a ASC, p.b ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"w{i} AS (SELECT {fold} AS syms, n FROM w{i - 1} CROSS JOIN m{i} m)"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, ma AS a, mb AS b FROM m{i}"
+        for i in range(1, int(num_merges) + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\nSELECT * FROM (" + sel + ") ORDER BY step"
+
+
 def bpe_tokens_sql(text_sql: str, merges: list[tuple[str, str]]) -> str:
     """DuckDB replay of ``bpe_tokens_expr`` for the same literal merge
     list: the greedy fold as chained list_reduce calls (seeded with an

@@ -1004,6 +1004,55 @@ def q47_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(*cols)
 
 
+# BPE LEARNING oracle entry (r8, the r7 verdict's oracle-slot ask):
+# a bounded deterministic corpus slice — first 8 whitespace words of
+# every third document — feeds the batched learner for 6 merges; the
+# oracle replays the full argmax-and-fold loop stage by stage
+# (vocab.learn_bpe_replay_sql). This driver-attests the LEARNING loop
+# itself (argmax ordering, tie-breaks, greedy fold semantics), which
+# was pytest-only through r7; production-size learning stays on
+# learn_bpe_batched whose serial-equivalence is property-tested.
+_Q144_N_MERGES = 6
+_Q144_COUNTS_SQL = """
+    SELECT word, COUNT(*) AS n FROM (
+      SELECT unnest(string_split_regex(lower(text), '\\s+')[1:8]) AS word
+      FROM documents WHERE doc_id % 3 = 0)
+    WHERE word <> '' GROUP BY word
+"""
+
+
+@register(
+    "q144_bpe_learn",
+    oracle=VB.learn_bpe_replay_sql(_Q144_COUNTS_SQL, _Q144_N_MERGES),
+)
+def q144_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge LEARNING, driver-attested end-to-end: the batched
+    learner (vocab.learn_bpe_batched — multi-merge rounds, provably
+    serial-equivalent) runs on a deterministic corpus slice and the
+    DuckDB oracle replays every argmax + greedy-fold stage. Returns
+    the ordered merge list (step, a, b) — the vocabulary artifact a
+    tokenizer ships. The corpus-sized work is the one word-count
+    pass; everything after runs on |distinct words| rows."""
+    t = load_tables(spark, sf_dir, "documents")
+    words = (
+        t["documents"]
+        .filter(F.col("doc_id") % 3 == 0)
+        .select(
+            F.explode(
+                F.slice(F.split(F.lower(F.col("text")), r"\s+"), 1, 8)
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    merges = VB.learn_bpe_batched(words, _Q144_N_MERGES, min_pair_count=1)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "step bigint, a string, b string",
+    )
+
+
 # ------------------------------------------------------- event analytics
 
 @register(
