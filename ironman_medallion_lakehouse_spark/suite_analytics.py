@@ -1042,13 +1042,46 @@ _Q142_NBINS = len(_Q142_PSI_EDGES) + 1
                   / (CAST(pnb AS DOUBLE) + 0.5 * {_Q142_NBINS})))
         AS DECIMAL(18,9))) AS DOUBLE), 6) AS psi
       FROM psic, psit
+    ),
+    embr AS (
+      SELECT side, pos, SUM(CAST(val AS DECIMAL(28,12))) AS s, COUNT(*) AS n
+      FROM (
+        SELECT CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS side,
+               unnest(generate_series(1, len(embedding))) AS pos,
+               unnest(embedding) AS val
+        FROM embeddings WHERE embedding IS NOT NULL)
+      GROUP BY side, pos
+    ),
+    embm AS (
+      SELECT pos,
+        MAX(CASE WHEN side = 'ref' THEN CAST(s AS DOUBLE) / n END) AS rm,
+        MAX(CASE WHEN side = 'cur' THEN CAST(s AS DOUBLE) / n END) AS cm
+      FROM embr GROUP BY pos
+    ),
+    embd AS (
+      SELECT SUM(CAST(rm * cm AS DECIMAL(28,12))) AS dot,
+             SUM(CAST(rm * rm AS DECIMAL(28,12))) AS nra,
+             SUM(CAST(cm * cm AS DECIMAL(28,12))) AS nrb
+      FROM embm
+    ),
+    emb AS (
+      SELECT
+        CASE WHEN nra > 0 AND nrb > 0 THEN
+          ROUND(CAST(dot AS DOUBLE)
+                / (sqrt(CAST(nra AS DOUBLE)) * sqrt(CAST(nrb AS DOUBLE))), 6)
+        END AS emb_cosine,
+        CASE WHEN nra > 0 AND nrb > 0 THEN
+          ROUND(sqrt(CAST(nrb AS DOUBLE)) / sqrt(CAST(nra AS DOUBLE)), 6)
+        END AS emb_norm_ratio
+      FROM embd
     )
     SELECT n_a, n_b, d_stat,
            ROUND(d_stat * sqrt(CAST(n_a * n_b AS DOUBLE)
                                / CAST(n_a + n_b AS DOUBLE)), 6) AS ks_stat,
            psi.psi,
-           TRUE AS d_kll_ok
-    FROM gap, psi
+           TRUE AS d_kll_ok,
+           emb.emb_cosine, emb.emb_norm_ratio
+    FROM gap, psi, emb
     """,
 )
 def q142_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1069,22 +1102,39 @@ def q142_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``d_kll_ok`` — the KS 100 TB scale path the exact form's
       docstring prescribes: D̂ from mergeable KLL quantile sketches
       (ks_two_sample_kll), pinned within 0.05 of the exact D as a
-      driver-checked boolean (the q28/q82 sketch-arm protocol)."""
+      driver-checked boolean (the q28/q82 sketch-arm protocol).
+    - ``emb_cosine``/``emb_norm_ratio`` — r8, the battery-fold policy:
+      the embedding-space drift screen (similarity.embedding_mean_drift,
+      linear-kernel MMD first moment) over a deterministic vec_id-parity
+      split of embeddings, hash-exact against the oracle's posexplode
+      dimension-sum replay — the representation-space complement of the
+      scalar-signal arms."""
     from ironman_medallion_lakehouse_spark.operators.experiment import (
         ks_two_sample,
         ks_two_sample_kll,
         psi_drift,
     )
+    from ironman_medallion_lakehouse_spark.operators.similarity import (
+        embedding_mean_drift,
+    )
 
-    t = load_tables(spark, sf_dir, "events")
+    t = load_tables(spark, sf_dir, "events", "embeddings")
     ev = t["events"]
     args = (ev, "value", "event_type", "click", "view")
     ks = ks_two_sample(*args)
     psi = psi_drift(*args, bin_edges=_Q142_PSI_EDGES).select("psi")
     dk = ks_two_sample_kll(*args)
+    e = t["embeddings"]
+    ed = embedding_mean_drift(
+        e.filter(F.col("vec_id") % 2 == 0), e.filter(F.col("vec_id") % 2 == 1)
+    ).select(
+        F.col("mean_cosine").alias("emb_cosine"),
+        F.col("norm_ratio").alias("emb_norm_ratio"),
+    )
     return (
         ks.crossJoin(F.broadcast(psi))
         .crossJoin(F.broadcast(dk))
+        .crossJoin(F.broadcast(ed))
         .select(
             "n_a",
             "n_b",
@@ -1092,6 +1142,8 @@ def q142_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_stat",
             "psi",
             (F.abs(F.col("d_kll") - F.col("d_stat")) <= 0.05).alias("d_kll_ok"),
+            "emb_cosine",
+            "emb_norm_ratio",
         )
     )
 
@@ -1320,9 +1372,63 @@ _Q143_W_SQL = " + ".join(
               n_reps >= 2 AND d0 IS NOT NULL AS bok
             FROM bagg)
     )
+    ,
+    base_eff AS (
+      SELECT g,
+             CAST(v + CASE WHEN g = 'b' THEN 25000.0 ELSE 0 END
+                  AS DECIMAL(12,4)) AS x
+      FROM base
+    ),
+    m_eff AS (
+      SELECT g, COUNT(*) AS n, SUM(x) AS sx,
+             SUM(CAST(x AS DECIMAL(19,4)) * x) AS sxx
+      FROM base_eff GROUP BY g
+    ),
+    j_eff AS (
+      SELECT CAST(ma.n AS DOUBLE) AS na, CAST(mb.n AS DOUBLE) AS nb,
+             ma.n AS n_a, mb.n AS n_b,
+             CAST(ma.sx AS DOUBLE) / CAST(ma.n AS DOUBLE) AS ma_,
+             CAST(mb.sx AS DOUBLE) / CAST(mb.n AS DOUBLE) AS mb_,
+             CAST(ma.sxx AS DOUBLE) AS sxxa, CAST(mb.sxx AS DOUBLE) AS sxxb
+      FROM (SELECT * FROM m_eff WHERE g = 'a') ma,
+           (SELECT * FROM m_eff WHERE g = 'b') mb
+    ),
+    w_eff AS (
+      SELECT *, va / na + vb / nb AS se2 FROM (
+        SELECT *,
+               (sxxa - na * ma_ * ma_) / (na - 1) AS va,
+               (sxxb - nb * mb_ * mb_) / (nb - 1) AS vb
+        FROM j_eff)
+    ),
+    welch_eff AS (
+      SELECT 'welch_t_planted' AS test, CAST(n_a AS BIGINT) AS n_a,
+             CAST(n_b AS BIGINT) AS n_b,
+             ROUND(ma_, 6) AS est_a, ROUND(mb_, 6) AS est_b,
+             CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
+                  THEN ROUND((ma_ - mb_) / sqrt(se2), 6) END AS stat,
+             CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
+                  THEN ROUND((se2 * se2) /
+                       ((va / na) * (va / na) / (na - 1)
+                        + (vb / nb) * (vb / nb) / (nb - 1)), 6) END AS dof,
+             CAST(NULL AS DOUBLE) AS ci_lo, CAST(NULL AS DOUBLE) AS ci_hi
+      FROM w_eff
+    ),
+    msprt_eff AS (
+      SELECT 'msprt_planted' AS test, CAST(n_a AS BIGINT) AS n_a,
+        CAST(n_b AS BIGINT) AS n_b,
+        ROUND(ma_, 6) AS est_a, ROUND(mb_, 6) AS est_b,
+        CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
+             THEN ROUND(0.5 * ln(se2 / (se2 + 1000000.0))
+                        + (ma_ - mb_) * (ma_ - mb_) * 1000000.0
+                          / (2 * se2 * (se2 + 1000000.0)), 6) END AS stat,
+        CAST(NULL AS DOUBLE) AS dof,
+        CAST(NULL AS DOUBLE) AS ci_lo, CAST(NULL AS DOUBLE) AS ci_hi
+      FROM w_eff
+    )
     SELECT * FROM welch UNION ALL SELECT * FROM prop
     UNION ALL SELECT * FROM mw UNION ALL SELECT * FROM boot
     UNION ALL SELECT * FROM srm UNION ALL SELECT * FROM msprt
+    UNION ALL SELECT * FROM welch_eff UNION ALL SELECT * FROM msprt_eff
     """,
 )
 def q143_ab_test_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1352,6 +1458,10 @@ def q143_ab_test_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load_tables(spark, sf_dir, "orders")
+    # ONE materialized base for all eight arms (r7 verdict item 4):
+    # without this every arm re-scans and re-projects orders — six
+    # scans in r7's plan; localCheckpoint pins the slim (variant,
+    # metric, converted, key) frame once and every arm reads it.
     o = t["orders"].select(
         F.when(F.col("o_orderkey") % 2 == 0, F.lit("a"))
         .otherwise(F.lit("b"))
@@ -1359,6 +1469,14 @@ def q143_ab_test_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice"),
         (F.col("o_orderstatus") == "F").alias("converted"),
         F.col("o_orderkey"),
+    ).localCheckpoint(eager=True)
+    # planted-effect regime (r7 verdict item 5): a deterministic +25000
+    # on variant b's metric, so welch/msprt are ALSO oracled off the
+    # null — stat far from 0, mSPRT ln-Lambda positive (p -> 0)
+    o_eff = o.withColumn(
+        "o_totalprice",
+        F.col("o_totalprice")
+        + F.when(F.col("variant") == "b", F.lit(25000.0)).otherwise(F.lit(0.0)),
     )
     nulls = [
         F.lit(None).cast("double").alias("ci_lo"),
@@ -1369,6 +1487,8 @@ def q143_ab_test_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     mw = mann_whitney_u(o, "o_totalprice", "variant", "a", "b")
     sr = srm_check(o, "variant", {"a": 0.5, "b": 0.5})
     ms = msprt_normal(o, "o_totalprice", "variant", "a", "b", tau2=_Q143_TAU2)
+    tt_eff = welch_t_test(o_eff, "o_totalprice", "variant", "a", "b")
+    ms_eff = msprt_normal(o_eff, "o_totalprice", "variant", "a", "b", tau2=_Q143_TAU2)
     bt = poisson_bootstrap_mean_diff(
         o,
         "o_totalprice",
@@ -1456,6 +1576,31 @@ def q143_ab_test_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(None).cast("double").alias("est_b"),
                 F.col("chi2").alias("stat"),
                 F.col("dof").cast("double").alias("dof"),
+                *nulls,
+            )
+        )
+        .unionByName(
+            # planted-effect rows (r8): same arms, non-null regime
+            tt_eff.select(
+                F.lit("welch_t_planted").alias("test"),
+                "n_a",
+                "n_b",
+                F.col("mean_a").alias("est_a"),
+                F.col("mean_b").alias("est_b"),
+                F.col("t_stat").alias("stat"),
+                "dof",
+                *nulls,
+            )
+        )
+        .unionByName(
+            ms_eff.select(
+                F.lit("msprt_planted").alias("test"),
+                "n_a",
+                "n_b",
+                F.col("mean_a").alias("est_a"),
+                F.col("mean_b").alias("est_b"),
+                F.col("log_lambda").alias("stat"),
+                F.lit(None).cast("double").alias("dof"),
                 *nulls,
             )
         )
