@@ -1447,7 +1447,14 @@ def q143_ab_test_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates + fixed scalar math from exact decimal/integer sums
     (the q129 discipline), mirrored expression-for-expression in the
     oracle. Shared schema (test, n_a, n_b, est_a, est_b, stat, dof,
-    ci_lo, ci_hi); arms without a dof/CI carry NULLs."""
+    ci_lo, ci_hi); arms without a dof/CI carry NULLs.
+
+    r8: all arms read ONE localCheckpoint'ed base (one orders scan
+    instead of six), and two PLANTED-EFFECT rows (welch_t_planted /
+    msprt_planted, deterministic +25000 on variant b) oracle the same
+    statistics decisively off the null — t ~ -11, ln-Lambda ~ +9.5
+    (p ~ 7e-5) at sf0.01 — closing the r7 'only the null regime is
+    oracled' gap."""
     from ironman_medallion_lakehouse_spark.operators.experiment import (
         mann_whitney_u,
         msprt_normal,
