@@ -85,6 +85,10 @@ HEADLINE = [
     # q143's A/B battery is dominated by the R=32 Poisson bootstrap,
     # the one new compute-bound-linear shape worth tracking
     "q143_ab_test_battery",
+    # r8: the batched BPE learner end-to-end (word-count pass + the
+    # multi-merge driver rounds) — the one iterative-driver-loop shape
+    # in the suite; tracks the jobs-per-merge dial's wall-clock side
+    "q144_bpe_learn",
 ]
 
 
