@@ -1028,3 +1028,174 @@ def two_proportion_ztest(
         F.round(pb, 6).alias("p_b"),
         F.when(ok, F.round(z, 6)).alias("z_stat"),
     )
+
+
+def series_params(
+    series: DataFrame,
+    t_col: str,
+    x_col: str,
+    baseline_n: int,
+    k_sd: float = 0.5,
+    h_sd: float = 4.0,
+) -> DataFrame:
+    """Baseline parameters for the sequential control charts below,
+    estimated from the FIRST ``baseline_n`` points of an ordered
+    (t, x) series: ONE row
+
+        (mu, sd, k, h)
+
+    with mu/sd the baseline mean and sample standard deviation and
+    k = k_sd·sd, h = h_sd·sd (the classic CUSUM allowance/decision
+    pair; for EWMA only mu/sd are read). sd comes from the explicit
+    sum-of-squares identity √((Σx² − (Σx)²/n)/(n−1)) rather than an
+    engine stddev aggregate, so an integer-exact series (daily event
+    counts) yields the bit-identical double in any engine that
+    replays the same formula — the q143 moment-aggregate discipline.
+
+    The series frame is ONE ROW PER TIME POINT (the caller
+    pre-aggregates raw events to per-day/per-hour grain first), so
+    every window here is bounded by the time horizon, not data size."""
+    from pyspark.sql import Window
+
+    # bounded-serial: ranks the per-time-point series (time-horizon-sized)
+    w = Window.orderBy(t_col)
+    base = (
+        series.select(F.col(t_col), F.col(x_col).cast("double").alias("_x"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(baseline_n))
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    n, sx, sxx = F.col("_n"), F.col("_sx"), F.col("_sxx")
+    sd = F.sqrt((sxx - sx * sx / n) / (n - 1))
+    return agg.select(
+        (sx / n).alias("mu"),
+        sd.alias("sd"),
+        (F.lit(float(k_sd)) * sd).alias("k"),
+        (F.lit(float(h_sd)) * sd).alias("h"),
+    )
+
+
+def cusum_changepoint(
+    series: DataFrame,
+    t_col: str,
+    x_col: str,
+    params: DataFrame,
+) -> DataFrame:
+    """One-sided (upper) CUSUM change-point detector over an ordered
+    (t, x) series — the sequential complement of the two-sample drift
+    battery: KS/PSI ask "do these two batches differ?", CUSUM asks
+    "at WHICH point did this metric's level shift?" (Page 1954), the
+    standard monitor for ingest volume / quality-score level shifts
+    between pipeline runs.
+
+    ``params`` is a ONE-ROW (mu, k, h, …) frame (``series_params``).
+    The recursion S_t = max(0, S_{t−1} + x_t − mu − k) is evaluated
+    distributively via the prefix identity S_t = RS_t − min(0,
+    min_{j≤t} RS_j) with RS the running sum of (x − mu − k): two
+    frames over ONE ordered window instead of a serial fold. ONE row:
+
+        (n_points, s_max, alarm_t)
+
+    s_max = max_t S_t (6dp), alarm_t = the 1-based index of the FIRST
+    point with S_t > h (NULL when the chart never signals). The series
+    is one row per time point, so the unpartitioned window is bounded
+    by the time horizon — same discipline as ks_two_sample's
+    distinct-value sort."""
+    from pyspark.sql import Window
+
+    s = series.select(
+        F.col(t_col).alias("_t"), F.col(x_col).cast("double").alias("_x")
+    ).crossJoin(F.broadcast(params))
+    # bounded-serial: one row per time point (time-horizon-sized series)
+    w = Window.orderBy("_t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rs = s.select(
+        "_t",
+        "h",
+        # bounded-serial: one row per time point (time-horizon-sized series)
+        F.row_number().over(Window.orderBy("_t")).alias("_i"),
+        F.sum(F.col("_x") - F.col("mu") - F.col("k")).over(w).alias("_rs"),
+    )
+    # bounded-serial: prefix min over the same time-horizon-sized sort
+    st = rs.select(
+        "_i",
+        "h",
+        (F.col("_rs") - F.least(F.lit(0.0), F.min("_rs").over(w))).alias("_s"),
+    )
+    return st.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.round(F.max("_s"), 6).alias("s_max"),
+        F.min(F.when(F.col("_s") > F.col("h"), F.col("_i")))
+        .cast("bigint")
+        .alias("alarm_t"),
+    )
+
+
+def ewma_control(
+    series: DataFrame,
+    t_col: str,
+    x_col: str,
+    params: DataFrame,
+    lam: float = 0.2,
+    limit_sd: float = 3.0,
+) -> DataFrame:
+    """EWMA control chart over an ordered (t, x) series (Roberts
+    1959): E_t = λ·x_t + (1−λ)·E_{t−1}, E_0 = mu, signalling when
+    |E_t − mu| exceeds L·sd·√(λ/(2−λ)·(1−(1−λ)^{2t})) — the
+    small-persistent-shift detector CUSUM's step-change tuning can
+    miss. ``params`` is the one-row (mu, sd, …) frame
+    (``series_params``). ONE row:
+
+        (n_points, ewma_last, alarm_t)
+
+    ewma_last = E_T (6dp), alarm_t = 1-based index of the first
+    signalling point (NULL if none). E_t is an order-sensitive fold,
+    so each row folds its own prefix via F.aggregate over a
+    collect_list — O(T²) scalar ops on a TIME-HORIZON-sized frame
+    (the caller pre-aggregates to per-day grain), never data-sized;
+    the fold sequence (λ·x + (1−λ)·acc, left-to-right) is the fixed
+    IEEE expression an oracle replays verbatim (list_reduce)."""
+    from pyspark.sql import Window
+
+    lam = float(lam)
+    s = series.select(
+        F.col(t_col).alias("_t"), F.col(x_col).cast("double").alias("_x")
+    ).crossJoin(F.broadcast(params))
+    # bounded-serial: one row per time point (time-horizon-sized series)
+    w = Window.orderBy("_t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre = s.select(
+        "mu",
+        "sd",
+        # bounded-serial: one row per time point (time-horizon-sized series)
+        F.row_number().over(Window.orderBy("_t")).alias("_i"),
+        F.collect_list("_x").over(w).alias("_xs"),
+    )
+    e = F.aggregate(
+        "_xs",
+        F.col("mu").cast("double"),
+        lambda acc, x: F.lit(lam) * x + F.lit(1.0 - lam) * acc,
+    )
+    lim = (
+        F.lit(float(limit_sd))
+        * F.col("sd")
+        * F.sqrt(
+            F.lit(lam / (2.0 - lam))
+            * (
+                F.lit(1.0)
+                - F.pow(F.lit(1.0 - lam), F.lit(2.0) * F.col("_i").cast("double"))
+            )
+        )
+    )
+    rows = pre.select(
+        "_i",
+        e.alias("_e"),
+        (F.abs(e - F.col("mu")) > lim).alias("_alarm"),
+    )
+    return rows.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.round(F.max_by("_e", "_i"), 6).alias("ewma_last"),
+        F.min(F.when(F.col("_alarm"), F.col("_i"))).cast("bigint").alias("alarm_t"),
+    )

@@ -1074,14 +1074,107 @@ _Q142_NBINS = len(_Q142_PSI_EDGES) + 1
           ROUND(sqrt(CAST(nrb AS DOUBLE)) / sqrt(CAST(nra AS DOUBLE)), 6)
         END AS emb_norm_ratio
       FROM embd
+    ),
+    dayc AS (
+      SELECT date_trunc('day', ts) AS day, COUNT(*) AS c
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    dayt AS (
+      SELECT CAST(c AS DOUBLE) AS x,
+             ROW_NUMBER() OVER (ORDER BY day) AS t
+      FROM dayc
+    ),
+    bsum AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
+      FROM dayt WHERE t <= 10
+    ),
+    parm AS (
+      SELECT sx / n AS mu,
+             sqrt((sxx - sx * sx / n) / (n - 1)) AS sd
+      FROM bsum
+    ),
+    parm2 AS (
+      SELECT mu, sd,
+             CAST(0.5 AS DOUBLE) * sd AS k,
+             CAST(4.0 AS DOUBLE) * sd AS h,
+             CAST(FLOOR(mu / 2) AS DOUBLE) AS step
+      FROM parm
+    ),
+    crs AS (
+      SELECT t, h,
+             SUM(x - mu - k) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS rs
+      FROM dayt, parm2
+    ),
+    cst AS (
+      SELECT t, h,
+             rs - LEAST(CAST(0 AS DOUBLE),
+                        MIN(rs) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) AS s
+      FROM crs
+    ),
+    cusum AS (
+      SELECT ROUND(MAX(s), 6) AS cusum_smax,
+             MIN(CASE WHEN s > h THEN t END) IS NOT NULL AS cusum_alarmed
+      FROM cst
+    ),
+    dayp AS (
+      SELECT t,
+             x + CASE WHEN t > 20 THEN step ELSE CAST(0 AS DOUBLE) END AS x,
+             mu, sd, k, h
+      FROM dayt, parm2
+    ),
+    prs AS (
+      SELECT t, h,
+             SUM(x - mu - k) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS rs
+      FROM dayp
+    ),
+    pst AS (
+      SELECT t, h,
+             rs - LEAST(CAST(0 AS DOUBLE),
+                        MIN(rs) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) AS s
+      FROM prs
+    ),
+    cusump AS (
+      SELECT ROUND(MAX(s), 6) AS cusum_smax_planted,
+             CAST(MIN(CASE WHEN s > h THEN t END) AS BIGINT)
+               AS cusum_alarm_t_planted
+      FROM pst
+    ),
+    plst AS (SELECT list(x ORDER BY t) AS xs FROM dayp),
+    erows AS (
+      SELECT t, mu, sd,
+             list_reduce(
+               list_prepend(mu, list_slice(xs, 1, t)),
+               (acc, xx) -> CAST(0.2 AS DOUBLE) * xx
+                            + CAST(0.8 AS DOUBLE) * acc) AS e
+      FROM dayp, plst
+    ),
+    erows2 AS (
+      SELECT t, e,
+             ABS(e - mu) > CAST(3.0 AS DOUBLE) * sd
+               * sqrt(CAST(0.2 AS DOUBLE) / (CAST(2.0 AS DOUBLE)
+                                             - CAST(0.2 AS DOUBLE))
+                      * (CAST(1.0 AS DOUBLE)
+                         - POW(CAST(0.8 AS DOUBLE),
+                               CAST(2.0 AS DOUBLE) * CAST(t AS DOUBLE))))
+               AS a
+      FROM erows
+    ),
+    ewmap AS (
+      SELECT ROUND(MAX_BY(e, t), 6) AS ewma_last_planted,
+             CAST(MIN(CASE WHEN a THEN t END) AS BIGINT)
+               AS ewma_alarm_t_planted
+      FROM erows2
     )
     SELECT n_a, n_b, d_stat,
            ROUND(d_stat * sqrt(CAST(n_a * n_b AS DOUBLE)
                                / CAST(n_a + n_b AS DOUBLE)), 6) AS ks_stat,
            psi.psi,
            TRUE AS d_kll_ok,
-           emb.emb_cosine, emb.emb_norm_ratio
-    FROM gap, psi, emb
+           emb.emb_cosine, emb.emb_norm_ratio,
+           cusum.cusum_smax, cusum.cusum_alarmed,
+           cusump.cusum_smax_planted, cusump.cusum_alarm_t_planted,
+           ewmap.ewma_last_planted, ewmap.ewma_alarm_t_planted
+    FROM gap, psi, emb, cusum, cusump, ewmap
     """,
 )
 def q142_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1108,15 +1201,30 @@ def q142_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
       linear-kernel MMD first moment) over a deterministic vec_id-parity
       split of embeddings, hash-exact against the oracle's posexplode
       dimension-sum replay — the representation-space complement of the
-      scalar-signal arms."""
+      scalar-signal arms.
+    - ``cusum_*``/``ewma_*`` — r8, the SEQUENTIAL complement (Page's
+      CUSUM + Roberts' EWMA control chart over the daily event-volume
+      series, experiment.cusum_changepoint / ewma_control): the
+      two-sample arms ask "do these batches differ?", these ask "at
+      which point did the level shift?". Both the real series (null
+      regime: smax + alarmed boolean) and a planted step of
+      ⌊mu/2⌋ from day 21 (alarm regime: the q143 planted-effect
+      discipline) are driver-attested; daily counts are exact
+      integers, so the baseline moments and both recursions replay
+      engine-exact in the oracle (CUSUM via the prefix-sum identity,
+      EWMA via list_reduce over the ordered day list)."""
     from ironman_medallion_lakehouse_spark.operators.experiment import (
+        cusum_changepoint,
+        ewma_control,
         ks_two_sample,
         ks_two_sample_kll,
         psi_drift,
+        series_params,
     )
     from ironman_medallion_lakehouse_spark.operators.similarity import (
         embedding_mean_drift,
     )
+    from pyspark.sql import Window
 
     t = load_tables(spark, sf_dir, "events", "embeddings")
     ev = t["events"]
@@ -1131,10 +1239,50 @@ def q142_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mean_cosine").alias("emb_cosine"),
         F.col("norm_ratio").alias("emb_norm_ratio"),
     )
+    # daily event-volume series, materialized once for the three chart
+    # calls (params + 2 CUSUM + EWMA would otherwise re-scan events)
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    params = series_params(daily, "day", "c", baseline_n=10)
+    cu = cusum_changepoint(daily, "day", "c", params).select(
+        F.col("s_max").alias("cusum_smax"),
+        F.col("alarm_t").isNotNull().alias("cusum_alarmed"),
+    )
+    # bounded-serial: one row per day (time-horizon-sized series)
+    wd = Window.orderBy("day")
+    step = params.select(
+        F.floor(F.col("mu") / 2).cast("double").alias("step")
+    )
+    dp = (
+        daily.withColumn("_t", F.row_number().over(wd))
+        .crossJoin(F.broadcast(step))
+        .select(
+            "day",
+            (
+                F.col("c").cast("double")
+                + F.when(F.col("_t") > 20, F.col("step")).otherwise(F.lit(0.0))
+            ).alias("cp"),
+        )
+    )
+    cup = cusum_changepoint(dp, "day", "cp", params).select(
+        F.col("s_max").alias("cusum_smax_planted"),
+        F.col("alarm_t").alias("cusum_alarm_t_planted"),
+    )
+    ewp = ewma_control(dp, "day", "cp", params).select(
+        F.col("ewma_last").alias("ewma_last_planted"),
+        F.col("alarm_t").alias("ewma_alarm_t_planted"),
+    )
     return (
         ks.crossJoin(F.broadcast(psi))
         .crossJoin(F.broadcast(dk))
         .crossJoin(F.broadcast(ed))
+        .crossJoin(F.broadcast(cu))
+        .crossJoin(F.broadcast(cup))
+        .crossJoin(F.broadcast(ewp))
         .select(
             "n_a",
             "n_b",
@@ -1144,6 +1292,12 @@ def q142_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("d_kll") - F.col("d_stat")) <= 0.05).alias("d_kll_ok"),
             "emb_cosine",
             "emb_norm_ratio",
+            "cusum_smax",
+            "cusum_alarmed",
+            "cusum_smax_planted",
+            "cusum_alarm_t_planted",
+            "ewma_last_planted",
+            "ewma_alarm_t_planted",
         )
     )
 
