@@ -250,6 +250,34 @@ def cohens_kappa(
     )
 
 
+def per_value_counts(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Per-distinct-value two-group counts ``(v, na_v, nb_v)`` — the
+    shared pre-aggregation the empirical-CDF statistics (``ks_two_sample``,
+    ``wasserstein_from_value_counts``) run on: a distributed hash
+    aggregate with map-side partial combine collapses the raw
+    observations to the DISTINCT VALUE domain, absorbing ties, so the
+    unavoidable ordered pass downstream sees a value-domain-sized frame
+    rather than the data. A caller computing several CDF statistics
+    materializes this ONCE (localCheckpoint) and feeds each finisher."""
+    return (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(value_col).alias("v"),
+            F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("ia"),
+            F.when(F.col(group_col) == group_b, 1).otherwise(0).alias("ib"),
+        )
+        .groupBy("v")
+        .agg(F.sum("ia").alias("na_v"), F.sum("ib").alias("nb_v"))
+    )
+
+
 def ks_two_sample(
     df: DataFrame,
     value_col: str,
@@ -290,17 +318,17 @@ def ks_two_sample(
     family); the exact form is the oracle-checkable ground truth."""
     from pyspark.sql import Window
 
-    per_value = (
-        df.filter(F.col(group_col).isin([group_a, group_b]))
-        .filter(F.col(value_col).isNotNull())
-        .select(
-            F.col(value_col).alias("v"),
-            F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("ia"),
-            F.when(F.col(group_col) == group_b, 1).otherwise(0).alias("ib"),
-        )
-        .groupBy("v")
-        .agg(F.sum("ia").alias("na_v"), F.sum("ib").alias("nb_v"))
-    )
+    per_value = per_value_counts(df, value_col, group_col, group_a, group_b)
+    return ks_from_value_counts(per_value)
+
+
+def ks_from_value_counts(per_value: DataFrame) -> DataFrame:
+    """KS finisher over a ``per_value_counts`` frame (see
+    ``ks_two_sample`` for semantics/plan) — split out so a caller
+    computing several CDF statistics shares ONE materialized
+    pre-aggregation."""
+    from pyspark.sql import Window
+
     # bounded-serial: input is the per-distinct-value aggregate; at 100 TB
     # run on a per-batch sample or KLL quantiles (docstring)
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -321,6 +349,62 @@ def ks_two_sample(
         F.sum("nb_v").over(wall).cast("bigint").alias("n_b"),
     )
     return _ks_finish(cum)
+
+
+def wasserstein_from_value_counts(per_value: DataFrame) -> DataFrame:
+    """1-D Wasserstein-1 (earth-mover) distance between the two
+    empirical distributions of a ``per_value_counts`` frame:
+
+        W₁ = ∫ |F_a(x) − F_b(x)| dx
+           = Σ_i |F_a(v_i) − F_b(v_i)| · (v_{i+1} − v_i)
+
+    over the sorted distinct values — the drift magnitude KS's sup-norm
+    cannot express: KS says HOW CONFIDENTLY the distributions differ,
+    W₁ says BY HOW MUCH in the metric's own units (mean shift, spread
+    change and tail mass all accumulate instead of maxing), which is
+    what a "quality score drifted by 3 points" alert needs. ONE row
+    (n_a, n_b, w1).
+
+    Exactness: CDF heights come from exact integer running counts over
+    the tie-absorbed distinct-value sort (the ``ks_two_sample``
+    discipline); each segment's |ΔF|·Δv is one fixed double expression
+    rounded into DECIMAL(28,12) before the order-free sum, 6dp after.
+    Plan: same shape as KS — the serial section is the distinct-value
+    sort, reused by the lead() segment width."""
+    from pyspark.sql import Window
+
+    # bounded-serial: per-distinct-value aggregate input (see ks_two_sample)
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # bounded-serial: totals/lead ride the same distinct-value sort
+    wall = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per_value.select(
+        F.col("v").cast("double").alias("_v"),
+        # bounded-serial: lead over the same distinct-value sort
+        F.lead(F.col("v").cast("double")).over(Window.orderBy("v")).alias("_nv"),
+        F.sum("na_v").over(w).alias("_ca"),
+        F.sum("nb_v").over(w).alias("_cb"),
+        F.sum("na_v").over(wall).cast("bigint").alias("n_a"),
+        F.sum("nb_v").over(wall).cast("bigint").alias("n_b"),
+    )
+    seg = F.when(
+        F.col("_nv").isNotNull(),
+        (
+            F.abs(
+                F.col("_ca").cast("double") / F.col("n_a").cast("double")
+                - F.col("_cb").cast("double") / F.col("n_b").cast("double")
+            )
+            * (F.col("_nv") - F.col("_v"))
+        ).cast("decimal(28,12)"),
+    )
+    # sum skips the last row's NULL segment; a single-distinct-value
+    # input (both distributions one point mass at the same v) is W1 = 0
+    return cum.groupBy("n_a", "n_b").agg(
+        F.round(
+            F.coalesce(F.sum(seg), F.lit(0).cast("decimal(28,12)")).cast("double"), 6
+        ).alias("w1")
+    )
 
 
 def _ks_finish(cum: DataFrame) -> DataFrame:
@@ -724,6 +808,65 @@ def psi_drift(
         .select(
             "n_a", "n_b", F.round(F.col("_psi").cast("double"), 6).alias("psi")
         )
+    )
+
+
+def js_divergence_binned(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    bin_edges: list[float],
+) -> DataFrame:
+    """Jensen-Shannon divergence between the two binned distributions
+    (Lin 1991) — PSI's bounded, symmetric sibling:
+
+        JS = ½·KL(P ‖ M) + ½·KL(Q ‖ M),   M = ½(P + Q)
+
+    in nats over the same fixed ``bin_edges`` binning and add-0.5
+    smoothing as ``psi_drift``. Always finite and ≤ ln 2 ≈ 0.6931 even
+    when a bin is empty on one side (where PSI's ln(p/q) term blows
+    up with only smoothing to save it) — the metric of choice when
+    comparing MANY batch pairs on one scale (√JS is a true metric).
+    ONE row (n_a, n_b, js).
+
+    Same exactness + plan as PSI: exact integer bin counts from one
+    map-side-combined aggregate, per-bin fixed double terms rounded
+    into DECIMAL(18,9) before the order-free B-row sum."""
+    edges = [float(e) for e in bin_edges]
+    nbins = len(edges) + 1
+    v = F.col(value_col)
+    b = F.lit(0)
+    for e in edges:
+        b = b + F.when(v >= F.lit(e), 1).otherwise(0)
+    per_bin = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .filter(v.isNotNull())
+        .select(
+            b.alias("bin"),
+            F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("ia"),
+            F.when(F.col(group_col) == group_b, 1).otherwise(0).alias("ib"),
+        )
+        .groupBy("bin")
+        .agg(F.sum("ia").alias("ca"), F.sum("ib").alias("cb"))
+    )
+    tot = per_bin.agg(
+        F.sum("ca").cast("bigint").alias("n_a"), F.sum("cb").cast("bigint").alias("n_b")
+    )
+    j = per_bin.crossJoin(F.broadcast(tot))
+    p = (F.col("ca").cast("double") + 0.5) / (
+        F.col("n_a").cast("double") + 0.5 * nbins
+    )
+    q = (F.col("cb").cast("double") + 0.5) / (
+        F.col("n_b").cast("double") + 0.5 * nbins
+    )
+    m = (p + q) / 2
+    term = (0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)).cast("decimal(18,9)")
+    return (
+        j.groupBy("n_a", "n_b")
+        .agg(F.sum(term).alias("_js"))
+        .select("n_a", "n_b", F.round(F.col("_js").cast("double"), 6).alias("js"))
     )
 
 
@@ -1198,4 +1341,192 @@ def ewma_control(
         F.count(F.lit(1)).cast("bigint").alias("n_points"),
         F.round(F.max_by("_e", "_i"), 6).alias("ewma_last"),
         F.min(F.when(F.col("_alarm"), F.col("_i"))).cast("bigint").alias("alarm_t"),
+    )
+
+
+# Abramowitz & Stegun 26.2.17 normal-CDF polynomial (|ε| < 7.5e-8),
+# shared verbatim by the Column form and the generated SQL mirror so
+# a DuckDB oracle replays the identical IEEE expression.
+_NORM_P0 = 0.2316419
+_NORM_B = (0.31938153, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def normal_p_two_sided(z) -> "F.Column":
+    """Two-sided normal p-value ``2·(1 − Φ(|z|))`` as a pure Column
+    expression — the Abramowitz & Stegun 26.2.17 polynomial
+    approximation (|ε| < 7.5·10⁻⁸, far inside the repo's 6dp rounding),
+    Horner-evaluated so the SQL mirror (``normal_p_two_sided_sql``)
+    replays the exact same multiply/add sequence. Engines ship no
+    erf()/CDF builtin portable across Spark and DuckDB; a fixed public
+    polynomial is the deterministic route."""
+    if isinstance(z, str):
+        z = F.col(z)
+    az = F.abs(z)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_NORM_P0) * az)
+    b1, b2, b3, b4, b5 = (F.lit(b) for b in _NORM_B)
+    poly = t * (b1 + t * (b2 + t * (b3 + t * (b4 + t * b5))))
+    phi = F.lit(_INV_SQRT_2PI) * F.exp(-az * az / F.lit(2.0))
+    return F.least(F.lit(1.0), F.lit(2.0) * phi * poly)
+
+
+def normal_p_two_sided_sql(z_expr: str) -> str:
+    """SQL mirror of ``normal_p_two_sided`` (generated from the same
+    constants — the strip_html_sql/bpe_tokens_sql discipline): paste
+    into a DuckDB oracle to replay the identical double arithmetic."""
+    b1, b2, b3, b4, b5 = _NORM_B
+    az = f"ABS({z_expr})"
+    t = f"(1.0 / (1.0 + {_NORM_P0} * {az}))"
+    poly = f"({t} * ({b1} + {t} * ({b2} + {t} * ({b3} + {t} * ({b4} + {t} * {b5})))))"
+    phi = f"({_INV_SQRT_2PI} * exp(-({az}) * ({az}) / 2.0))"
+    return f"LEAST(1.0, 2.0 * {phi} * {poly})"
+
+
+def bh_adjust(
+    df: DataFrame,
+    p_col: str = "p_value",
+    key_col: str = "test",
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR adjustment (Benjamini & Hochberg 1995)
+    across the rows of a small battery frame: adds
+
+        p_adj     — BH step-up adjusted p (min over j ≥ i of p_j·m/j,
+                    clamped to 1, 6dp)
+        bh_reject — p_adj ≤ alpha (the BH decision at FDR level alpha)
+
+    keyed by ``key_col`` (must be unique per row). Rows with NULL p
+    keep NULL p_adj/bh_reject and do not count toward m — a battery
+    arm without a p-value (e.g. a bootstrap CI row) passes through.
+    The multiple-testing guard a battery NEEDS: eight looks at one
+    experiment at α=0.05 false-positive ~ 1/3 of null experiments.
+
+    Plan: ranks + the reverse running min run on the BATTERY-sized
+    frame (a handful of rows by contract — callers pass the unioned
+    arm outputs, never data), then one broadcast join back. Callers
+    should MATERIALIZE the battery first (localCheckpoint — it is a
+    handful of rows): the rank subframe and the join-back otherwise
+    re-evaluate every arm's subplan."""
+    from pyspark.sql import Window
+
+    p = F.col(p_col)
+    nn = df.filter(p.isNotNull()).select(key_col, p_col)
+    # bounded-serial: battery-sized frame (one row per test arm) by contract
+    w_rank = Window.orderBy(p_col, key_col)
+    # bounded-serial: same battery-sized frame, full-frame total
+    w_all = Window.orderBy(p_col, key_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = nn.select(
+        key_col,
+        F.row_number().over(w_rank).alias("_rnk"),
+        F.count(F.lit(1)).over(w_all).alias("_m"),
+        p,
+    ).select(
+        key_col,
+        "_rnk",
+        (
+            p * F.col("_m").cast("double") / F.col("_rnk").cast("double")
+        ).alias("_raw"),
+    )
+    # bounded-serial: reverse running min over the battery-sized ranks
+    w_rev = Window.orderBy(F.col("_rnk").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    adj = ranked.select(
+        key_col,
+        F.least(F.lit(1.0), F.min("_raw").over(w_rev)).alias("_adj"),
+    )
+    return df.join(F.broadcast(adj), on=key_col, how="left").withColumns(
+        {
+            "p_adj": F.round(F.col("_adj"), 6),
+            "bh_reject": F.col("_adj") <= F.lit(float(alpha)),
+        }
+    ).drop("_adj")
+
+
+def delta_method_ratio_test(
+    df: DataFrame,
+    num_col: str,
+    den_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    ci_z: float = 1.959964,
+) -> DataFrame:
+    """Two-sample z-test on a RATIO metric R = Σnum/Σden per variant —
+    the readout for per-unit ratios (revenue per converted order,
+    clicks per session) whose denominator is itself random, where a
+    plain t-test on per-row ratios is undefined/biased. Variance by
+    the delta method (Deng, Knoblich & Lu, KDD'18 §3.1):
+
+        Var(R) ≈ (s²_u + R²·s²_w − 2·R·s_uw) / (n · w̄²)
+
+    with u = num, w = den per unit. ONE row:
+
+        (n_a, n_b, ratio_a, ratio_b, diff, z_stat, ci_lo, ci_hi)
+
+    z = (R_a − R_b)/√(V_a + V_b), CI = diff ± ci_z·√(V_a+V_b). NULL
+    stat/CI when either group has < 2 units, a zero denominator sum,
+    or zero combined variance.
+
+    Determinism (the welch_t discipline): num/den enter as
+    DECIMAL(12,4) so Σu, Σw, Σu², Σw², Σuw are exact order-free
+    decimal aggregates; everything after is fixed scalar double math
+    rounded to 6dp. Plan: ONE map-side-combined aggregate, scalar
+    output."""
+    u = F.col(num_col).cast("decimal(12,4)")
+    w = F.col(den_col).cast("decimal(12,4)")
+    g = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .filter(F.col(num_col).isNotNull() & F.col(den_col).isNotNull())
+        .groupBy(
+            F.when(F.col(group_col) == group_a, F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("_g")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(u).alias("su"),
+            F.sum(w).alias("sw"),
+            F.sum(u * u).alias("suu"),
+            F.sum(w * w).alias("sww"),
+            F.sum(u * w).alias("suw"),
+        )
+    )
+    row = g.groupBy().pivot("_g", ["a", "b"]).agg(
+        F.first("n").alias("n"),
+        F.first("su").alias("su"),
+        F.first("sw").alias("sw"),
+        F.first("suu").alias("suu"),
+        F.first("sww").alias("sww"),
+        F.first("suw").alias("suw"),
+    )
+
+    def _side(s: str):
+        n = F.col(f"{s}_n").cast("double")
+        su = F.col(f"{s}_su").cast("double")
+        sw = F.col(f"{s}_sw").cast("double")
+        mu, mw = su / n, sw / n
+        vu = (F.col(f"{s}_suu").cast("double") - n * mu * mu) / (n - 1)
+        vw = (F.col(f"{s}_sww").cast("double") - n * mw * mw) / (n - 1)
+        cuw = (F.col(f"{s}_suw").cast("double") - n * mu * mw) / (n - 1)
+        r = su / sw
+        vr = (vu + r * r * vw - 2 * r * cuw) / (n * mw * mw)
+        return n, sw, r, vr
+
+    na, swa, ra, vra = _side("a")
+    nb, swb, rb, vrb = _side("b")
+    se = F.sqrt(vra + vrb)
+    diff = ra - rb
+    ok = (na >= 2) & (nb >= 2) & (swa != 0) & (swb != 0) & (vra + vrb > 0)
+    return row.select(
+        F.col("a_n").cast("bigint").alias("n_a"),
+        F.col("b_n").cast("bigint").alias("n_b"),
+        F.when(swa != 0, F.round(ra, 6)).alias("ratio_a"),
+        F.when(swb != 0, F.round(rb, 6)).alias("ratio_b"),
+        F.when((swa != 0) & (swb != 0), F.round(diff, 6)).alias("diff"),
+        F.when(ok, F.round(diff / se, 6)).alias("z_stat"),
+        F.when(ok, F.round(diff - F.lit(float(ci_z)) * se, 6)).alias("ci_lo"),
+        F.when(ok, F.round(diff + F.lit(float(ci_z)) * se, 6)).alias("ci_hi"),
     )

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ironman_medallion_lakehouse_spark.operators import funnel as FU
 from ironman_medallion_lakehouse_spark.operators.experiment import (
     POISSON1_THRESHOLDS as _P1T,
+    normal_p_two_sided_sql as _npts_sql,
 )
 from ironman_medallion_lakehouse_spark.operators.graph import pagerank
 from ironman_medallion_lakehouse_spark.session import load_tables
@@ -1025,6 +1026,24 @@ _Q142_NBINS = len(_Q142_PSI_EDGES) + 1
                            - CAST(cb_end AS DOUBLE) / tot.n_b)), 6) AS d_stat
       FROM cum, tot GROUP BY tot.n_a, tot.n_b
     ),
+    dist AS (
+      SELECT v, SUM(ia) AS na_v, SUM(ib) AS nb_v FROM vals GROUP BY v
+    ),
+    wrun AS (
+      SELECT CAST(v AS DOUBLE) AS v,
+             LEAD(CAST(v AS DOUBLE)) OVER (ORDER BY v) AS nv,
+             SUM(na_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+             SUM(nb_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb
+      FROM dist
+    ),
+    wass AS (
+      SELECT ROUND(CAST(COALESCE(SUM(CAST(
+               ABS(CAST(ca AS DOUBLE) / CAST(tot.n_a AS DOUBLE)
+                   - CAST(cb AS DOUBLE) / CAST(tot.n_b AS DOUBLE))
+               * (nv - v) AS DECIMAL(28,12))),
+             CAST(0 AS DECIMAL(28,12))) AS DOUBLE), 6) AS w1
+      FROM wrun, tot WHERE nv IS NOT NULL
+    ),
     psic AS (
       SELECT {_Q142_BIN_SQL} AS bin, SUM(ia) AS ca, SUM(ib) AS cb
       FROM vals GROUP BY 1
@@ -1042,6 +1061,17 @@ _Q142_NBINS = len(_Q142_PSI_EDGES) + 1
                   / (CAST(pnb AS DOUBLE) + 0.5 * {_Q142_NBINS})))
         AS DECIMAL(18,9))) AS DOUBLE), 6) AS psi
       FROM psic, psit
+    ),
+    jsd AS (
+      SELECT ROUND(CAST(SUM(CAST(
+          0.5 * p * ln(p / ((p + q) / 2)) + 0.5 * q * ln(q / ((p + q) / 2))
+        AS DECIMAL(18,9))) AS DOUBLE), 6) AS js
+      FROM (SELECT
+              (CAST(ca AS DOUBLE) + 0.5)
+                / (CAST(pna AS DOUBLE) + 0.5 * {_Q142_NBINS}) AS p,
+              (CAST(cb AS DOUBLE) + 0.5)
+                / (CAST(pnb AS DOUBLE) + 0.5 * {_Q142_NBINS}) AS q
+            FROM psic, psit)
     ),
     embr AS (
       SELECT side, pos, SUM(CAST(val AS DECIMAL(28,12))) AS s, COUNT(*) AS n
@@ -1170,11 +1200,12 @@ _Q142_NBINS = len(_Q142_PSI_EDGES) + 1
                                / CAST(n_a + n_b AS DOUBLE)), 6) AS ks_stat,
            psi.psi,
            TRUE AS d_kll_ok,
+           wass.w1, jsd.js,
            emb.emb_cosine, emb.emb_norm_ratio,
            cusum.cusum_smax, cusum.cusum_alarmed,
            cusump.cusum_smax_planted, cusump.cusum_alarm_t_planted,
            ewmap.ewma_last_planted, ewmap.ewma_alarm_t_planted
-    FROM gap, psi, emb, cusum, cusump, ewmap
+    FROM gap, psi, wass, jsd, emb, cusum, cusump, ewmap
     """,
 )
 def q142_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1216,10 +1247,13 @@ def q142_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ironman_medallion_lakehouse_spark.operators.experiment import (
         cusum_changepoint,
         ewma_control,
-        ks_two_sample,
+        js_divergence_binned,
+        ks_from_value_counts,
         ks_two_sample_kll,
+        per_value_counts,
         psi_drift,
         series_params,
+        wasserstein_from_value_counts,
     )
     from ironman_medallion_lakehouse_spark.operators.similarity import (
         embedding_mean_drift,
@@ -1229,8 +1263,13 @@ def q142_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "events", "embeddings")
     ev = t["events"]
     args = (ev, "value", "event_type", "click", "view")
-    ks = ks_two_sample(*args)
+    # ONE per-distinct-value pre-aggregation feeds both empirical-CDF
+    # arms (KS + W1) — the q143 shared-base discipline
+    pv = per_value_counts(*args).localCheckpoint(eager=True)
+    ks = ks_from_value_counts(pv)
+    w1 = wasserstein_from_value_counts(pv).select("w1")
     psi = psi_drift(*args, bin_edges=_Q142_PSI_EDGES).select("psi")
+    js = js_divergence_binned(*args, bin_edges=_Q142_PSI_EDGES).select("js")
     dk = ks_two_sample_kll(*args)
     e = t["embeddings"]
     ed = embedding_mean_drift(
@@ -1277,7 +1316,9 @@ def q142_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("alarm_t").alias("ewma_alarm_t_planted"),
     )
     return (
-        ks.crossJoin(F.broadcast(psi))
+        ks.crossJoin(F.broadcast(w1))
+        .crossJoin(F.broadcast(psi))
+        .crossJoin(F.broadcast(js))
         .crossJoin(F.broadcast(dk))
         .crossJoin(F.broadcast(ed))
         .crossJoin(F.broadcast(cu))
@@ -1290,6 +1331,8 @@ def q142_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_stat",
             "psi",
             (F.abs(F.col("d_kll") - F.col("d_stat")) <= 0.05).alias("d_kll_ok"),
+            "w1",
+            "js",
             "emb_cosine",
             "emb_norm_ratio",
             "cusum_smax",
@@ -1578,12 +1621,99 @@ _Q143_W_SQL = " + ".join(
         CAST(NULL AS DOUBLE) AS dof,
         CAST(NULL AS DOUBLE) AS ci_lo, CAST(NULL AS DOUBLE) AS ci_hi
       FROM w_eff
+    ),
+    dm AS (
+      SELECT g, COUNT(*) AS n,
+             SUM(u) AS su, SUM(w) AS sw,
+             SUM(CAST(u AS DECIMAL(19,4)) * u) AS suu,
+             SUM(CAST(w AS DECIMAL(19,4)) * w) AS sww,
+             SUM(CAST(u AS DECIMAL(19,4)) * w) AS suw
+      FROM (SELECT g, CAST(x * s AS DECIMAL(12,4)) AS u,
+                   CAST(s AS DECIMAL(12,4)) AS w
+            FROM base)
+      GROUP BY g
+    ),
+    dj AS (
+      SELECT CAST(da.n AS DOUBLE) AS dna, CAST(db.n AS DOUBLE) AS dnb,
+             da.n AS n_a, db.n AS n_b,
+             CAST(da.su AS DOUBLE) AS sua, CAST(da.sw AS DOUBLE) AS swa,
+             CAST(da.suu AS DOUBLE) AS suua, CAST(da.sww AS DOUBLE) AS swwa,
+             CAST(da.suw AS DOUBLE) AS suwa,
+             CAST(db.su AS DOUBLE) AS sub, CAST(db.sw AS DOUBLE) AS swb,
+             CAST(db.suu AS DOUBLE) AS suub, CAST(db.sww AS DOUBLE) AS swwb,
+             CAST(db.suw AS DOUBLE) AS suwb
+      FROM (SELECT * FROM dm WHERE g = 'a') da,
+           (SELECT * FROM dm WHERE g = 'b') db
+    ),
+    dv AS (
+      SELECT *,
+        (suua - dna * (sua / dna) * (sua / dna)) / (dna - 1) AS vua,
+        (swwa - dna * (swa / dna) * (swa / dna)) / (dna - 1) AS vwa,
+        (suwa - dna * (sua / dna) * (swa / dna)) / (dna - 1) AS cuwa,
+        (suub - dnb * (sub / dnb) * (sub / dnb)) / (dnb - 1) AS vub,
+        (swwb - dnb * (swb / dnb) * (swb / dnb)) / (dnb - 1) AS vwb,
+        (suwb - dnb * (sub / dnb) * (swb / dnb)) / (dnb - 1) AS cuwb,
+        sua / swa AS ra, sub / swb AS rb
+      FROM dj
+    ),
+    dvr AS (
+      SELECT *,
+        (vua + ra * ra * vwa - 2 * ra * cuwa)
+          / (dna * (swa / dna) * (swa / dna)) AS vra,
+        (vub + rb * rb * vwb - 2 * rb * cuwb)
+          / (dnb * (swb / dnb) * (swb / dnb)) AS vrb
+      FROM dv
+    ),
+    delta AS (
+      SELECT 'delta_ratio' AS test, CAST(n_a AS BIGINT) AS n_a,
+        CAST(n_b AS BIGINT) AS n_b,
+        CASE WHEN swa <> 0 THEN ROUND(ra, 6) END AS est_a,
+        CASE WHEN swb <> 0 THEN ROUND(rb, 6) END AS est_b,
+        CASE WHEN dok THEN ROUND((ra - rb) / sqrt(vra + vrb), 6) END AS stat,
+        CAST(NULL AS DOUBLE) AS dof,
+        CASE WHEN dok THEN
+          ROUND(ra - rb - {_Q143_CI_Z} * sqrt(vra + vrb), 6) END AS ci_lo,
+        CASE WHEN dok THEN
+          ROUND(ra - rb + {_Q143_CI_Z} * sqrt(vra + vrb), 6) END AS ci_hi
+      FROM (SELECT *,
+              dna >= 2 AND dnb >= 2 AND swa <> 0 AND swb <> 0
+                AND vra + vrb > 0 AS dok
+            FROM dvr)
+    ),
+    battery AS (
+      SELECT * FROM welch UNION ALL SELECT * FROM prop
+      UNION ALL SELECT * FROM mw UNION ALL SELECT * FROM boot
+      UNION ALL SELECT * FROM srm UNION ALL SELECT * FROM msprt
+      UNION ALL SELECT * FROM welch_eff UNION ALL SELECT * FROM msprt_eff
+      UNION ALL SELECT * FROM delta
+    ),
+    pv AS (
+      SELECT *, ROUND(CASE
+        WHEN test IN ('welch_t', 'prop_z', 'mann_whitney',
+                      'welch_t_planted', 'delta_ratio')
+          THEN {{P_STAT}}
+        WHEN test = 'srm' THEN {{P_SQRT}}
+        WHEN test IN ('msprt', 'msprt_planted')
+          THEN LEAST(1.0, exp(-stat))
+        END, 6) AS p_value
+      FROM battery
+    ),
+    bhn AS (
+      SELECT test, p_value, COUNT(*) OVER () AS m,
+             ROW_NUMBER() OVER (ORDER BY p_value, test) AS rnk
+      FROM pv WHERE p_value IS NOT NULL
+    ),
+    bhr AS (
+      SELECT test,
+             LEAST(1.0, MIN(p_value * CAST(m AS DOUBLE) / CAST(rnk AS DOUBLE))
+               OVER (ORDER BY rnk DESC ROWS UNBOUNDED PRECEDING)) AS adj
+      FROM bhn
     )
-    SELECT * FROM welch UNION ALL SELECT * FROM prop
-    UNION ALL SELECT * FROM mw UNION ALL SELECT * FROM boot
-    UNION ALL SELECT * FROM srm UNION ALL SELECT * FROM msprt
-    UNION ALL SELECT * FROM welch_eff UNION ALL SELECT * FROM msprt_eff
-    """,
+    SELECT pv.*, ROUND(bhr.adj, 6) AS p_adj, bhr.adj <= 0.05 AS bh_reject
+    FROM pv LEFT JOIN bhr USING (test)
+    """.replace("{P_STAT}", _npts_sql("stat")).replace(
+        "{P_SQRT}", _npts_sql("sqrt(stat)")
+    ),
 )
 def q143_ab_test_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B significance battery (operators/experiment, one entry per
@@ -1608,10 +1738,29 @@ def q143_ab_test_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     msprt_planted, deterministic +25000 on variant b) oracle the same
     statistics decisively off the null — t ~ -11, ln-Lambda ~ +9.5
     (p ~ 7e-5) at sf0.01 — closing the r7 'only the null regime is
-    oracled' gap."""
+    oracled' gap.
+
+    r8 continuation, two battery-level additions:
+    - ``delta_ratio`` row — the RATIO-metric readout (revenue per
+      finalized order, experiment.delta_method_ratio_test): both
+      numerator and denominator are random per unit, so the variance
+      comes from the delta method (Deng, Knoblich & Lu KDD'18) over
+      exact decimal moment sums; est = per-variant ratio, stat = z,
+      CI on the ratio difference.
+    - ``p_value``/``p_adj``/``bh_reject`` columns — every arm's
+      two-sided p (normal via the A&S 26.2.17 polynomial shared
+      verbatim with the oracle; chi-square(1) as 2(1−Φ(√stat));
+      mSPRT's own always-valid min(1, e^{−lnΛ}); NULL for the
+      bootstrap-CI row), then Benjamini-Hochberg FDR across the
+      battery (experiment.bh_adjust) — the multiple-testing guard
+      eight simultaneous looks need. BH runs on the 6dp-rounded p's
+      so the step-up replay is engine-exact."""
     from ironman_medallion_lakehouse_spark.operators.experiment import (
+        bh_adjust,
+        delta_method_ratio_test,
         mann_whitney_u,
         msprt_normal,
+        normal_p_two_sided,
         poisson_bootstrap_mean_diff,
         srm_check,
         two_proportion_ztest,
@@ -1650,6 +1799,18 @@ def q143_ab_test_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ms = msprt_normal(o, "o_totalprice", "variant", "a", "b", tau2=_Q143_TAU2)
     tt_eff = welch_t_test(o_eff, "o_totalprice", "variant", "a", "b")
     ms_eff = msprt_normal(o_eff, "o_totalprice", "variant", "a", "b", tau2=_Q143_TAU2)
+    # ratio metric: revenue per FINALIZED order — numerator and
+    # denominator both random per unit, variance via the delta method
+    od = o.select(
+        "variant",
+        F.when(F.col("converted"), F.col("o_totalprice"))
+        .otherwise(F.lit(0))
+        .alias("rev_conv"),
+        F.col("converted").cast("int").alias("conv"),
+    )
+    dr = delta_method_ratio_test(
+        od, "rev_conv", "conv", "variant", "a", "b", ci_z=_Q143_CI_Z
+    )
     bt = poisson_bootstrap_mean_diff(
         o,
         "o_totalprice",
@@ -1661,7 +1822,7 @@ def q143_ab_test_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt="boot",
         ci_z=_Q143_CI_Z,
     )
-    return (
+    battery = (
         tt.select(
             F.lit("welch_t").alias("test"),
             "n_a",
@@ -1765,4 +1926,45 @@ def q143_ab_test_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *nulls,
             )
         )
+        .unionByName(
+            # ratio-metric arm (r8): est = per-variant revenue per
+            # finalized order, stat = delta-method z, CI on the diff
+            dr.select(
+                F.lit("delta_ratio").alias("test"),
+                "n_a",
+                "n_b",
+                F.col("ratio_a").alias("est_a"),
+                F.col("ratio_b").alias("est_b"),
+                F.col("z_stat").alias("stat"),
+                F.lit(None).cast("double").alias("dof"),
+                "ci_lo",
+                "ci_hi",
+            )
+        )
     )
+    # per-arm two-sided p (6dp, from the already-rounded stat), then
+    # Benjamini-Hochberg FDR across the battery's nine looks; the
+    # bootstrap row is a CI, not a test — NULL p, excluded from m
+    p_value = (
+        F.when(
+            F.col("test").isin(
+                "welch_t", "prop_z", "mann_whitney", "welch_t_planted", "delta_ratio"
+            ),
+            normal_p_two_sided(F.col("stat")),
+        )
+        .when(F.col("test") == "srm", normal_p_two_sided(F.sqrt(F.col("stat"))))
+        .when(
+            F.col("test").isin("msprt", "msprt_planted"),
+            F.least(F.lit(1.0), F.exp(-F.col("stat"))),
+        )
+    )
+    # materialize the NINE battery rows before BH: bh_adjust's rank
+    # subframe + join-back would otherwise re-evaluate every arm's
+    # subplan (the bootstrap explode twice), and the inlined
+    # delta-method/p-value expression trees grow past the codegen
+    # limit — checkpointing 9 rows costs nothing and keeps the entry
+    # plan scan-free downstream
+    battery = battery.withColumn("p_value", F.round(p_value, 6)).localCheckpoint(
+        eager=True
+    )
+    return bh_adjust(battery, p_col="p_value", key_col="test", alpha=0.05)
