@@ -284,9 +284,14 @@ def _probe_stats(spark, factor: int, out: dict) -> None:
     the expansion stage at full width). Value domains are offset per
     replica so the distinct-value frames genuinely grow."""
     from ironman_medallion_lakehouse_spark.operators.experiment import (
+        cusum_changepoint,
+        delta_method_ratio_test,
         mann_whitney_u,
+        per_value_counts,
         poisson_bootstrap_mean_diff,
         psi_drift,
+        series_params,
+        wasserstein_from_value_counts,
     )
 
     t = load_tables(spark, SF_DIR, "events", "orders")
@@ -322,6 +327,33 @@ def _probe_stats(spark, factor: int, out: dict) -> None:
         )
         shapes.setdefault("poisson_boot_q143", {})[f] = poisson_bootstrap_mean_diff(
             ov, "o_totalprice", "g", "a", "b", key_col="o_orderkey", replicates=32
+        )
+        # r8c: W1 shares the KS discipline — the serial section is the
+        # distinct-value frame, which the offset replicas genuinely grow
+        shapes.setdefault("wasserstein_q142", {})[f] = wasserstein_from_value_counts(
+            per_value_counts(ev, "value", "event_type", "click", "view")
+        )
+        # r8c: delta-method ratio — ONE moment aggregate, scan-bound
+        ovr = ov.select(
+            "g",
+            F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice"))
+            .otherwise(F.lit(0.0))
+            .alias("u"),
+            (F.col("o_orderkey") % 3 == 0).cast("int").alias("w"),
+        )
+        shapes.setdefault("delta_ratio_q143", {})[f] = delta_method_ratio_test(
+            ovr, "u", "w", "g", "a", "b"
+        )
+        # r8c: CUSUM on the daily series — replicas deepen each day
+        # (more events, same horizon): the realistic growth model; the
+        # serial chart section is horizon-sized and constant
+        daily = (
+            ev.filter(F.col("ts").isNotNull())
+            .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        shapes.setdefault("cusum_daily_q142", {})[f] = cusum_changepoint(
+            daily, "day", "c", series_params(daily, "day", "c", baseline_n=10)
         )
     for name, d in shapes.items():
         t1, tn = _time(d[1]), _time(d[factor])
