@@ -442,3 +442,165 @@ def streaming_index_ingest(
         .outputMode("update")
         .start()
     )
+
+
+def streaming_volume_monitor(
+    spark,
+    store,
+    source_path: str,
+    schema,
+    checkpoint_dir: str,
+    volume_table: str = "monitor.batch_volumes",
+    alerts_table: str = "monitor.volume_alerts",
+    baseline_n: int = 10,
+    k_sd: float = 0.5,
+    h_sd: float = 4.0,
+    chart: str = "cusum",
+    commit_retries: int = 5,
+):
+    """SEQUENTIAL level-shift monitor over per-batch ingest volume —
+    the control-chart complement of the two-sample drift gates: KS/PSI
+    ask "does THIS batch's distribution match the reference?", this
+    asks "has the batch-volume LEVEL shifted, and at which batch?" —
+    the screen that catches a scraper losing a source (volume drops)
+    or double-fetching (volume jumps) even when each individual
+    batch's content distribution still looks fine.
+
+    Per micro-batch: merge ONE (batch_id, n_docs) row into
+    ``volume_table`` (keyed by batch_id — replay-idempotent), then run
+    the chart over the accumulated series with baseline parameters
+    from its first ``baseline_n`` points (``series_params``). While
+    the baseline is still forming (≤ baseline_n points) no chart runs.
+    ``chart="cusum"`` runs Page's chart TWO-SIDED — the upper chart on
+    the series and the lower chart as the upper chart on the REFLECTED
+    series (x → −x, params re-estimated on the reflection: the
+    textbook S⁻ = max(0, S⁻ + mu − k − x) identity) — so both a
+    volume jump (double-fetch) and a volume drop (lost source) fire;
+    ``chart="ewma"`` is two-sided by construction (|E − mu| limit).
+    When a chart alarms, ONE alert row
+
+        (side, alarm_t, alarm_batch_id, stat, n_points)
+
+    is merged into ``alerts_table`` keyed by (side, alarm_t) with side
+    ∈ {'up', 'down'} (CUSUM) or 'both' (EWMA) — the FIRST crossing
+    index is stable while a shift persists, so a standing alarm
+    re-merges the same row instead of spamming one per batch
+    (replay-idempotent for the same reason), and because the merge is
+    insert-only the row FREEZES the chart state at first crossing:
+    ``stat`` carries s_max (CUSUM, the alarming side's) or ewma_last
+    (EWMA) as of that batch, and ``n_points`` says how long the series
+    was — re-running the chart over the first ``n_points`` recorded
+    batches reproduces ``stat`` exactly.
+
+    This is a MONITOR, not a gate: batches are never refused (a volume
+    shift means "page the operator", not "the data is bad" — refuse
+    content with the drift gates). Cost: the series is ONE ROW PER
+    MICRO-BATCH (horizon-sized by construction — hours of batches, not
+    data), so the chart's ordered pass is bounded regardless of data
+    volume; per-batch overhead is one count + one tiny merge + one
+    chart job over the volume table.
+
+    Returns the streaming query; caller drives it."""
+    from ironman_medallion_lakehouse_spark.operators.experiment import (
+        cusum_changepoint,
+        ewma_control,
+        series_params,
+    )
+
+    if chart not in ("cusum", "ewma"):
+        raise ValueError(f"chart must be 'cusum' or 'ewma', got {chart!r}")
+
+    def _retrying(fn) -> None:
+        for attempt in range(commit_retries + 1):
+            try:
+                fn()
+                return
+            except ConcurrentCommitError:
+                if attempt == commit_retries:
+                    raise
+
+    def _monitor_batch(batch_df, batch_id: int) -> None:
+        n = batch_df.count()
+        row = batch_df.sparkSession.createDataFrame(
+            [(int(batch_id), int(n))], "batch_id long, n_docs long"
+        )
+        _retrying(
+            lambda: store.merge_insert_only(row, volume_table, keys=["batch_id"])
+        )
+        series = store.read(volume_table).select("batch_id", "n_docs")
+        if series.count() <= int(baseline_n):
+            return  # baseline still forming
+        # the series is horizon-sized (one row per micro-batch) —
+        # materialize once for the param/chart passes below
+        series = series.localCheckpoint(eager=True)
+
+        def _params(s):
+            return series_params(
+                s, "batch_id", "n_docs", baseline_n=baseline_n, k_sd=k_sd, h_sd=h_sd
+            )
+
+        alarms = []  # (side, alarm_t, stat, n_points)
+        if chart == "cusum":
+            up = cusum_changepoint(series, "batch_id", "n_docs", _params(series))
+            r = next(iter(up.collect()), None)
+            if r is not None and r.alarm_t is not None:
+                alarms.append(("up", r.alarm_t, r.s_max, r.n_points))
+            # lower chart == upper chart on the reflected series
+            refl = series.select(
+                "batch_id", (-F.col("n_docs")).cast("double").alias("n_docs")
+            )
+            r = next(
+                iter(
+                    cusum_changepoint(refl, "batch_id", "n_docs", _params(refl))
+                    .collect()
+                ),
+                None,
+            )
+            if r is not None and r.alarm_t is not None:
+                alarms.append(("down", r.alarm_t, r.s_max, r.n_points))
+        else:
+            r = next(
+                iter(
+                    ewma_control(series, "batch_id", "n_docs", _params(series))
+                    .collect()
+                ),
+                None,
+            )
+            if r is not None and r.alarm_t is not None:
+                alarms.append(("both", r.alarm_t, r.ewma_last, r.n_points))
+        if not alarms:
+            return
+        # resolve the 1-based alarm indexes to actual batch ids (one
+        # tiny job over the horizon-sized series)
+        from pyspark.sql import Window
+
+        # bounded-serial: one row per micro-batch (horizon-sized series)
+        idx = {
+            int(row["_t"]): int(row["batch_id"])
+            for row in series.withColumn(
+                "_t", F.row_number().over(Window.orderBy("batch_id"))
+            )
+            .filter(F.col("_t").isin([int(t) for _, t, _, _ in alarms]))
+            .collect()
+        }
+        alert = batch_df.sparkSession.createDataFrame(
+            [
+                (side, int(t), idx.get(int(t)), float(stat), int(np))
+                for side, t, stat, np in alarms
+            ],
+            "side string, alarm_t long, alarm_batch_id long,"
+            " stat double, n_points long",
+        )
+        _retrying(
+            lambda: store.merge_insert_only(
+                alert, alerts_table, keys=["side", "alarm_t"]
+            )
+        )
+
+    stream = spark.readStream.schema(schema).format("parquet").load(source_path)
+    return (
+        stream.writeStream.foreachBatch(_monitor_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
