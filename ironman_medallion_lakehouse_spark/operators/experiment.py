@@ -626,15 +626,22 @@ def poisson_bootstrap_mean_diff(
         ).cast("bigint")
         % 1_000_000
     )
+    # let-bind h, then w, through separate projections: whole-stage
+    # codegen does NOT common-subexpression-eliminate the md5/conv tree
+    # across the 8-branch threshold chain (nor across w and w*x), so
+    # inlining h re-hashed every row up to ~17x — measured 4x slower
+    # at sf0.1 (2.95 s vs 0.74 s warm for the weight stage). Named
+    # columns are computed once per row.
+    hashed = reps.select("rep", "_g", "_x", h.alias("_h"))
     w = F.lit(0)
     for thr in POISSON1_THRESHOLDS:
-        w = w + F.when(h >= thr, 1).otherwise(0)
+        w = w + F.when(F.col("_h") >= thr, 1).otherwise(0)
     w = F.when(F.col("rep") == -1, F.lit(1)).otherwise(w)
-    weighted = reps.select(
+    weighted = hashed.select("rep", "_g", w.alias("_w"), "_x").select(
         "rep",
         "_g",
-        w.alias("_w"),
-        (w * F.col("_x")).alias("_wx"),
+        "_w",
+        (F.col("_w") * F.col("_x")).alias("_wx"),
     )
     per_rep = weighted.groupBy("rep").agg(
         F.sum(F.when(F.col("_g") == "a", F.col("_w"))).alias("nwa"),
