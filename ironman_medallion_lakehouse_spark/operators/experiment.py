@@ -780,24 +780,77 @@ def psi_drift(
     counts are exact integers from one map-side-combined aggregate;
     each bin's term is a fixed double expression rounded into
     DECIMAL(18,9) before the B-row sum (order-free). Plan: one grouped
-    count on ≤ B+? keys, one tiny total, scalar output."""
+    count on ≤ B+? keys, one tiny total, scalar output. A caller that
+    already holds a ``per_value_counts`` frame should bin THAT instead
+    (``binned_counts_from_value_counts`` → ``psi_from_bin_counts``) —
+    same exact integers, no second pass over the data."""
     edges = [float(e) for e in bin_edges]
-    nbins = len(edges) + 1
-    v = F.col(value_col)
+    return psi_from_bin_counts(
+        binned_counts(df, value_col, group_col, group_a, group_b, edges),
+        len(edges) + 1,
+    )
+
+
+def _bin_index(v, edges: list[float]):
+    """#{edges ≤ v} as a literal-threshold chain — v is a plain column
+    reference, so repeating it across branches costs nothing (unlike
+    the bootstrap's md5 tree)."""
     b = F.lit(0)
     for e in edges:
         b = b + F.when(v >= F.lit(e), 1).otherwise(0)
-    per_bin = (
+    return b
+
+
+def binned_counts(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    bin_edges: list[float],
+) -> DataFrame:
+    """Exact per-bin two-group counts ``(bin, ca, cb)`` over a fixed
+    binning — the shared pre-aggregation of the binned drift statistics
+    (PSI, binned JS): one map-side-combined grouped count on ≤ B+1
+    keys."""
+    edges = [float(e) for e in bin_edges]
+    v = F.col(value_col)
+    return (
         df.filter(F.col(group_col).isin([group_a, group_b]))
         .filter(v.isNotNull())
         .select(
-            b.alias("bin"),
+            _bin_index(v, edges).alias("bin"),
             F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("ia"),
             F.when(F.col(group_col) == group_b, 1).otherwise(0).alias("ib"),
         )
         .groupBy("bin")
         .agg(F.sum("ia").alias("ca"), F.sum("ib").alias("cb"))
     )
+
+
+def binned_counts_from_value_counts(
+    per_value: DataFrame, bin_edges: list[float]
+) -> DataFrame:
+    """Per-bin counts derived from a ``per_value_counts`` frame: bin
+    the DISTINCT VALUES and sum their exact integer counts — identical
+    to ``binned_counts`` on the raw rows, but the pass runs over the
+    value domain, so a caller sharing one materialized pre-aggregation
+    across the CDF arms (KS, W1) feeds the binned arms (PSI, JS) from
+    it for free instead of re-scanning the data."""
+    edges = [float(e) for e in bin_edges]
+    return (
+        per_value.select(
+            _bin_index(F.col("v"), edges).alias("bin"), "na_v", "nb_v"
+        )
+        .groupBy("bin")
+        .agg(F.sum("na_v").alias("ca"), F.sum("nb_v").alias("cb"))
+    )
+
+
+def psi_from_bin_counts(per_bin: DataFrame, nbins: int) -> DataFrame:
+    """PSI finisher over a ``binned_counts`` frame (see ``psi_drift``
+    for semantics) — split out so a caller computing several binned
+    statistics shares one pre-aggregation."""
     tot = per_bin.agg(
         F.sum("ca").cast("bigint").alias("n_a"), F.sum("cb").cast("bigint").alias("n_b")
     )
@@ -840,24 +893,19 @@ def js_divergence_binned(
 
     Same exactness + plan as PSI: exact integer bin counts from one
     map-side-combined aggregate, per-bin fixed double terms rounded
-    into DECIMAL(18,9) before the order-free B-row sum."""
+    into DECIMAL(18,9) before the order-free B-row sum. Same shared
+    pre-aggregation path as PSI: from a ``per_value_counts`` frame use
+    ``binned_counts_from_value_counts`` → ``js_from_bin_counts``."""
     edges = [float(e) for e in bin_edges]
-    nbins = len(edges) + 1
-    v = F.col(value_col)
-    b = F.lit(0)
-    for e in edges:
-        b = b + F.when(v >= F.lit(e), 1).otherwise(0)
-    per_bin = (
-        df.filter(F.col(group_col).isin([group_a, group_b]))
-        .filter(v.isNotNull())
-        .select(
-            b.alias("bin"),
-            F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("ia"),
-            F.when(F.col(group_col) == group_b, 1).otherwise(0).alias("ib"),
-        )
-        .groupBy("bin")
-        .agg(F.sum("ia").alias("ca"), F.sum("ib").alias("cb"))
+    return js_from_bin_counts(
+        binned_counts(df, value_col, group_col, group_a, group_b, edges),
+        len(edges) + 1,
     )
+
+
+def js_from_bin_counts(per_bin: DataFrame, nbins: int) -> DataFrame:
+    """Binned-JS finisher over a ``binned_counts`` frame (see
+    ``js_divergence_binned`` for semantics)."""
     tot = per_bin.agg(
         F.sum("ca").cast("bigint").alias("n_a"), F.sum("cb").cast("bigint").alias("n_b")
     )

@@ -1245,13 +1245,14 @@ def q142_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
       engine-exact in the oracle (CUSUM via the prefix-sum identity,
       EWMA via list_reduce over the ordered day list)."""
     from ironman_medallion_lakehouse_spark.operators.experiment import (
+        binned_counts_from_value_counts,
         cusum_changepoint,
         ewma_control,
-        js_divergence_binned,
+        js_from_bin_counts,
         ks_from_value_counts,
         ks_two_sample_kll,
         per_value_counts,
-        psi_drift,
+        psi_from_bin_counts,
         series_params,
         wasserstein_from_value_counts,
     )
@@ -1264,12 +1265,16 @@ def q142_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t["events"]
     args = (ev, "value", "event_type", "click", "view")
     # ONE per-distinct-value pre-aggregation feeds both empirical-CDF
-    # arms (KS + W1) — the q143 shared-base discipline
+    # arms (KS + W1) AND — binned down the value domain, identical
+    # exact integers — both binned arms (PSI + JS): four statistics,
+    # one pass over the data (the q143 shared-base discipline)
     pv = per_value_counts(*args).localCheckpoint(eager=True)
     ks = ks_from_value_counts(pv)
     w1 = wasserstein_from_value_counts(pv).select("w1")
-    psi = psi_drift(*args, bin_edges=_Q142_PSI_EDGES).select("psi")
-    js = js_divergence_binned(*args, bin_edges=_Q142_PSI_EDGES).select("js")
+    per_bin = binned_counts_from_value_counts(pv, _Q142_PSI_EDGES)
+    nbins = len(_Q142_PSI_EDGES) + 1
+    psi = psi_from_bin_counts(per_bin, nbins).select("psi")
+    js = js_from_bin_counts(per_bin, nbins).select("js")
     dk = ks_two_sample_kll(*args)
     e = t["embeddings"]
     ed = embedding_mean_drift(
