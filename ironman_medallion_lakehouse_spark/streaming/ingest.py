@@ -574,10 +574,10 @@ def streaming_volume_monitor(
         # tiny job over the horizon-sized series)
         from pyspark.sql import Window
 
-        # bounded-serial: one row per micro-batch (horizon-sized series)
         idx = {
             int(row["_t"]): int(row["batch_id"])
             for row in series.withColumn(
+                # bounded-serial: one row per micro-batch (horizon-sized series)
                 "_t", F.row_number().over(Window.orderBy("batch_id"))
             )
             .filter(F.col("_t").isin([int(t) for _, t, _, _ in alarms]))
