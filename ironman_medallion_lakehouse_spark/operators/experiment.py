@@ -437,6 +437,111 @@ def _ks_finish(cum: DataFrame) -> DataFrame:
     )
 
 
+def quantile_treatment_effects(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    probs: list[float] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Quantile treatment effects — the DISTRIBUTIONAL A/B readout the
+    mean-based arms can't give: at each probability p, the difference
+    of the two variants' exact empirical quantiles,
+
+        QTE(p) = Q_b(p) − Q_a(p)
+
+    (Koenker & Bassett's quantile-regression estimand specialized to a
+    binary treatment with no covariates). A treatment that fattens the
+    tail moves QTE(0.9) but not QTE(0.5); one that lifts everyone
+    moves every p by the same amount — the shape a single
+    mean-difference or even Mann-Whitney z collapses. One row per p:
+
+        (p, n_a, n_b, q_a, q_b, qte)
+
+    Quantile definition: type-1 / inverted CDF — Q(p) = min{v : #{x ≤
+    v} ≥ ⌈p·n⌉} (numpy's ``method='inverted_cdf'``), the only
+    definition that is EXACT on ties and engine-portable: thresholds
+    ⌈p·n⌉ are computed in decimal (p is a 6dp literal), so both
+    engines compare the same integers — no interpolation arithmetic to
+    disagree over. p ∈ (0, 1].
+
+    Plan (the KS/W1 discipline): ONE ``per_value_counts``
+    pre-aggregation collapses the data to per-distinct-value integer
+    counts, one ordered pass builds both running CDFs, then ALL
+    requested quantiles come from a single aggregate — one conditional
+    MIN per (p, group), the p's being literals — and one ``stack`` to
+    long form. Zero joins, no per-p passes; the serial section is the
+    distinct-value sort shared with KS/W1 (a caller holding a
+    materialized ``per_value_counts`` frame uses
+    ``qte_from_value_counts`` directly)."""
+    pv = per_value_counts(df, value_col, group_col, group_a, group_b)
+    return qte_from_value_counts(pv, probs)
+
+
+def qte_from_value_counts(
+    per_value: DataFrame, probs: list[float] = (0.25, 0.5, 0.75)
+) -> DataFrame:
+    """QTE finisher over a ``per_value_counts`` frame (see
+    ``quantile_treatment_effects`` for semantics/plan)."""
+    from pyspark.sql import Window
+
+    ps = [round(float(p), 6) for p in probs]
+    if not ps or any(p <= 0 or p > 1 for p in ps):
+        raise ValueError(f"probs must be in (0, 1], got {list(probs)}")
+    if len(set(ps)) != len(ps):
+        raise ValueError(f"probs must be distinct at 6dp, got {list(probs)}")
+    # bounded-serial: per-distinct-value aggregate input (see ks_two_sample)
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # bounded-serial: totals ride the same distinct-value sort
+    wall = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per_value.select(
+        "v",
+        F.sum("na_v").over(w).alias("ca_end"),
+        F.sum("nb_v").over(w).alias("cb_end"),
+        F.sum("na_v").over(wall).cast("bigint").alias("n_a"),
+        F.sum("nb_v").over(wall).cast("bigint").alias("n_b"),
+    )
+
+    def _q(side: str, p: float):
+        # threshold ⌈p·n⌉ in exact decimal; the min over qualifying
+        # distinct values IS the type-1 quantile. n = 0 would make the
+        # threshold 0 and every row qualify — an empty group reads NULL
+        n = F.col("n_a" if side == "a" else "n_b")
+        cnt = F.col("ca_end" if side == "a" else "cb_end")
+        t = F.ceil(F.lit(f"{p:.6f}").cast("decimal(10,6)") * n)
+        return F.min(F.when((n > 0) & (cnt >= t), F.col("v"))).alias(
+            f"_{side}{_pkey(p)}"
+        )
+
+    wide = cum.groupBy("n_a", "n_b").agg(
+        *[_q("a", p) for p in ps], *[_q("b", p) for p in ps]
+    )
+    pairs = ", ".join(
+        f"cast({p:.6f} as double), _a{_pkey(p)}, _b{_pkey(p)}" for p in ps
+    )
+    long = wide.select(
+        "n_a",
+        "n_b",
+        F.expr(f"stack({len(ps)}, {pairs}) as (p, _qa, _qb)"),
+    )
+    qa, qb = F.col("_qa").cast("double"), F.col("_qb").cast("double")
+    return long.select(
+        "p",
+        "n_a",
+        "n_b",
+        F.round(qa, 6).alias("q_a"),
+        F.round(qb, 6).alias("q_b"),
+        F.round(qb - qa, 6).alias("qte"),
+    ).orderBy("p")
+
+
+def _pkey(p: float) -> str:
+    return f"{p:.6f}".replace(".", "_")
+
+
 def mann_whitney_u(
     df: DataFrame,
     value_col: str,
