@@ -64,33 +64,27 @@ from pyspark.sql.types import StringType, StructField, StructType
 _CORRUPT = "_jsonl_corrupt"
 
 
-def read_jsonl(
-    spark: SparkSession,
-    path: str,
-    schema: StructType,
-    drop_blank_lines: bool = True,
-) -> DataFrame:
-    """Parse a JSONL path (file, directory, or glob) against an
-    explicit ``schema``. Output columns: every schema field, then
-    ``_source_file``, ``_malformed``, ``_raw`` (see module docstring
-    for the line-level quarantine contract)."""
+def _validate_schema(schema: StructType) -> None:
     if not isinstance(schema, StructType) or len(schema.fields) == 0:
         raise ValueError("read_jsonl requires a non-empty explicit StructType schema")
     reserved = {"_source_file", "_malformed", "_raw", "_parsed", _CORRUPT}
     clash = reserved & {f.name for f in schema.fields}
     if clash:
         raise ValueError(f"schema field names collide with reserved columns: {sorted(clash)}")
+
+
+def _parse_lines(
+    lines: DataFrame, schema: StructType, drop_blank_lines: bool
+) -> DataFrame:
+    """The shared batch/stream parse: (_source_file, value) lines →
+    schema fields + (_source_file, _malformed, _raw)."""
+    if drop_blank_lines:
+        lines = lines.filter(F.length(F.trim(F.col("value"))) > 0)
     # PERMISSIVE from_json signals every parse problem (garbage line,
     # truncation, type-drifted field) by filling this extra field with
     # the offending input; it never returns a NULL struct, so the
     # corrupt field IS the malformed test
     parse_schema = StructType(list(schema.fields) + [StructField(_CORRUPT, StringType())])
-    lines = spark.read.text(path).select(
-        F.col("_metadata.file_path").alias("_source_file"),
-        F.col("value"),
-    )
-    if drop_blank_lines:
-        lines = lines.filter(F.length(F.trim(F.col("value"))) > 0)
     parsed = lines.select(
         "_source_file",
         "value",
@@ -112,6 +106,52 @@ def read_jsonl(
         malformed.alias("_malformed"),
         F.when(malformed, F.col("value")).alias("_raw"),
     )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    drop_blank_lines: bool = True,
+) -> DataFrame:
+    """Parse a JSONL path (file, directory, or glob) against an
+    explicit ``schema``. Output columns: every schema field, then
+    ``_source_file``, ``_malformed``, ``_raw`` (see module docstring
+    for the line-level quarantine contract)."""
+    _validate_schema(schema)
+    lines = spark.read.text(path).select(
+        F.col("_metadata.file_path").alias("_source_file"),
+        F.col("value"),
+    )
+    return _parse_lines(lines, schema, drop_blank_lines)
+
+
+def read_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    drop_blank_lines: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``read_jsonl`` — same parse, same output
+    contract, over ``readStream.text`` file discovery: new .jsonl
+    files dropped into ``path`` become micro-batches, so a crawl
+    landing zone feeds the streaming gates (dedup/drift screens,
+    volume monitor) directly with the quarantine columns intact —
+    a gate's foreachBatch can merge clean rows and quarantined raw
+    lines to separate keyed tables in the same transaction style as
+    streaming_dedup_ingest. ``max_files_per_trigger`` bounds batch
+    size (an unbounded first batch over a deep landing zone is the
+    classic cold-start stall)."""
+    _validate_schema(schema)
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    lines = reader.text(path).select(
+        F.col("_metadata.file_path").alias("_source_file"),
+        F.col("value"),
+    )
+    return _parse_lines(lines, schema, drop_blank_lines)
 
 
 def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -103,3 +103,41 @@ def test_parse_is_deterministic_under_repartition(spark, tmp_path):
     assert sorted(map(key, a.collect()), key=str) == sorted(
         map(key, b.collect()), key=str
     )
+
+
+def test_streaming_twin_same_contract(spark, tmp_path):
+    """read_jsonl_stream over a landing directory: each dropped file
+    becomes a micro-batch with the SAME columns and quarantine
+    boundary as the batch reader."""
+    from ironman_medallion_lakehouse_spark.sources.jsonl import read_jsonl_stream
+
+    land = tmp_path / "land"
+    land.mkdir()
+    _write(land, "f0.jsonl", [GOOD[0]])
+    stream = read_jsonl_stream(spark, str(land), SCHEMA, max_files_per_trigger=1)
+    assert stream.isStreaming
+    out = str(tmp_path / "out")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("jsonl_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(land, "f1.jsonl", [GOOD[1], GARBAGE])
+        q.processAllAvailable()
+        got = spark.sql("select * from jsonl_sink").collect()
+        assert len(got) == 3
+        batch_reader = {
+            (r.doc_id, r._malformed, r._raw) for r in got
+        }
+        assert (1, False, None) in batch_reader
+        assert (2, False, None) in batch_reader
+        assert (None, True, GARBAGE) in batch_reader
+        assert stream.columns == [
+            "doc_id", "text", "lang", "_source_file", "_malformed", "_raw",
+        ]
+    finally:
+        q.stop()
