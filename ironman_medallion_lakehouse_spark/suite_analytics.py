@@ -1354,6 +1354,7 @@ def q142_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q143_BOOT_R = 32
 _Q143_CI_Z = 1.959964
+_Q143_QTE_PROBS = (0.25, 0.5, 0.75)
 # mSPRT mixture variance, tuned to the metric's scale (o_totalprice
 # variance-of-the-estimate is ~1e6 at sf0.01 — tau2 of the same order
 # keeps ln-Lambda in a numerically interesting range)
@@ -1685,12 +1686,48 @@ _Q143_W_SQL = " + ".join(
                 AND vra + vrb > 0 AS dok
             FROM dvr)
     ),
+    qcum AS (
+      -- QTE rides Mann-Whitney's per-distinct-value frame: running
+      -- and total counts per group over the value sort
+      SELECT v,
+        SUM(na_v) OVER (
+          ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        SUM(nb_v) OVER (
+          ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+        SUM(na_v) OVER () AS qna,
+        SUM(nb_v) OVER () AS qnb
+      FROM mwpv
+    ),
+    qte AS (
+      -- type-1 quantile: min v with cum count >= ceil(p * n), the
+      -- threshold in exact decimal (experiment.qte_from_value_counts)
+      SELECT lbl AS test,
+        CAST(MAX(qna) AS BIGINT) AS n_a,
+        CAST(MAX(qnb) AS BIGINT) AS n_b,
+        ROUND(CAST(MIN(CASE WHEN qna > 0 AND
+            ca >= CEIL(CAST(p AS DECIMAL(10,6)) * qna) THEN v END)
+          AS DOUBLE), 6) AS est_a,
+        ROUND(CAST(MIN(CASE WHEN qnb > 0 AND
+            cb >= CEIL(CAST(p AS DECIMAL(10,6)) * qnb) THEN v END)
+          AS DOUBLE), 6) AS est_b,
+        ROUND(CAST(MIN(CASE WHEN qnb > 0 AND
+            cb >= CEIL(CAST(p AS DECIMAL(10,6)) * qnb) THEN v END)
+          AS DOUBLE)
+          - CAST(MIN(CASE WHEN qna > 0 AND
+            ca >= CEIL(CAST(p AS DECIMAL(10,6)) * qna) THEN v END)
+          AS DOUBLE), 6) AS stat,
+        CAST(NULL AS DOUBLE) AS dof,
+        CAST(NULL AS DOUBLE) AS ci_lo, CAST(NULL AS DOUBLE) AS ci_hi
+      FROM qcum CROSS JOIN (VALUES ('qte_p25', 0.25), ('qte_p50', 0.50),
+                                   ('qte_p75', 0.75)) qp(lbl, p)
+      GROUP BY lbl
+    ),
     battery AS (
       SELECT * FROM welch UNION ALL SELECT * FROM prop
       UNION ALL SELECT * FROM mw UNION ALL SELECT * FROM boot
       UNION ALL SELECT * FROM srm UNION ALL SELECT * FROM msprt
       UNION ALL SELECT * FROM welch_eff UNION ALL SELECT * FROM msprt_eff
-      UNION ALL SELECT * FROM delta
+      UNION ALL SELECT * FROM delta UNION ALL SELECT * FROM qte
     ),
     pv AS (
       SELECT *, ROUND(CASE
@@ -1759,7 +1796,15 @@ def q143_ab_test_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
       bootstrap-CI row), then Benjamini-Hochberg FDR across the
       battery (experiment.bh_adjust) — the multiple-testing guard
       eight simultaneous looks need. BH runs on the 6dp-rounded p's
-      so the step-up replay is engine-exact."""
+      so the step-up replay is engine-exact.
+
+    r8 continuation 2: three ``qte_p25/p50/p75`` rows — the
+    DISTRIBUTIONAL readout (experiment.quantile_treatment_effects):
+    exact type-1 quantile differences at the quartiles, est = the
+    per-variant quantiles, stat = QTE(p). Estimates like the bootstrap
+    row (NULL p, outside the BH family); the oracle replays min-v-
+    where-cum≥⌈p·n⌉ off Mann-Whitney's per-distinct-value CTE.
+    Twelve rows total, still one entry."""
     from ironman_medallion_lakehouse_spark.operators.experiment import (
         bh_adjust,
         delta_method_ratio_test,
@@ -1767,6 +1812,7 @@ def q143_ab_test_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         msprt_normal,
         normal_p_two_sided,
         poisson_bootstrap_mean_diff,
+        quantile_treatment_effects,
         srm_check,
         two_proportion_ztest,
         welch_t_test,
@@ -1826,6 +1872,23 @@ def q143_ab_test_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         replicates=_Q143_BOOT_R,
         salt="boot",
         ci_z=_Q143_CI_Z,
+    )
+    # distributional readout (r8c): exact type-1 quantile differences
+    # at the quartiles — estimates like the bootstrap row (NULL p,
+    # outside the BH family); stat carries QTE(p) = Q_b(p) − Q_a(p)
+    qt = quantile_treatment_effects(
+        o, "o_totalprice", "variant", "a", "b", probs=_Q143_QTE_PROBS
+    ).select(
+        F.concat(F.lit("qte_p"), F.round(F.col("p") * 100).cast("int").cast("string"))
+        .alias("test"),
+        "n_a",
+        "n_b",
+        F.col("q_a").alias("est_a"),
+        F.col("q_b").alias("est_b"),
+        F.col("qte").alias("stat"),
+        F.lit(None).cast("double").alias("dof"),
+        F.lit(None).cast("double").alias("ci_lo"),
+        F.lit(None).cast("double").alias("ci_hi"),
     )
     battery = (
         tt.select(
@@ -1946,10 +2009,12 @@ def q143_ab_test_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ci_hi",
             )
         )
+        .unionByName(qt)
     )
     # per-arm two-sided p (6dp, from the already-rounded stat), then
-    # Benjamini-Hochberg FDR across the battery's nine looks; the
-    # bootstrap row is a CI, not a test — NULL p, excluded from m
+    # Benjamini-Hochberg FDR across the battery's tested looks; the
+    # bootstrap and QTE rows are estimates, not tests — NULL p,
+    # excluded from m
     p_value = (
         F.when(
             F.col("test").isin(
@@ -1963,7 +2028,7 @@ def q143_ab_test_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.lit(1.0), F.exp(-F.col("stat"))),
         )
     )
-    # materialize the NINE battery rows before BH: bh_adjust's rank
+    # materialize the TWELVE battery rows before BH: bh_adjust's rank
     # subframe + join-back would otherwise re-evaluate every arm's
     # subplan (the bootstrap explode twice), and the inlined
     # delta-method/p-value expression trees grow past the codegen

@@ -27,5 +27,6 @@ def test_q143_arms_share_one_materialized_base(spark):
     scans = re.findall(r"\(\d+\) Scan parquet", plan)
     assert len(scans) == 0, f"arms re-scan parquet: {len(scans)} scans"
     assert "ExistingRDD" in plan, "expected the checkpointed base as source"
-    # nine arms in the union (r8c added the delta-method ratio row)
-    assert df.count() == 9
+    # twelve rows in the union (r8c added the delta-method ratio row,
+    # then the three QTE quartile rows)
+    assert df.count() == 12
