@@ -542,6 +542,124 @@ def _pkey(p: float) -> str:
     return f"{p:.6f}".replace(".", "_")
 
 
+def winsorized_welch_t(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    lower: float = 0.0,
+    upper: float = 0.99,
+) -> DataFrame:
+    """Winsorized Welch t — the robust-mean A/B readout for heavy-
+    tailed metrics (revenue, latency, doc length): clip both variants
+    at the POOLED distribution's [lower, upper] type-1 quantiles, then
+    run Welch's t on the clipped values. The standard production
+    compromise between the fragile raw-mean t (one whale order flips
+    the sign) and the rank-only Mann-Whitney (which discards effect
+    magnitude): the estimate stays in metric units, the tail can't
+    dominate it. Clipping at POOLED cuts keeps the null honest —
+    per-variant cuts would let the treatment shift its own clipping
+    point. (Yuen's trimmed-mean test is the textbook sibling — it
+    DROPS the tails and uses the winsorized variance with reduced dof;
+    this operator CLIPS them and runs plain Welch on the result, the
+    form a metric platform usually ships as "capped" metrics.) ONE
+    row, the ``welch_t_test`` schema plus the cut points:
+
+        (n_a, n_b, cut_lo, cut_hi, mean_a, mean_b, t_stat, dof)
+
+    Exactness: cut points are exact type-1 pooled quantiles (the
+    ``qte_from_value_counts`` thresholds, ⌈p·n⌉ in decimal with a
+    floor of 1 so lower=0.0 degenerates to the pooled minimum — a
+    no-op clip); clipped values re-enter DECIMAL(12,4) so Σx, Σx² are
+    order-free exact sums; t/dof are the ``welch_t_test`` scalar math.
+
+    Plan: ONE data pass (the shared ``per_value_counts`` aggregate —
+    a caller holding it materialized uses
+    ``winsorized_welch_from_value_counts``), one ordered pass over the
+    distinct values for the two cuts, then a broadcast of the one-row
+    cut frame into a value-domain-sized moment aggregate. Nothing
+    data-sized after the pre-aggregation."""
+    pv = per_value_counts(df, value_col, group_col, group_a, group_b)
+    return winsorized_welch_from_value_counts(pv, lower=lower, upper=upper)
+
+
+def winsorized_welch_from_value_counts(
+    per_value: DataFrame, lower: float = 0.0, upper: float = 0.99
+) -> DataFrame:
+    """Winsorized-Welch finisher over a ``per_value_counts`` frame
+    (see ``winsorized_welch_t`` for semantics/plan)."""
+    from pyspark.sql import Window
+
+    lo, hi = round(float(lower), 6), round(float(upper), 6)
+    if not (0.0 <= lo < hi <= 1.0):
+        raise ValueError(f"need 0 <= lower < upper <= 1, got {lower}, {upper}")
+    # bounded-serial: per-distinct-value aggregate input (see ks_two_sample)
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # bounded-serial: totals ride the same distinct-value sort
+    wall = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per_value.select(
+        "v",
+        "na_v",
+        "nb_v",
+        F.sum(F.col("na_v") + F.col("nb_v")).over(w).alias("_cp"),
+        F.sum(F.col("na_v") + F.col("nb_v")).over(wall).alias("_np"),
+    )
+
+    def _cut(p: float):
+        # pooled type-1 quantile; threshold floored at 1 so p = 0
+        # reads the pooled minimum (identity clip)
+        t = F.greatest(
+            F.ceil(F.lit(f"{p:.6f}").cast("decimal(10,6)") * F.col("_np")),
+            F.lit(1),
+        )
+        return F.min(F.when(F.col("_cp") >= t, F.col("v")))
+
+    cuts = cum.agg(_cut(lo).alias("_lo"), _cut(hi).alias("_hi"))
+    clipped = per_value.crossJoin(F.broadcast(cuts)).select(
+        "na_v",
+        "nb_v",
+        F.least(F.greatest(F.col("v"), F.col("_lo")), F.col("_hi"))
+        .cast("decimal(12,4)")
+        .alias("_xw"),
+        "_lo",
+        "_hi",
+    )
+    agg = clipped.agg(
+        F.max(F.col("_lo").cast("double")).alias("cut_lo"),
+        F.max(F.col("_hi").cast("double")).alias("cut_hi"),
+        F.sum("na_v").cast("bigint").alias("n_a"),
+        F.sum("nb_v").cast("bigint").alias("n_b"),
+        F.sum(F.col("na_v") * F.col("_xw")).alias("sxa"),
+        F.sum(F.col("nb_v") * F.col("_xw")).alias("sxb"),
+        F.sum(F.col("na_v") * (F.col("_xw") * F.col("_xw"))).alias("sxxa"),
+        F.sum(F.col("nb_v") * (F.col("_xw") * F.col("_xw"))).alias("sxxb"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma = F.col("sxa").cast("double") / na
+    mb = F.col("sxb").cast("double") / nb
+    va = (F.col("sxxa").cast("double") - na * ma * ma) / (na - 1)
+    vb = (F.col("sxxb").cast("double") - nb * mb * mb) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)
+    )
+    ok = (na >= 2) & (nb >= 2) & (se2 > 0)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("cut_lo"), 6).alias("cut_lo"),
+        F.round(F.col("cut_hi"), 6).alias("cut_hi"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.when(ok, F.round(t, 6)).alias("t_stat"),
+        F.when(ok, F.round(dof, 6)).alias("dof"),
+    )
+
+
 def mann_whitney_u(
     df: DataFrame,
     value_col: str,
