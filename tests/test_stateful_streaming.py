@@ -30,7 +30,7 @@ def test_state_accumulates_across_batches(spark, tmp_path):
 
         # second micro-batch arrives as a new file
         b2 = spark.createDataFrame(_rows(1))
-        b2.write.mode("append").parquet(src)
+        b2.coalesce(1).write.mode("append").parquet(src)
         query.processAllAvailable()
 
         # memory sink in update mode appends updated rows; take the last

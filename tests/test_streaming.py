@@ -99,7 +99,7 @@ def test_native_session_window_streaming_matches_batch(spark, tmp_path):
         ]
         spark.createDataFrame(ticker).withColumn(
             "ts", F.col("ts").cast("timestamp")
-        ).write.mode("append").parquet(src)
+        ).coalesce(1).write.mode("append").parquet(src)
         query.processAllAvailable()
         streamed = {
             (r.user_id, r.session_start, r.session_end): r.n_events

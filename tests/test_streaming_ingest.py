@@ -26,7 +26,7 @@ def test_streaming_merge_into_tablestore(spark, tmp_path):
     src = str(tmp_path / "src")
     store = TableStore(spark, str(tmp_path / "wh"))
     first = _events(spark, range(10))
-    first.write.mode("append").parquet(src)
+    first.coalesce(1).write.mode("append").parquet(src)
 
     query = streaming_merge_into(
         spark, store, src, first.schema, "bronze.events_stream",
@@ -39,7 +39,7 @@ def test_streaming_merge_into_tablestore(spark, tmp_path):
 
         # second batch overlaps the first on event_id 5-9: insert-only
         # merge must admit only the 5 genuinely-new keys
-        _events(spark, range(5, 15)).write.mode("append").parquet(src)
+        _events(spark, range(5, 15)).coalesce(1).write.mode("append").parquet(src)
         query.processAllAvailable()
         out = store.read("bronze.events_stream")
         assert out.count() == 15
@@ -60,7 +60,7 @@ def test_streaming_merge_replay_is_idempotent(spark, tmp_path):
     src = str(tmp_path / "src")
     store = TableStore(spark, str(tmp_path / "wh"))
     first = _events(spark, range(10))
-    first.write.mode("append").parquet(src)
+    first.coalesce(1).write.mode("append").parquet(src)
 
     for attempt, ckpt in enumerate(["ckpt_a", "ckpt_b"]):
         query = streaming_merge_into(
@@ -77,9 +77,9 @@ def test_streaming_merge_replay_is_idempotent(spark, tmp_path):
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     src = str(tmp_path / "src")
     base = _events(spark, range(8))
-    base.write.mode("append").parquet(src)
+    base.coalesce(1).write.mode("append").parquet(src)
     # duplicate arrivals of event_id 0-3 inside the watermark horizon
-    _events(spark, range(4)).write.mode("append").parquet(src)
+    _events(spark, range(4)).coalesce(1).write.mode("append").parquet(src)
 
     query, sink = streaming_dedup(
         spark, src, base.schema, keys=["event_id"], sink_name="dd_sink"
@@ -108,7 +108,7 @@ def test_streaming_dedup_ingest_gate(spark, tmp_path):
         Row(doc_id=1, text="the quick brown fox jumps over the lazy dog again and again today"),
         Row(doc_id=2, text="entirely different content about spark shuffles and partitions here"),
     ])
-    b1.write.mode("append").parquet(src)
+    b1.coalesce(1).write.mode("append").parquet(src)
     query = streaming_dedup_ingest(
         spark, store, src, b1.schema, str(tmp_path / "ckpt"),
         bands=16, threshold=0.8,
@@ -122,7 +122,7 @@ def test_streaming_dedup_ingest_gate(spark, tmp_path):
             Row(doc_id=10, text="  THE QUICK   brown fox jumps over the lazy dog again and again today "),
             Row(doc_id=11, text="the quick brown fox jumps over the lazy dog again and again tomorrow"),
             Row(doc_id=12, text="totally novel text with no overlap whatsoever in any token plane"),
-        ]).write.mode("append").parquet(src)
+        ]).coalesce(1).write.mode("append").parquet(src)
         query.processAllAvailable()
         admitted = {r.doc_id for r in store.read("corpus.documents").collect()}
         assert admitted == {1, 2, 12}  # exact dup 10 and near dup 11 rejected
@@ -152,7 +152,7 @@ def test_streaming_gate_decontaminates_against_benchmark(spark, tmp_path):
         Row(doc_id=1, text="leading words then " + eval_text + " trailing words"),
         Row(doc_id=2, text="entirely clean content about spark shuffles and partitions here"),
     ])
-    b1.write.mode("append").parquet(src)
+    b1.coalesce(1).write.mode("append").parquet(src)
     query = streaming_dedup_ingest(
         spark, store, src, b1.schema, str(tmp_path / "ckpt"),
         bands=16, threshold=0.8, benchmark=benchmark,
@@ -165,7 +165,7 @@ def test_streaming_gate_decontaminates_against_benchmark(spark, tmp_path):
         spark.createDataFrame([
             Row(doc_id=10, text=eval_text + " with extra tokens appended afterwards"),
             Row(doc_id=11, text="totally novel text with no overlap whatsoever in any token plane"),
-        ]).write.mode("append").parquet(src)
+        ]).coalesce(1).write.mode("append").parquet(src)
         query.processAllAvailable()
         admitted = {r.doc_id for r in store.read("corpus.documents").collect()}
         assert admitted == {2, 11}
@@ -199,7 +199,7 @@ def test_streaming_gate_refuses_drifted_batch(spark, tmp_path):
     reference = spark.createDataFrame([doc(900 + i, 40 + i % 21) for i in range(30)])
 
     b1 = spark.createDataFrame([doc(i, 45 + i % 10) for i in range(1, 9)])
-    b1.write.mode("append").parquet(src)
+    b1.coalesce(1).write.mode("append").parquet(src)
     query = streaming_dedup_ingest(
         spark, store, src, b1.schema, str(tmp_path / "ckpt"),
         bands=16, threshold=0.8,
@@ -212,7 +212,7 @@ def test_streaming_gate_refuses_drifted_batch(spark, tmp_path):
 
         # drifted batch: 3-5-word docs (scraper regression shape)
         b2 = spark.createDataFrame([doc(100 + i, 3 + i % 3) for i in range(8)])
-        b2.write.mode("append").parquet(src)
+        b2.coalesce(1).write.mode("append").parquet(src)
         query.processAllAvailable()
         admitted = {r.doc_id for r in store.read("corpus.documents").collect()}
         assert admitted == set(range(1, 9))  # nothing from the drifted batch
@@ -237,7 +237,7 @@ def test_streaming_gate_refuses_drifted_batch(spark, tmp_path):
         b3 = spark.createDataFrame(
             [doc(200 + i, 40 + (3 * i) % 21) for i in range(8)]
         )
-        b3.write.mode("append").parquet(src)
+        b3.coalesce(1).write.mode("append").parquet(src)
         query.processAllAvailable()
         admitted = {r.doc_id for r in store.read("corpus.documents").collect()}
         assert set(range(200, 208)) <= admitted
@@ -270,7 +270,7 @@ def test_streaming_gate_psi_drift_arm(spark, tmp_path):
 
     reference = spark.createDataFrame([doc(900 + i, 40 + i % 21) for i in range(30)])
     b1 = spark.createDataFrame([doc(i, 45 + i % 10) for i in range(1, 9)])
-    b1.write.mode("append").parquet(src)
+    b1.coalesce(1).write.mode("append").parquet(src)
     query = streaming_dedup_ingest(
         spark, store, src, b1.schema, str(tmp_path / "ckpt"),
         bands=16, threshold=0.8,
@@ -283,7 +283,7 @@ def test_streaming_gate_psi_drift_arm(spark, tmp_path):
         assert not store.table_exists("corpus.refused_batches")
 
         b2 = spark.createDataFrame([doc(100 + i, 3 + i % 3) for i in range(8)])
-        b2.write.mode("append").parquet(src)
+        b2.coalesce(1).write.mode("append").parquet(src)
         query.processAllAvailable()
         admitted = {r.doc_id for r in store.read("corpus.documents").collect()}
         assert admitted == set(range(1, 9))
@@ -300,7 +300,7 @@ def test_streaming_gate_psi_drift_arm(spark, tmp_path):
         assert refused[0].psi == want.psi and want.psi > 0.5
 
         b3 = spark.createDataFrame([doc(200 + i, 40 + (3 * i) % 21) for i in range(8)])
-        b3.write.mode("append").parquet(src)
+        b3.coalesce(1).write.mode("append").parquet(src)
         query.processAllAvailable()
         admitted = {r.doc_id for r in store.read("corpus.documents").collect()}
         assert set(range(200, 208)) <= admitted
@@ -348,7 +348,7 @@ def test_streaming_gate_kll_drift_arm(spark, tmp_path):
 
     reference = spark.createDataFrame([doc(900 + i, 40 + i % 21) for i in range(30)])
     b1 = spark.createDataFrame([doc(i, 40 + (3 * i) % 21) for i in range(1, 9)])
-    b1.write.mode("append").parquet(src)
+    b1.coalesce(1).write.mode("append").parquet(src)
     query = streaming_dedup_ingest(
         spark, store, src, b1.schema, str(tmp_path / "ckpt"),
         bands=16, threshold=0.8,
@@ -361,7 +361,7 @@ def test_streaming_gate_kll_drift_arm(spark, tmp_path):
         assert not store.table_exists("corpus.refused_batches")
 
         b2 = spark.createDataFrame([doc(100 + i, 3 + i % 3) for i in range(8)])
-        b2.write.mode("append").parquet(src)
+        b2.coalesce(1).write.mode("append").parquet(src)
         query.processAllAvailable()
         assert store.read("corpus.documents").count() == 8
         refused = store.read("corpus.refused_batches").collect()
