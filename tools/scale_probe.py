@@ -290,8 +290,10 @@ def _probe_stats(spark, factor: int, out: dict) -> None:
         per_value_counts,
         poisson_bootstrap_mean_diff,
         psi_drift,
+        qte_from_value_counts,
         series_params,
         wasserstein_from_value_counts,
+        winsorized_welch_from_value_counts,
     )
 
     t = load_tables(spark, SF_DIR, "events", "orders")
@@ -332,6 +334,21 @@ def _probe_stats(spark, factor: int, out: dict) -> None:
         # distinct-value frame, which the offset replicas genuinely grow
         shapes.setdefault("wasserstein_q142", {})[f] = wasserstein_from_value_counts(
             per_value_counts(ev, "value", "event_type", "click", "view")
+        )
+        # r8c2: QTE + winsorized-welch finishers ride the SAME
+        # distinct-value frame (one conditional agg / one cut + moment
+        # agg) — probed off their own per_value_counts build so the
+        # number includes the shared pre-aggregation's growth
+        shapes.setdefault("qte_q143", {})[f] = qte_from_value_counts(
+            per_value_counts(ev, "value", "event_type", "click", "view"),
+            [0.25, 0.5, 0.75],
+        )
+        shapes.setdefault("winsorized_welch", {})[f] = (
+            winsorized_welch_from_value_counts(
+                per_value_counts(ev, "value", "event_type", "click", "view"),
+                0.0,
+                0.99,
+            )
         )
         # r8c: delta-method ratio — ONE moment aggregate, scan-bound
         ovr = ov.select(
