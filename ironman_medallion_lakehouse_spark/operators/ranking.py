@@ -131,6 +131,126 @@ def unigram_logprob_scores(
     )
 
 
+def bigram_logprob_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+    corpus: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document mean BIGRAM log-probability with stupid backoff —
+    the practical upgrade of ``unigram_logprob_scores`` toward how
+    LM-quality filtering is actually run (Brants et al. 2007, "Large
+    Language Models in Machine Translation": at web scale, unsmoothed
+    relative frequencies with a fixed backoff penalty match Kneser-Ney
+    within noise and need no discount fitting):
+
+        S(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1})   if bigram seen
+                         = alpha * c(w_i) / N             otherwise
+        (document-initial token scores c(w_1)/N)
+
+    A doc of individually-common but incoherently-ordered tokens now
+    scores LOW (every bigram backs off and pays ln(alpha)) where the
+    unigram filter is blind — word-salad spam is exactly this case.
+    Denominator note: the context count is the plain unigram count
+    (including document-final occurrences) — the standard stupid-
+    backoff shortcut; scores are NOT probabilities (they need not sum
+    to 1 over w_i), which is the documented trade the method makes.
+
+    (id, n_tokens, mean_logprob) with mean over ALL tokens. ``corpus``
+    trains the counts on a different frame (the reference-corpus form
+    a drift/quality gate wants); default is self-trained like the
+    unigram filter, so no token is OOV by construction — with a
+    separate corpus, an unseen unigram would read ln(0): those tokens
+    score with count 1 (the additive floor), documented rather than
+    hidden.
+
+    Plan: counts are VOCABULARY-sized grouped aggregates (unigram +
+    bigram tables, map-side combined); the token stream attaches them
+    by equi-join (build sides are one row per (bi)gram; probe-side
+    frequency skew is harmless) and one grouped aggregation per doc.
+    The bigram pair stream is built by one ``transform`` over the
+    LET-BOUND token array (interpreted HOFs re-evaluate outer
+    expressions per element — the r3 lesson), then exploded.
+    Determinism: per-token ln values round into DECIMAL(18,4) before
+    the order-free sum (the dsum policy), replaying engine-exact."""
+    from ironman_medallion_lakehouse_spark.suite import dsum
+
+    train = corpus if corpus is not None else docs
+    # array_remove: split("") yields [""] and whitespace-only text
+    # yields ["", ""] — strip the empty tokens so blank docs read as
+    # zero-token (matching str.split() semantics in the replay)
+    tr = train.select(F.array_remove(words(text_col), "").alias("ws"))
+    uni = (
+        tr.select(F.explode("ws").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c_tok"))
+    )
+    total = uni.agg(F.sum("c_tok").alias("n_total"))
+    # size >= 2 guard is load-bearing: sequence(2, size) STEPS DOWN
+    # when size < 2 (Spark auto-negates the step), generating index 0
+    bi = (
+        tr.filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(ws)),"
+                    " i -> struct(element_at(ws, i - 1) AS prev,"
+                    "             element_at(ws, i) AS cur))"
+                )
+            ).alias("bg")
+        )
+        .groupBy(F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+        .agg(F.count(F.lit(1)).alias("c_bi"))
+    )
+    # score stream: document-initial token as (prev NULL), the rest as
+    # (prev, cur) pairs from the same let-bound array
+    d = docs.select(
+        F.col(id_col), F.array_remove(words(text_col), "").alias("ws")
+    ).filter(F.size("ws") > 0)
+    stream = d.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws)),"
+                " i -> struct(CASE WHEN i > 1 THEN element_at(ws, i - 1) END AS prev,"
+                "             element_at(ws, i) AS cur))"
+            )
+        ).alias("t"),
+    ).select(id_col, F.col("t.prev").alias("prev"), F.col("t.cur").alias("cur"))
+    joined = (
+        stream.join(uni.withColumnRenamed("tok", "cur"), "cur", "left")
+        .join(
+            uni.select(
+                F.col("tok").alias("prev"), F.col("c_tok").alias("c_prev")
+            ),
+            "prev",
+            "left",
+        )
+        .join(bi, ["prev", "cur"], "left")
+        .crossJoin(F.broadcast(total))
+    )
+    c_cur = F.coalesce(F.col("c_tok"), F.lit(1)).cast("double")  # OOV floor
+    p_uni = c_cur / F.col("n_total").cast("double")
+    lp = (
+        F.when(
+            F.col("c_bi").isNotNull(),
+            F.log(F.col("c_bi").cast("double") / F.col("c_prev").cast("double")),
+        )
+        .when(F.col("prev").isNotNull(), F.log(F.lit(float(alpha)) * p_uni))
+        .otherwise(F.log(p_uni))
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"), dsum(lp, "sum_lp"))
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.round(F.col("sum_lp") / F.col("n_tokens"), 4).alias("mean_logprob"),
+        )
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     terms: list[str],

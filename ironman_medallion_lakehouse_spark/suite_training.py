@@ -205,10 +205,63 @@ def q93_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
         CAST(ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)) AS DECIMAL(18,4)) AS v
       FROM tf JOIN counts USING (tok) CROSS JOIN tot
+    ),
+    uni AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 4) AS mean_logprob
+      FROM lp GROUP BY doc_id
+    ),
+    -- bigram arm (r8c): stupid backoff over the EMPTY-STRIPPED token
+    -- list (ranking.bigram_logprob_scores strips ''-tokens split
+    -- leaves on blank/edge whitespace)
+    bws AS (
+      SELECT doc_id, list_filter({_WORDS_ALL}, x -> x <> '') AS ws
+      FROM documents
+    ),
+    buni AS (
+      SELECT tok, COUNT(*) AS c_tok
+      FROM (SELECT unnest(ws) AS tok FROM bws) GROUP BY tok
+    ),
+    btot AS (SELECT SUM(c_tok) AS n_total FROM buni),
+    bbi AS (
+      SELECT p.prev AS prev, p.cur AS cur, COUNT(*) AS c_bi
+      FROM bws, unnest(list_transform(generate_series(2, len(ws)),
+             i -> struct_pack(prev := ws[i-1], cur := ws[i]))) AS u(p)
+      WHERE len(ws) >= 2
+      GROUP BY p.prev, p.cur
+    ),
+    bstream AS (
+      SELECT doc_id, t.prev AS prev, t.cur AS cur
+      FROM bws, unnest(list_transform(generate_series(1, len(ws)),
+             i -> struct_pack(prev := CASE WHEN i > 1 THEN ws[i-1] END,
+                              cur := ws[i]))) AS s(t)
+      WHERE len(ws) > 0
+    ),
+    blp AS (
+      SELECT doc_id,
+        CAST(CASE
+          WHEN c_bi IS NOT NULL
+            THEN ln(CAST(c_bi AS DOUBLE) / CAST(c_prev AS DOUBLE))
+          WHEN prev IS NOT NULL
+            THEN ln(0.4 * CAST(COALESCE(c_cur, 1) AS DOUBLE)
+                    / CAST(n_total AS DOUBLE))
+          ELSE ln(CAST(COALESCE(c_cur, 1) AS DOUBLE)
+                  / CAST(n_total AS DOUBLE))
+        END AS DECIMAL(18,4)) AS v
+      FROM bstream
+      LEFT JOIN (SELECT tok AS cur, c_tok AS c_cur FROM buni) USING (cur)
+      LEFT JOIN (SELECT tok AS prev, c_tok AS c_prev FROM buni) USING (prev)
+      LEFT JOIN bbi USING (prev, cur)
+      CROSS JOIN btot
+    ),
+    bg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS bg_n_tokens,
+             ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 4) AS bg_mean_logprob
+      FROM blp GROUP BY doc_id
     )
-    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 4) AS mean_logprob
-    FROM lp GROUP BY doc_id
+    SELECT uni.doc_id, uni.n_tokens, uni.mean_logprob,
+           bg.bg_n_tokens, bg.bg_mean_logprob
+    FROM uni LEFT JOIN bg USING (doc_id)
     """,
 )
 def q98_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,13 +271,28 @@ def q98_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity-bucket split used to tier crawl text by fluency. ln
     values are rounded into DECIMAL(18,4) before the sum (the repo's
     determinism policy), so the mean reproduces bit-exactly across
-    engines and partitionings."""
+    engines and partitionings.
+
+    r8c (battery-fold policy): two bigram columns join the same rows —
+    ranking.bigram_logprob_scores, the stupid-backoff upgrade (Brants
+    et al. 2007) that catches word-salad spam the order-blind unigram
+    can't; bg_* are NULL for docs with no non-empty tokens (LEFT
+    join). The oracle replays the backoff CASE, the empty-token strip,
+    and the per-token DECIMAL(18,4) rounding verbatim."""
     from ironman_medallion_lakehouse_spark.operators.ranking import (
+        bigram_logprob_scores,
         unigram_logprob_scores,
     )
 
     t = load_tables(spark, sf_dir, "documents")
-    return unigram_logprob_scores(t["documents"])
+    docs = t["documents"]
+    uni = unigram_logprob_scores(docs)
+    bg = bigram_logprob_scores(docs).select(
+        "doc_id",
+        F.col("n_tokens").alias("bg_n_tokens"),
+        F.col("mean_logprob").alias("bg_mean_logprob"),
+    )
+    return uni.join(bg, "doc_id", "left")
 
 
 # ----------------------------------------------- q97 bloom membership
