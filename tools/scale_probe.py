@@ -219,10 +219,25 @@ def _probe_more(spark, factor: int, out: dict) -> None:
         # the band join + intersect kernel, member-pair expansion after
         return D.containment_pairs(d, k=128, bands=16, threshold=0.95, contract=True)
 
+    # r8c2 text arms: bigram LM (vocab-sized count tables + token-
+    # stream equi-joins — the replica salt grows the vocab AND the
+    # token stream k×) and corpus-level line removal (distinct-lines
+    # count + per-doc ordered reassembly)
+    from ironman_medallion_lakehouse_spark.operators.cleaning import (
+        remove_frequent_lines,
+    )
+    from ironman_medallion_lakehouse_spark.operators.ranking import (
+        bigram_logprob_scores,
+    )
+
     for name, df1, dfn in [
         ("dsir_q107", dsir(docs1), dsir(docsn)),
         ("jl_projection_q110", SI.jl_project(emb1, out_dim=16, in_dim=64),
          SI.jl_project(embn, out_dim=16, in_dim=64)),
+        ("bigram_lm_q98", bigram_logprob_scores(docs1),
+         bigram_logprob_scores(docsn)),
+        ("line_cleaning", remove_frequent_lines(docs1),
+         remove_frequent_lines(docsn)),
     ]:
         t1, tn = _time(df1), _time(dfn)
         out["queries"][name] = {
