@@ -39,7 +39,12 @@ def remove_frequent_lines(
     a cookie banner) but the ORIGINAL line text is what survives into
     the cleaned document.
 
-    Scale: one posexplode to (doc, pos, line), one vocabulary-of-lines
+    Scale: one posexplode to (doc, pos, line) — the exploded frame is
+    **localCheckpoint'ed (eager)** before the count aggregate is
+    derived from it, so the corpus really is split/exploded ONCE even
+    though two consumers read it (the count branch and the join probe;
+    without the materialization Catalyst re-evaluates the explode per
+    consumer — ADVICE r8 item 3). Then one vocabulary-of-lines
     grouped count (map-side combined; boilerplate lines collapse to
     one row each — the count table is distinct-lines-sized, not
     corpus-sized), one equi-join attaching counts back (probe-side
@@ -47,14 +52,23 @@ def remove_frequent_lines(
     distinct line), and one per-doc reassembly via
     array_sort(collect_list(struct(pos, line))) — grouped by the
     document key, so the sort is per-doc-lines-sized, never global.
-    Fully deterministic (exact strings, integer positions) — replays
-    verbatim in SQL with string_agg(... ORDER BY pos)."""
+    The checkpoint makes this call EAGER (it runs the explode job on
+    invocation) and holds the line-granularity frame on
+    executor-local storage for the query's lifetime — the right trade
+    when the re-explode is CPU-bound corpus work, which at cleaning
+    scale it is. Fully deterministic (exact strings, integer
+    positions) — replays verbatim in SQL with
+    string_agg(... ORDER BY pos)."""
     if max_count < 1:
         raise ValueError(f"max_count must be >= 1, got {max_count}")
-    lines = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
-    ).withColumn("_key", F.trim(F.col("_line")))
+    lines = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+        )
+        .withColumn("_key", F.trim(F.col("_line")))
+        .localCheckpoint(eager=True)
+    )
     counts = lines.groupBy("_key").agg(F.count(F.lit(1)).alias("_c"))
     tagged = lines.join(counts, "_key").select(
         id_col,

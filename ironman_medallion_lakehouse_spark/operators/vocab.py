@@ -192,6 +192,18 @@ def learn_bpe_batched(
     (one candidate collect, one checkpoint), the number the
     jobs-per-merge test pins.
 
+    .. caveat:: the toggle is **session-wide for the duration of
+       learning** (ADVICE r8 item 2): a concurrent query planned on
+       the SAME SparkSession during that window — e.g. a streaming
+       micro-batch on another thread — is planned with AQE off.
+       ``spark.newSession()`` cannot isolate it because a DataFrame
+       plans under the session it was created from (``counts``'s), so
+       the conf write necessarily lands there. Callers sharing the
+       session with latency-sensitive concurrent work should learn on
+       a dedicated session: build ``counts`` via
+       ``spark.newSession().read...`` (or re-create it there) and pass
+       THAT frame in; the toggle then lives entirely in the clone.
+
     ``stats`` (optional dict) receives ``rounds`` and ``merges`` so
     callers can assert driver sync points per merge < 1. Equivalence
     to ``learn_bpe`` is property-tested against random corpora in
@@ -400,7 +412,9 @@ def bpe_tokens_expr(text, merges: list[tuple[str, str]], lowercase: bool = True)
     return F.flatten(F.transform(words, _tok))
 
 
-def learn_bpe_replay_sql(counts_sql: str, num_merges: int) -> str:
+def learn_bpe_replay_sql(
+    counts_sql: str, num_merges: int, min_pair_count: int = 1
+) -> str:
     """DuckDB replay of the LEARNING loop itself (the r7 verdict's
     oracle-slot ask): ``num_merges`` chained CTE stages, each one
     computing the weighted adjacent-pair counts of the current symbol
@@ -408,9 +422,15 @@ def learn_bpe_replay_sql(counts_sql: str, num_merges: int) -> str:
     the greedy left-to-right fold with the winning pair CROSS JOINed
     in as columns. Returns a query yielding (step, a, b) — the same
     ordered merge list ``learn_bpe``/``learn_bpe_batched`` produce
-    from the (word, n) table ``counts_sql`` yields. Usable for small
-    ``num_merges`` (the SQL grows linearly with it); production
-    learning stays on the distributed loop."""
+    from the (word, n) table ``counts_sql`` yields **when called with
+    the same ``min_pair_count``** (ADVICE r8 item 1: the learners
+    default to 2 and stop early; pass the matching threshold here —
+    a stage whose best pair falls below it yields an empty m{i} CTE,
+    which empties every later stage, replaying the early stop as
+    missing rows). Usable for small ``num_merges`` (the SQL grows
+    linearly with it); production learning stays on the distributed
+    loop."""
+    mpc = int(min_pair_count)
     pairs = (
         "unnest(list_transform(generate_series(1, len(syms)-1), "
         "i -> struct_pack(a := syms[i], b := syms[i+1]))) AS u(p)"
@@ -426,10 +446,14 @@ def learn_bpe_replay_sql(counts_sql: str, num_merges: int) -> str:
         f"w0 AS (SELECT list_concat(string_split(word, ''), ['{END}']) AS syms, n"
         f" FROM ({counts_sql}))"
     ]
+    # threshold emitted only when > 1 so existing generated SQL (and the
+    # q144 oracle text it hashes into) stays byte-identical at the default
+    thresh = f"WHERE total >= {mpc} " if mpc > 1 else ""
     for i in range(1, int(num_merges) + 1):
         ctes.append(
             f"m{i} AS (SELECT p.a AS ma, p.b AS mb FROM ("
             f"SELECT u.p, sum(n) AS total FROM w{i - 1}, {pairs} GROUP BY u.p) "
+            f"{thresh}"
             f"ORDER BY total DESC, p.a ASC, p.b ASC LIMIT 1)"
         )
         ctes.append(

@@ -2032,8 +2032,8 @@ def q143_ab_test_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subframe + join-back would otherwise re-evaluate every arm's
     # subplan (the bootstrap explode twice), and the inlined
     # delta-method/p-value expression trees grow past the codegen
-    # limit — checkpointing 9 rows costs nothing and keeps the entry
-    # plan scan-free downstream
+    # limit — checkpointing twelve rows costs nothing and keeps the
+    # entry plan scan-free downstream
     battery = battery.withColumn("p_value", F.round(p_value, 6)).localCheckpoint(
         eager=True
     )

@@ -220,3 +220,33 @@ def test_learn_bpe_batched_sync_points_per_merge_below_one(spark):
     assert merges == serial
     assert jobs_serial / len(serial) >= 1.0  # serial's floor, for contrast
     assert jobs < jobs_serial
+
+
+def test_learn_bpe_replay_sql_min_pair_count(spark):
+    """ADVICE r8 item 1: the DuckDB replay takes the learners'
+    ``min_pair_count`` — at threshold 2 it stops where they stop
+    (missing rows replay the early stop), and the default (1) is
+    byte-identical to the pre-parameter SQL q144 hashed."""
+    import duckdb
+
+    from ironman_medallion_lakehouse_spark.operators.vocab import (
+        learn_bpe_replay_sql,
+    )
+
+    # 'ab' twice, 'cd' once: at threshold 2 only (a,b) [4], (ab,</w>)
+    # [2] survive; the serial loop then stops — (c,d) etc. count 1
+    vocab = {"ab": 2, "cd": 1}
+    counts_sql = (
+        "SELECT unnest(['ab','cd']) AS word, unnest([2,1]) AS n"
+    )
+    for mpc in (1, 2):
+        sql = learn_bpe_replay_sql(counts_sql, 6, min_pair_count=mpc)
+        got = [(a, b) for _, a, b in duckdb.connect().execute(sql).fetchall()]
+        want = _py_serial_bpe(vocab, 6, min_pair_count=mpc)
+        assert got == want, (mpc, got, want)
+    assert len(_py_serial_bpe(vocab, 6, min_pair_count=2)) < len(
+        _py_serial_bpe(vocab, 6, min_pair_count=1)
+    )  # the threshold actually bites in this corpus
+    assert learn_bpe_replay_sql(counts_sql, 3) == learn_bpe_replay_sql(
+        counts_sql, 3, min_pair_count=1
+    )
