@@ -555,6 +555,7 @@ def dedup_incoming(
     threshold: float = 0.9,
     corpus_sigs: DataFrame | None = None,
     corpus_hashes: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Incremental dedup: classify each INCOMING document against an
     EXISTING corpus as ``exact_dup`` (normalized-text md5 already in
@@ -562,6 +563,34 @@ def dedup_incoming(
     hashed-token Jaccard vs some corpus doc ≥ ``threshold``), else
     ``kept``. Returns (id, status) for every incoming document — the
     crawl-ingest gate a training-data pipeline runs on every batch.
+
+    **The banding dial, end-to-end** (r7 directive 6): ``bands``
+    controls candidate precision/recall via rows-per-band r = k/bands
+    — the S-curve P(candidate | Jaccard=j) = 1−(1−j^r)^bands. At the
+    stored-signature width k=128:
+
+    - ``bands=16`` (r=8, default): J=0.5 collision ≈ 6.1 %, J=0.9
+      recall ≈ 0.9999 — the recall-first setting;
+    - ``bands=8`` (r=16): J=0.5 collision ≈ 0.012 %, J=0.9 recall
+      ≈ 0.81 — the precision-first setting for candidate-flooded
+      corpora (500× fewer mid-similarity candidates for ~19 % recall
+      loss at the 0.9 threshold).
+
+    Banding is derived AT QUERY TIME from the stored k-wide signature
+    columns (``_banded``), so re-dialing ``bands`` between batches
+    needs NO signature recompute — the stored ``corpus_sigs`` table
+    stays valid for any ``bands`` dividing k (pinned by
+    tests/test_neardup.py::test_dedup_incoming_bands_dial_on_stored_sigs).
+    ``max_bucket_size`` is the orthogonal skew valve, forwarded to
+    ``lsh_cross_candidates``: it caps CORPUS-side band-bucket width,
+    bounding the O(m²)-ish join fan-out a boilerplate mega-bucket
+    causes, at the cost of recall only inside capped buckets. Example::
+
+        sigs   = spark.read.parquet("corpus_sigs")    # k=128, stored
+        hashes = spark.read.parquet("corpus_hashes")  # exact_hash_frame
+        dedup_incoming(batch, corpus, bands=8,        # precision-first
+                       corpus_sigs=sigs, corpus_hashes=hashes,
+                       max_bucket_size=10_000)
 
     100 TB design: nothing here rescans the corpus per incoming doc —
     PROVIDED both precomputed sides are passed. The exact stage is one
@@ -605,7 +634,9 @@ def dedup_incoming(
     sig_new = minhash_signatures(remaining, text_col, id_col, k=k)
     if corpus_sigs is None:
         corpus_sigs = minhash_signatures(corpus, text_col, id_col, k=k)
-    cand = lsh_cross_candidates(sig_new, corpus_sigs, id_col, bands=bands)
+    cand = lsh_cross_candidates(
+        sig_new, corpus_sigs, id_col, bands=bands, max_bucket_size=max_bucket_size
+    )
     # refine against the union lookup (both sides' token sets), reusing
     # the pair-refine machinery: rename to its (id_a, id_b) contract.
     # NOTE (r6, measured): restricting the lookup to candidate-touched

@@ -624,10 +624,13 @@ def q94b_incremental_dedup_prepared(spark: SparkSession, sf_dir: str) -> DataFra
     are TRUE high-Jaccard matches (planted dup structure), so no
     banding dial cuts them without losing recall here; on a real
     corpus whose density came from loose banding instead, the dial is
-    band width r = k/bands — widening r=8 → r=16 (bands 16 → 8 at
-    k=128) drops the J≈0.5 false-candidate collision rate from ~6 %
-    to ~0.03 % while J=0.9 recall falls 1.0 → 0.81 — or
-    ``max_bucket_size`` to cap boilerplate mega-buckets.
+    band width r = k/bands — widening r=8 → r=16 (``bands=8`` at
+    k=128, a query-time change needing NO signature recompute) drops
+    the J≈0.5 false-candidate collision rate from ~6.1 % to ~0.012 %
+    (exact S-curve 1−(1−j^r)^b; the A/B is pinned empirically in
+    tests/test_neardup.py::test_bands_dial_recall_collision_ab) while
+    J=0.9 recall falls ~1.0 → ~0.81 — or ``max_bucket_size`` (also
+    forwarded by ``dedup_incoming``) to cap boilerplate mega-buckets.
 
     Output-invariant vs q94 by construction (identical oracle):
     the signatures are a pure function of the corpus frame, whether

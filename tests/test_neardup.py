@@ -262,3 +262,126 @@ def test_containment_threshold_above_one_rejected(spark):
     for contract in (True, False):
         with pytest.raises(ValueError, match="threshold"):
             containment_pairs(df, threshold=1.5, contract=contract)
+
+
+# ---------------------------------------------------------------- bands dial
+
+
+def _controlled_jaccard_corpus(spark, n_pairs, shared, unique, tag):
+    """(new_side, corpus_side): n_pairs doc pairs, pair i sharing
+    ``shared`` tokens with ``unique`` extra tokens per side — exact
+    token Jaccard shared/(shared+2*unique). Token namespaces are
+    per-pair, so cross-pair Jaccard is 0."""
+    new_rows, corp_rows = [], []
+    for i in range(n_pairs):
+        s = [f"{tag}p{i}s{t}" for t in range(shared)]
+        a = [f"{tag}p{i}a{t}" for t in range(unique)]
+        b = [f"{tag}p{i}b{t}" for t in range(unique)]
+        new_rows.append((i, " ".join(s + a)))
+        corp_rows.append((i, " ".join(s + b)))
+    schema = "doc_id long, text string"
+    return (
+        spark.createDataFrame(new_rows, schema),
+        spark.createDataFrame(corp_rows, schema),
+    )
+
+
+def test_bands_dial_recall_collision_ab(spark):
+    """The r7 directive-6 A/B, empirically: at stored width k=128,
+    re-banding 16 -> 8 (r = 8 -> 16) collapses the J=0.5 collision
+    rate (~6.1 % -> ~0.012 %, S-curve 1-(1-j^r)^b) and costs J=0.9
+    recall (~1.0 -> ~0.81). Deterministic md5 minhash => the empirical
+    rates are fixed for this corpus; bands assert the S-curve values
+    within binomial tolerance. The documented prose numbers are pinned
+    against the exact formula too."""
+    from ironman_medallion_lakehouse_spark.operators.dedup import (
+        lsh_cross_candidates,
+        minhash_signatures,
+    )
+
+    theory = lambda j, r, b: 1.0 - (1.0 - j**r) ** b
+    # the documented numbers ARE the S-curve at k=128
+    assert abs(theory(0.5, 8, 16) - 0.061) < 0.005
+    assert theory(0.5, 16, 8) < 3e-4
+    assert abs(theory(0.9, 16, 8) - 0.81) < 0.01
+    assert theory(0.9, 8, 16) > 0.999
+
+    n = 400
+    # J = s/(s+2u): 18/(18+2) = 0.9 ; 10/(10+10) = 0.5
+    new_hi, corp_hi = _controlled_jaccard_corpus(spark, n, 18, 1, "h")
+    new_lo, corp_lo = _controlled_jaccard_corpus(spark, n, 10, 5, "l")
+    rates = {}
+    for label, (new, corp) in {
+        "hi": (new_hi, corp_hi),
+        "lo": (new_lo, corp_lo),
+    }.items():
+        sn = minhash_signatures(new, k=128)
+        sc = minhash_signatures(corp, k=128)
+        for bands in (16, 8):
+            got = {
+                (r.id_new, r.id_corpus)
+                for r in lsh_cross_candidates(sn, sc, bands=bands).collect()
+            }
+            rates[(label, bands)] = sum(1 for i, j in got if i == j) / n
+    # J=0.9: near-total recall at bands=16; ~0.81 at bands=8
+    assert rates[("hi", 16)] >= 0.99, rates
+    assert 0.73 <= rates[("hi", 8)] <= 0.89, rates
+    # J=0.5: ~6 % collisions at bands=16; ~0 at bands=8 (expect 0.05)
+    assert 0.03 <= rates[("lo", 16)] <= 0.10, rates
+    assert rates[("lo", 8)] <= 2 / n, rates
+    # the dial's direction, end to end
+    assert rates[("lo", 16)] / max(rates[("lo", 8)], 1 / n) > 10
+
+
+def test_dedup_incoming_bands_dial_on_stored_sigs(spark):
+    """The end-to-end dial (r7 directive 6): ONE stored k=128 corpus
+    signature table serves BOTH bands settings — banding is derived at
+    query time, so re-dialing needs no signature recompute — and the
+    skew valve (max_bucket_size) is forwarded: capping at 0 provably
+    disables the near arm while leaving exact classification intact."""
+    from ironman_medallion_lakehouse_spark.operators.dedup import (
+        dedup_incoming,
+        exact_hash_frame,
+        minhash_signatures,
+    )
+
+    corp_rows = [
+        (100, " ".join(f"tok{t}" for t in range(40))),
+        (101, "completely different words here entirely"),
+    ]
+    inc_rows = [
+        # J = 38/42 ~ 0.905 vs doc 100 (2 tokens swapped)
+        (1, " ".join(f"tok{t}" for t in range(38)) + " novelA novelB"),
+        # exact dup of 101 modulo whitespace/case
+        (2, "  Completely DIFFERENT words here entirely "),
+        (3, "unrelated fresh content nothing shared"),
+    ]
+    corpus = spark.createDataFrame(corp_rows, "doc_id long, text string")
+    incoming = spark.createDataFrame(inc_rows, "doc_id long, text string")
+    sigs = minhash_signatures(corpus)  # stored once, k=128
+    hashes = exact_hash_frame(corpus)
+    for bands in (16, 8):
+        out = {
+            r.doc_id: r.status
+            for r in dedup_incoming(
+                incoming,
+                corpus,
+                bands=bands,
+                corpus_sigs=sigs,
+                corpus_hashes=hashes,
+            ).collect()
+        }
+        assert out[2] == "exact_dup", (bands, out)
+        assert out[3] == "kept", (bands, out)
+        assert out[1] == "near_dup", (bands, out)  # deterministic md5 sigs
+    capped = {
+        r.doc_id: r.status
+        for r in dedup_incoming(
+            incoming,
+            corpus,
+            corpus_sigs=sigs,
+            corpus_hashes=hashes,
+            max_bucket_size=0,
+        ).collect()
+    }
+    assert capped == {1: "kept", 2: "exact_dup", 3: "kept"}
