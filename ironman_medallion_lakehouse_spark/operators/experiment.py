@@ -1573,12 +1573,32 @@ def ewma_control(
         (n_points, ewma_last, alarm_t)
 
     ewma_last = E_T (6dp), alarm_t = 1-based index of the first
-    signalling point (NULL if none). E_t is an order-sensitive fold,
-    so each row folds its own prefix via F.aggregate over a
-    collect_list — O(T²) scalar ops on a TIME-HORIZON-sized frame
-    (the caller pre-aggregates to per-day grain), never data-sized;
-    the fold sequence (λ·x + (1−λ)·acc, left-to-right) is the fixed
-    IEEE expression an oracle replays verbatim (list_reduce)."""
+    signalling point (NULL if none).
+
+    E_t is an order-sensitive recursion, but it has a CLOSED FORM one
+    running sum away (VERDICT r8 directive 5): with d = 1−λ,
+
+        E_t = d^t·mu + λ·d^t·R_t,   R_t = Σ_{j≤t} d^(−j)·x_j
+
+    so the chart is O(T): one row_number, one windowed running sum of
+    d^(−j)·x_j over the horizon-sized ordered series, and per-row
+    scalar math — no collect_list, no per-row prefix fold (the r8
+    form re-folded each prefix: O(T²) scalars, ~7.6e9 ops on a
+    10-year hourly series). The oracle replays the SAME closed-form
+    IEEE expressions (pow/multiply/add in matching order), keeping the
+    battery arm hash-exact.
+
+    Numerical-range caveat: d^(−j) grows as e^{j·ln(1/d)}; the terms
+    overflow double range once T·ln(1/(1−λ)) approaches ~709
+    (T ≳ 2700 at λ=0.2, ≳ 60k at λ=0.01). When the series length
+    crosses a conservative 600 cap the implementation FALLS BACK to
+    the per-prefix fold (correct at any T, O(T²)); below it the
+    closed form is also well-conditioned — prefix terms whose weight
+    decays below machine epsilon relative to the running sum drop
+    out, which is exactly the EWMA's own forgetting. The length probe
+    is one count() over the horizon-sized series."""
+    import math
+
     from pyspark.sql import Window
 
     lam = float(lam)
@@ -1587,18 +1607,46 @@ def ewma_control(
     ).crossJoin(F.broadcast(params))
     # bounded-serial: one row per time point (time-horizon-sized series)
     w = Window.orderBy("_t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    pre = s.select(
-        "mu",
-        "sd",
-        # bounded-serial: one row per time point (time-horizon-sized series)
-        F.row_number().over(Window.orderBy("_t")).alias("_i"),
-        F.collect_list("_x").over(w).alias("_xs"),
-    )
-    e = F.aggregate(
-        "_xs",
-        F.col("mu").cast("double"),
-        lambda acc, x: F.lit(lam) * x + F.lit(1.0 - lam) * acc,
-    )
+    n_pts = series.count()  # horizon-sized probe for the overflow cap
+    growth = n_pts * math.log(1.0 / (1.0 - lam)) if 0.0 < lam < 1.0 else float("inf")
+    if growth < 600.0:
+        # closed form: E_t = d^t·mu + λ·d^t·R_t with one running sum
+        idx = s.select(
+            "mu",
+            "sd",
+            "_x",
+            # bounded-serial: one row per time point (horizon-sized series)
+            F.row_number().over(Window.orderBy("_t")).alias("_i"),
+        )
+        ti = F.col("_i").cast("double")
+        terms = idx.select(
+            "mu",
+            "sd",
+            "_i",
+            (F.pow(F.lit(1.0 - lam), -ti) * F.col("_x")).alias("_term"),
+        )
+        # bounded-serial: running sum over the same horizon-sized sort
+        wi = Window.orderBy("_i").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        pre = terms.select("mu", "sd", "_i", F.sum("_term").over(wi).alias("_r"))
+        decay = F.pow(F.lit(1.0 - lam), F.col("_i").cast("double"))
+        e = decay * F.col("mu") + F.lit(lam) * decay * F.col("_r")
+    else:
+        # fold fallback: each row folds its own prefix — O(T²) scalars,
+        # range-safe at any horizon
+        pre = s.select(
+            "mu",
+            "sd",
+            # bounded-serial: one row per time point (horizon-sized series)
+            F.row_number().over(Window.orderBy("_t")).alias("_i"),
+            F.collect_list("_x").over(w).alias("_xs"),
+        )
+        e = F.aggregate(
+            "_xs",
+            F.col("mu").cast("double"),
+            lambda acc, x: F.lit(lam) * x + F.lit(1.0 - lam) * acc,
+        )
     lim = (
         F.lit(float(limit_sd))
         * F.col("sd")

@@ -1169,14 +1169,18 @@ _Q142_NBINS = len(_Q142_PSI_EDGES) + 1
                AS cusum_alarm_t_planted
       FROM pst
     ),
-    plst AS (SELECT list(x ORDER BY t) AS xs FROM dayp),
+    eterm AS (
+      SELECT t, mu, sd,
+             SUM(POW(CAST(0.8 AS DOUBLE), -CAST(t AS DOUBLE)) * x)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS r
+      FROM dayp
+    ),
     erows AS (
       SELECT t, mu, sd,
-             list_reduce(
-               list_prepend(mu, list_slice(xs, 1, t)),
-               (acc, xx) -> CAST(0.2 AS DOUBLE) * xx
-                            + CAST(0.8 AS DOUBLE) * acc) AS e
-      FROM dayp, plst
+             POW(CAST(0.8 AS DOUBLE), CAST(t AS DOUBLE)) * mu
+             + CAST(0.2 AS DOUBLE)
+               * POW(CAST(0.8 AS DOUBLE), CAST(t AS DOUBLE)) * r AS e
+      FROM eterm
     ),
     erows2 AS (
       SELECT t, e,
@@ -1243,7 +1247,9 @@ def q142_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
       discipline) are driver-attested; daily counts are exact
       integers, so the baseline moments and both recursions replay
       engine-exact in the oracle (CUSUM via the prefix-sum identity,
-      EWMA via list_reduce over the ordered day list)."""
+      EWMA via the r9 closed form — one windowed running sum of
+      d^(−t)·x rescaled by d^t, the same O(T) shape the engine
+      runs)."""
     from ironman_medallion_lakehouse_spark.operators.experiment import (
         binned_counts_from_value_counts,
         cusum_changepoint,

@@ -125,3 +125,33 @@ def test_single_point_and_empty_guards(spark):
     ew = ewma_control(one, "t", "x", params).collect()[0]
     assert ew.n_points == 1
     assert ew.ewma_last == pytest.approx(5.0)
+
+
+def test_ewma_closed_form_plan_is_linear_and_fallback_guards(spark):
+    """VERDICT r8 directive 5: the closed form's plan carries NO
+    collect_list / per-prefix fold (O(T) shape), stays equal to the
+    textbook recursion, and the overflow guard routes long-horizon /
+    high-lambda charts to the range-safe fold (whose plan DOES fold)."""
+    xs = _seeded(3, n=60, shift_at=30, shift=12.0)
+    sdf = _series(spark, xs)
+    params = series_params(sdf, "t", "x", baseline_n=10)
+    out = ewma_control(sdf, "t", "x", params)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan and "aggregate(" not in plan
+    mu, sd, _, _ = _py_params(xs, 10)
+    e_last, alarm = _py_ewma(xs, mu, sd)
+    row = out.collect()[0]
+    assert row.ewma_last == pytest.approx(round(e_last, 6), abs=1e-6)
+    assert row.alarm_t == alarm
+
+    # lam=0.999: d^-T overflows past T ~ 87; T=100 must take the fold
+    # fallback and still match the recursion
+    fb = ewma_control(
+        _series(spark, _seeded(4, n=100)), "t", "x", params, lam=0.999
+    )
+    fb_plan = fb._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" in fb_plan
+    e_last2, alarm2 = _py_ewma(_seeded(4, n=100), mu, sd, lam=0.999)
+    row2 = fb.collect()[0]
+    assert row2.ewma_last == pytest.approx(round(e_last2, 6), abs=1e-6)
+    assert row2.alarm_t == alarm2
