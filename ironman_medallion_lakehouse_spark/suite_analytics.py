@@ -1198,6 +1198,86 @@ _Q142_NBINS = len(_Q142_PSI_EDGES) + 1
              CAST(MIN(CASE WHEN a THEN t END) AS BIGINT)
                AS ewma_alarm_t_planted
       FROM erows2
+    ),
+    rdayt AS (SELECT t, -x AS x FROM dayt),
+    rbsum AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
+      FROM rdayt WHERE t <= 10
+    ),
+    rparm AS (
+      SELECT sx / n AS mu,
+             sqrt((sxx - sx * sx / n) / (n - 1)) AS sd
+      FROM rbsum
+    ),
+    rparm2 AS (
+      SELECT mu, CAST(0.5 AS DOUBLE) * sd AS k, CAST(4.0 AS DOUBLE) * sd AS h
+      FROM rparm
+    ),
+    rrs AS (
+      SELECT t, h,
+             SUM(x - mu - k) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS rs
+      FROM rdayt, rparm2
+    ),
+    rst AS (
+      SELECT t, h,
+             rs - LEAST(CAST(0 AS DOUBLE),
+                        MIN(rs) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) AS s
+      FROM rrs
+    ),
+    vmnull AS (
+      SELECT MIN(CASE WHEN s > h THEN t END) IS NOT NULL AS volmon_down_alarmed
+      FROM rst
+    ),
+    dayd AS (
+      SELECT t, x - CASE WHEN t > 20 THEN step ELSE CAST(0 AS DOUBLE) END AS x
+      FROM dayt, parm2
+    ),
+    durs AS (
+      SELECT t, h,
+             SUM(x - mu - k) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS rs
+      FROM dayd, parm2
+    ),
+    dust AS (
+      SELECT t, h,
+             rs - LEAST(CAST(0 AS DOUBLE),
+                        MIN(rs) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) AS s
+      FROM durs
+    ),
+    vmup AS (
+      SELECT MIN(CASE WHEN s > h THEN t END) IS NOT NULL
+               AS volmon_up_alarmed_planted
+      FROM dust
+    ),
+    rdayd AS (SELECT t, -x AS x FROM dayd),
+    dbsum AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
+      FROM rdayd WHERE t <= 10
+    ),
+    dparm AS (
+      SELECT sx / n AS mu,
+             sqrt((sxx - sx * sx / n) / (n - 1)) AS sd
+      FROM dbsum
+    ),
+    dparm2 AS (
+      SELECT mu, CAST(0.5 AS DOUBLE) * sd AS k, CAST(4.0 AS DOUBLE) * sd AS h
+      FROM dparm
+    ),
+    rdrs AS (
+      SELECT t, h,
+             SUM(x - mu - k) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS rs
+      FROM rdayd, dparm2
+    ),
+    rdst AS (
+      SELECT t, h,
+             rs - LEAST(CAST(0 AS DOUBLE),
+                        MIN(rs) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) AS s
+      FROM rdrs
+    ),
+    vmdownp AS (
+      SELECT ROUND(MAX(s), 6) AS volmon_down_smax_planted,
+             CAST(MIN(CASE WHEN s > h THEN t END) AS BIGINT)
+               AS volmon_down_alarm_t_planted
+      FROM rdst
     )
     SELECT n_a, n_b, d_stat,
            ROUND(d_stat * sqrt(CAST(n_a * n_b AS DOUBLE)
@@ -1208,8 +1288,13 @@ _Q142_NBINS = len(_Q142_PSI_EDGES) + 1
            emb.emb_cosine, emb.emb_norm_ratio,
            cusum.cusum_smax, cusum.cusum_alarmed,
            cusump.cusum_smax_planted, cusump.cusum_alarm_t_planted,
-           ewmap.ewma_last_planted, ewmap.ewma_alarm_t_planted
-    FROM gap, psi, wass, jsd, emb, cusum, cusump, ewmap
+           ewmap.ewma_last_planted, ewmap.ewma_alarm_t_planted,
+           cusum.cusum_alarmed AS volmon_up_alarmed,
+           vmnull.volmon_down_alarmed,
+           vmup.volmon_up_alarmed_planted,
+           vmdownp.volmon_down_smax_planted,
+           vmdownp.volmon_down_alarm_t_planted
+    FROM gap, psi, wass, jsd, emb, cusum, cusump, ewmap, vmnull, vmup, vmdownp
     """,
 )
 def q142_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1249,7 +1334,15 @@ def q142_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
       engine-exact in the oracle (CUSUM via the prefix-sum identity,
       EWMA via the r9 closed form — one windowed running sum of
       d^(−t)·x rescaled by d^t, the same O(T) shape the engine
-      runs)."""
+      runs).
+    - ``volmon_*`` — r9 (VERDICT r8 directive 6): the streaming
+      volume monitor's per-batch kernel
+      (streaming/ingest.two_sided_cusum — upper chart + lower chart
+      as the upper chart on the reflection, params re-estimated per
+      side) driver-attested on the same series: null regime (both
+      sides quiet) and a planted ⌊mu/2⌋ DROP from day 21 (the
+      "lost source" case — down side alarms with its s_max + index,
+      up side provably stays quiet)."""
     from ironman_medallion_lakehouse_spark.operators.experiment import (
         binned_counts_from_value_counts,
         cusum_changepoint,
@@ -1264,6 +1357,9 @@ def q142_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ironman_medallion_lakehouse_spark.operators.similarity import (
         embedding_mean_drift,
+    )
+    from ironman_medallion_lakehouse_spark.streaming.ingest import (
+        two_sided_cusum,
     )
     from pyspark.sql import Window
 
@@ -1326,6 +1422,32 @@ def q142_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ewma_last").alias("ewma_last_planted"),
         F.col("alarm_t").alias("ewma_alarm_t_planted"),
     )
+    # r9 fold (VERDICT r8 directive 6): the streaming volume monitor's
+    # batch kernel (ingest.two_sided_cusum — upper chart + lower chart
+    # on the reflection, params per side) driver-attested on the same
+    # daily series: null regime (both sides' alarmed booleans) and a
+    # planted DROP of the same ⌊mu/2⌋ step (the "lost source" case —
+    # the DOWN side must fire while the UP side stays quiet)
+    vm = two_sided_cusum(daily, "day", "c", baseline_n=10).select(
+        F.col("up_alarm_t").isNotNull().alias("volmon_up_alarmed"),
+        F.col("down_alarm_t").isNotNull().alias("volmon_down_alarmed"),
+    )
+    dd = (
+        daily.withColumn("_t", F.row_number().over(wd))
+        .crossJoin(F.broadcast(step))
+        .select(
+            "day",
+            (
+                F.col("c").cast("double")
+                - F.when(F.col("_t") > 20, F.col("step")).otherwise(F.lit(0.0))
+            ).alias("cd"),
+        )
+    )
+    vmp = two_sided_cusum(dd, "day", "cd", baseline_n=10).select(
+        F.col("up_alarm_t").isNotNull().alias("volmon_up_alarmed_planted"),
+        F.col("down_smax").alias("volmon_down_smax_planted"),
+        F.col("down_alarm_t").alias("volmon_down_alarm_t_planted"),
+    )
     return (
         ks.crossJoin(F.broadcast(w1))
         .crossJoin(F.broadcast(psi))
@@ -1335,6 +1457,8 @@ def q142_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(cu))
         .crossJoin(F.broadcast(cup))
         .crossJoin(F.broadcast(ewp))
+        .crossJoin(F.broadcast(vm))
+        .crossJoin(F.broadcast(vmp))
         .select(
             "n_a",
             "n_b",
@@ -1352,6 +1476,11 @@ def q142_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cusum_alarm_t_planted",
             "ewma_last_planted",
             "ewma_alarm_t_planted",
+            "volmon_up_alarmed",
+            "volmon_down_alarmed",
+            "volmon_up_alarmed_planted",
+            "volmon_down_smax_planted",
+            "volmon_down_alarm_t_planted",
         )
     )
 
