@@ -1857,17 +1857,78 @@ _Q143_W_SQL = " + ".join(
                                    ('qte_p75', 0.75)) qp(lbl, p)
       GROUP BY lbl
     ),
+    wzcum AS (
+      -- winsorized-t rides Mann-Whitney's per-distinct-value frame:
+      -- POOLED running/total counts over the value sort
+      SELECT v, na_v, nb_v,
+        SUM(na_v + nb_v) OVER (
+          ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+        SUM(na_v + nb_v) OVER () AS np
+      FROM mwpv
+    ),
+    wzcut AS (
+      -- pooled type-1 cuts, thresholds ceil(p*n) floored at 1
+      -- (experiment.winsorized_welch_from_value_counts)
+      SELECT
+        MIN(CASE WHEN cp >= GREATEST(
+          CEIL(CAST(0.000000 AS DECIMAL(10,6)) * np), 1) THEN v END) AS lo,
+        MIN(CASE WHEN cp >= GREATEST(
+          CEIL(CAST(0.990000 AS DECIMAL(10,6)) * np), 1) THEN v END) AS hi
+      FROM wzcum
+    ),
+    wzclip AS (
+      SELECT na_v, nb_v,
+        CAST(LEAST(GREATEST(v, lo), hi) AS DECIMAL(12,4)) AS xw
+      FROM mwpv, wzcut
+    ),
+    wzagg AS (
+      SELECT SUM(na_v) AS wna, SUM(nb_v) AS wnb,
+        SUM(na_v * xw) AS wsxa, SUM(nb_v * xw) AS wsxb,
+        -- DECIMAL(19,4) widening: the welch sxx int128 workaround
+        SUM(na_v * (CAST(xw AS DECIMAL(19,4)) * xw)) AS wsxxa,
+        SUM(nb_v * (CAST(xw AS DECIMAL(19,4)) * xw)) AS wsxxb
+      FROM wzclip
+    ),
+    wzx AS (
+      SELECT CAST(wna AS DOUBLE) AS na, CAST(wnb AS DOUBLE) AS nb,
+             wna AS n_a, wnb AS n_b,
+             CAST(wsxa AS DOUBLE) / CAST(wna AS DOUBLE) AS ma_,
+             CAST(wsxb AS DOUBLE) / CAST(wnb AS DOUBLE) AS mb_,
+             CAST(wsxxa AS DOUBLE) AS sxxa, CAST(wsxxb AS DOUBLE) AS sxxb
+      FROM wzagg
+    ),
+    wzw AS (
+      SELECT *, va / na + vb / nb AS se2 FROM (
+        SELECT *,
+               (sxxa - na * ma_ * ma_) / (na - 1) AS va,
+               (sxxb - nb * mb_ * mb_) / (nb - 1) AS vb
+        FROM wzx)
+    ),
+    winz AS (
+      SELECT 'winsorized_t' AS test, CAST(n_a AS BIGINT) AS n_a,
+             CAST(n_b AS BIGINT) AS n_b,
+             ROUND(ma_, 6) AS est_a, ROUND(mb_, 6) AS est_b,
+             CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
+                  THEN ROUND((ma_ - mb_) / sqrt(se2), 6) END AS stat,
+             CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
+                  THEN ROUND((se2 * se2) /
+                       ((va / na) * (va / na) / (na - 1)
+                        + (vb / nb) * (vb / nb) / (nb - 1)), 6) END AS dof,
+             CAST(NULL AS DOUBLE) AS ci_lo, CAST(NULL AS DOUBLE) AS ci_hi
+      FROM wzw
+    ),
     battery AS (
       SELECT * FROM welch UNION ALL SELECT * FROM prop
       UNION ALL SELECT * FROM mw UNION ALL SELECT * FROM boot
       UNION ALL SELECT * FROM srm UNION ALL SELECT * FROM msprt
       UNION ALL SELECT * FROM welch_eff UNION ALL SELECT * FROM msprt_eff
-      UNION ALL SELECT * FROM delta UNION ALL SELECT * FROM qte
+      UNION ALL SELECT * FROM delta UNION ALL SELECT * FROM winz
+      UNION ALL SELECT * FROM qte
     ),
     pv AS (
       SELECT *, ROUND(CASE
         WHEN test IN ('welch_t', 'prop_z', 'mann_whitney',
-                      'welch_t_planted', 'delta_ratio')
+                      'welch_t_planted', 'delta_ratio', 'winsorized_t')
           THEN {{P_STAT}}
         WHEN test = 'srm' THEN {{P_SQRT}}
         WHEN test IN ('msprt', 'msprt_planted')
@@ -1939,7 +2000,15 @@ def q143_ab_test_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-variant quantiles, stat = QTE(p). Estimates like the bootstrap
     row (NULL p, outside the BH family); the oracle replays min-v-
     where-cum≥⌈p·n⌉ off Mann-Whitney's per-distinct-value CTE.
-    Twelve rows total, still one entry."""
+
+    r9: ``winsorized_t`` row — the robust-mean readout
+    (experiment.winsorized_welch_t, NOTES_r8 item 6 folded per the
+    builder queue): Welch's t on values clipped at the POOLED
+    [0, 0.99] type-1 quantiles (the "capped metric" production form
+    for heavy-tailed revenue), cuts + clipped decimal moments off the
+    per-distinct-value frame; a real test, so it carries a p and
+    joins the BH family (m grows to 8). Thirteen rows total, still
+    one entry."""
     from ironman_medallion_lakehouse_spark.operators.experiment import (
         bh_adjust,
         delta_method_ratio_test,
@@ -1951,6 +2020,7 @@ def q143_ab_test_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         srm_check,
         two_proportion_ztest,
         welch_t_test,
+        winsorized_welch_t,
     )
 
     t = load_tables(spark, sf_dir, "orders")
@@ -2011,6 +2081,11 @@ def q143_ab_test_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distributional readout (r8c): exact type-1 quantile differences
     # at the quartiles — estimates like the bootstrap row (NULL p,
     # outside the BH family); stat carries QTE(p) = Q_b(p) − Q_a(p)
+    # robust-mean readout (r9 fold): Welch on values clipped at the
+    # POOLED [0, 0.99] type-1 quantiles — the "capped metric" form a
+    # heavy-tailed revenue metric ships with; cuts + clipped moments
+    # all ride the per-distinct-value frame off the checkpointed base
+    wz = winsorized_welch_t(o, "o_totalprice", "variant", "a", "b")
     qt = quantile_treatment_effects(
         o, "o_totalprice", "variant", "a", "b", probs=_Q143_QTE_PROBS
     ).select(
@@ -2144,6 +2219,20 @@ def q143_ab_test_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ci_hi",
             )
         )
+        .unionByName(
+            # winsorized-t arm (r9): robust-mean readout at pooled
+            # [0, 0.99] cuts — a real test, in the BH family
+            wz.select(
+                F.lit("winsorized_t").alias("test"),
+                "n_a",
+                "n_b",
+                F.col("mean_a").alias("est_a"),
+                F.col("mean_b").alias("est_b"),
+                F.col("t_stat").alias("stat"),
+                "dof",
+                *nulls,
+            )
+        )
         .unionByName(qt)
     )
     # per-arm two-sided p (6dp, from the already-rounded stat), then
@@ -2153,7 +2242,12 @@ def q143_ab_test_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_value = (
         F.when(
             F.col("test").isin(
-                "welch_t", "prop_z", "mann_whitney", "welch_t_planted", "delta_ratio"
+                "welch_t",
+                "prop_z",
+                "mann_whitney",
+                "welch_t_planted",
+                "delta_ratio",
+                "winsorized_t",
             ),
             normal_p_two_sided(F.col("stat")),
         )
@@ -2163,11 +2257,11 @@ def q143_ab_test_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.lit(1.0), F.exp(-F.col("stat"))),
         )
     )
-    # materialize the TWELVE battery rows before BH: bh_adjust's rank
-    # subframe + join-back would otherwise re-evaluate every arm's
-    # subplan (the bootstrap explode twice), and the inlined
+    # materialize the THIRTEEN battery rows before BH: bh_adjust's
+    # rank subframe + join-back would otherwise re-evaluate every
+    # arm's subplan (the bootstrap explode twice), and the inlined
     # delta-method/p-value expression trees grow past the codegen
-    # limit — checkpointing twelve rows costs nothing and keeps the
+    # limit — checkpointing thirteen rows costs nothing and keeps the
     # entry plan scan-free downstream
     battery = battery.withColumn("p_value", F.round(p_value, 6)).localCheckpoint(
         eager=True

@@ -27,6 +27,6 @@ def test_q143_arms_share_one_materialized_base(spark):
     scans = re.findall(r"\(\d+\) Scan parquet", plan)
     assert len(scans) == 0, f"arms re-scan parquet: {len(scans)} scans"
     assert "ExistingRDD" in plan, "expected the checkpointed base as source"
-    # twelve rows in the union (r8c added the delta-method ratio row,
-    # then the three QTE quartile rows)
-    assert df.count() == 12
+    # thirteen rows in the union (r8c added the delta-method ratio
+    # row and the three QTE quartile rows; r9 the winsorized-t row)
+    assert df.count() == 13
