@@ -204,10 +204,14 @@ def learn_bpe_batched(
        ``spark.newSession().read...`` (or re-create it there) and pass
        THAT frame in; the toggle then lives entirely in the clone.
 
-    ``stats`` (optional dict) receives ``rounds`` and ``merges`` so
-    callers can assert driver sync points per merge < 1. Equivalence
-    to ``learn_bpe`` is property-tested against random corpora in
-    tests/test_vocab.py."""
+    ``stats`` (optional dict) receives ``rounds``, ``merges``, and a
+    ``stop_reasons`` histogram — which admissibility rule ended each
+    round's batch (``k_exhausted`` / ``min_count`` /
+    ``symbol_conflict`` / ``new_pair_bound`` / ``product_collision``)
+    — so callers can assert driver sync points per merge < 1 and see
+    which rule binds in practice (the r8 directive-3 measurement).
+    Equivalence to ``learn_bpe`` is property-tested against random
+    corpora in tests/test_vocab.py."""
     spark = counts.sparkSession
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -304,11 +308,17 @@ def _learn_bpe_batched(
         lefts: set[str] = set()
         rights: set[str] = set()
         bound_max = -1
+        stop_reason = "k_exhausted"  # took every candidate pulled
         for r in top:
             c = r["total"]
             if c < min_pair_count:
+                stop_reason = "min_count"
                 break
-            if batch and (r["a"] in rights or r["b"] in lefts or c <= bound_max):
+            if batch and (r["a"] in rights or r["b"] in lefts):
+                stop_reason = "symbol_conflict"
+                break
+            if batch and c <= bound_max:
+                stop_reason = "new_pair_bound"
                 break
             prod = r["a"] + r["b"]
             collides = prod in symbols_ever
@@ -319,7 +329,11 @@ def _learn_bpe_batched(
             bound = min(c, max(r["in_tri"] or 0, r["out_tri"] or 0))
             bound_max = max(bound_max, bound)
             if collides:
+                stop_reason = "product_collision"
                 break
+        if stats is not None:
+            hist = stats.setdefault("stop_reasons", {})
+            hist[stop_reason] = hist.get(stop_reason, 0) + 1
         for a, b in batch:
             merges.append((a, b))
             words = words.select(_merge_fold(F.col("syms"), a, b).alias("syms"), "n")

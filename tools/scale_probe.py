@@ -20,7 +20,7 @@ exactly k× — the "k× more data at the same density" model the 100 TB
 question actually asks about. These are timed end-to-end (build +
 execute) because connected components runs jobs during construction.
 
-Usage: python tools/scale_probe.py [factor] [classic|dedup|more|stats|all]
+Usage: python tools/scale_probe.py [factor] [classic|dedup|more|stats|ivf|all]
 """
 
 from __future__ import annotations
@@ -396,6 +396,84 @@ def _probe_stats(spark, factor: int, out: dict) -> None:
         }
 
 
+def _probe_ivf(spark, factor: int, out: dict) -> None:
+    """r9 (VERDICT r8 directive 7): ANN maintenance under centroid
+    drift at volume — build an IvfIndex on the (replicated) embeddings,
+    add a TIGHT drifted cluster (25 % of the corpus collapsed toward
+    an unseen unit direction), then measure probe WALL TIME and
+    recall@10 before vs after rebuild(). The pytest twin
+    (tests/test_ivf.py) pins the recall floor and the dedicated-cell
+    structure at 1x; this arm shows the latency side scales: the
+    pre-rebuild probe scans the mega-cell (batch + a stale cell's
+    base members), the post-rebuild probe scans the dedicated cluster
+    cell."""
+    import tempfile
+
+    from ironman_medallion_lakehouse_spark.operators.similarity import (
+        IvfIndex,
+        cosine,
+    )
+    from ironman_medallion_lakehouse_spark.sources.tablestore import TableStore
+
+    emb0 = load_tables(spark, SF_DIR, "embeddings")["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    dim = len(emb0.first().embedding)
+    ucol = F.array(*([F.lit(1.0)] + [F.lit(0.0)] * (dim - 1)))
+    shapes = {}
+    for f in (1, factor):
+        emb = _replicate(emb0, f, ["vec_id"]).localCheckpoint(eager=True)
+        store = TableStore(spark, tempfile.mkdtemp(prefix=f"ivfprobe{f}_"))
+        idx = IvfIndex(store, "ann.ivf")
+        idx.build(emb, n_cells=8, n_iter=4)
+        drifted = emb.filter(F.col("vec_id") % 4 == 0).select(
+            (F.col("vec_id") + 10_000_000_000).alias("vec_id"),
+            F.zip_with(
+                F.transform(F.col("embedding"), lambda x: x * 0.05),
+                ucol,
+                lambda a, b: a + b,
+            )
+            .cast("array<float>")
+            .alias("embedding"),
+        )
+        idx.add(drifted)
+        q = [float(x) for x in drifted.orderBy("vec_id").first().embedding]
+        qid = int(drifted.orderBy("vec_id").first().vec_id)
+        allv = emb.unionByName(drifted).localCheckpoint(eager=True)
+        qcol = F.array(*[F.lit(x) for x in q])
+        want = {
+            r.vec_id
+            for r in allv.filter(F.col("vec_id") != qid)
+            .select("vec_id", cosine(F.col("embedding"), qcol).alias("s"))
+            .orderBy(F.col("s").desc(), F.col("vec_id").asc())
+            .limit(10)
+            .collect()
+        }
+
+        def probe_once():
+            t0 = time.time()
+            rows = idx.probe(q, k=10, nprobe=1, exclude_ids=[qid]).collect()
+            return time.time() - t0, {r.vec_id for r in rows}
+
+        t_before, got_before = min(
+            (probe_once() for _ in range(3)), key=lambda x: x[0]
+        )
+        idx.rebuild()
+        t_after, got_after = min(
+            (probe_once() for _ in range(3)), key=lambda x: x[0]
+        )
+        shapes[f] = {
+            "probe_s_stale": round(t_before, 3),
+            "probe_s_rebuilt": round(t_after, 3),
+            "recall_stale": len(got_before & want) / 10,
+            "recall_rebuilt": len(got_after & want) / 10,
+        }
+    out["queries"]["ivf_maintenance"] = {
+        "t_1x": shapes[1],
+        f"t_{factor}x": shapes[factor],
+    }
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     which = sys.argv[2] if len(sys.argv) > 2 else "all"
@@ -419,6 +497,8 @@ def main() -> None:
         _probe_more(spark, factor, out)
     if which in ("stats", "all"):
         _probe_stats(spark, factor, out)
+    if which in ("ivf", "all"):
+        _probe_ivf(spark, factor, out)
     print(json.dumps(out))
 
 
