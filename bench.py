@@ -92,6 +92,17 @@ HEADLINE = [
 ]
 
 
+# Battery entries get per-arm attribution in BENCH_DETAIL (VERDICT r8
+# directive 2: batteries are the designated dumping grounds, so the
+# headline number must come with an arm split). Each arm frame is
+# timed separately (warm + one timed run) on top of the shared
+# localCheckpoint'ed bases the arm-frames builder materializes.
+BATTERY_ARMS = {
+    "q142_ks_drift": "_q142_arm_frames",
+    "q143_ab_test_battery": "_q143_arm_frames",
+}
+
+
 def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -149,6 +160,24 @@ def main() -> None:
             _drop_persistent_blocks(spark)
         timings[name] = min(runs)
         detail[name] = {"runs": runs, **_group_counts(spark, group)}
+        if name in BATTERY_ARMS:
+            import importlib
+
+            mod = importlib.import_module(
+                "ironman_medallion_lakehouse_spark.suite_analytics"
+            )
+            # NB: no block-dropping between arms — the arm frames hang
+            # off localCheckpoint'ed bases whose lineage is truncated,
+            # so unpersisting them mid-split would break the frames
+            frames = getattr(mod, BATTERY_ARMS[name])(spark, SF_DIR)
+            arm_s = {}
+            for arm, adf in frames.items():
+                _run(adf)  # warm
+                t0 = time.time()
+                _run(adf)
+                arm_s[arm] = round(time.time() - t0, 3)
+            detail[name]["arm_s"] = arm_s
+            _drop_persistent_blocks(spark)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
