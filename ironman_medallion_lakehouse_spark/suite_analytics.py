@@ -1199,6 +1199,35 @@ _Q142_NBINS = len(_Q142_PSI_EDGES) + 1
                AS ewma_alarm_t_planted
       FROM erows2
     ),
+    enterm AS (
+      SELECT t, mu, sd,
+             SUM(POW(CAST(0.8 AS DOUBLE), -CAST(t AS DOUBLE)) * x)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS r
+      FROM dayt, parm2
+    ),
+    enrows AS (
+      SELECT t, mu, sd,
+             POW(CAST(0.8 AS DOUBLE), CAST(t AS DOUBLE)) * mu
+             + CAST(0.2 AS DOUBLE)
+               * POW(CAST(0.8 AS DOUBLE), CAST(t AS DOUBLE)) * r AS e
+      FROM enterm
+    ),
+    enrows2 AS (
+      SELECT t, e,
+             ABS(e - mu) > CAST(3.0 AS DOUBLE) * sd
+               * sqrt(CAST(0.2 AS DOUBLE) / (CAST(2.0 AS DOUBLE)
+                                             - CAST(0.2 AS DOUBLE))
+                      * (CAST(1.0 AS DOUBLE)
+                         - POW(CAST(0.8 AS DOUBLE),
+                               CAST(2.0 AS DOUBLE) * CAST(t AS DOUBLE))))
+               AS a
+      FROM enrows
+    ),
+    ewmanull AS (
+      SELECT ROUND(MAX_BY(e, t), 6) AS ewma_last,
+             MIN(CASE WHEN a THEN t END) IS NOT NULL AS ewma_alarmed
+      FROM enrows2
+    ),
     rdayt AS (SELECT t, -x AS x FROM dayt),
     rbsum AS (
       SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
@@ -1293,8 +1322,10 @@ _Q142_NBINS = len(_Q142_PSI_EDGES) + 1
            vmnull.volmon_down_alarmed,
            vmup.volmon_up_alarmed_planted,
            vmdownp.volmon_down_smax_planted,
-           vmdownp.volmon_down_alarm_t_planted
-    FROM gap, psi, wass, jsd, emb, cusum, cusump, ewmap, vmnull, vmup, vmdownp
+           vmdownp.volmon_down_alarm_t_planted,
+           ewmanull.ewma_last, ewmanull.ewma_alarmed
+    FROM gap, psi, wass, jsd, emb, cusum, cusump, ewmap, vmnull, vmup,
+         vmdownp, ewmanull
     """,
 )
 def q142_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1353,6 +1384,7 @@ def q142_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "emb",
         "cusum",
         "cusum_planted",
+        "ewma",
         "ewma_planted",
         "volmon",
         "volmon_planted",
@@ -1380,6 +1412,8 @@ def q142_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "volmon_up_alarmed_planted",
         "volmon_down_smax_planted",
         "volmon_down_alarm_t_planted",
+        "ewma_last",
+        "ewma_alarmed",
     )
 
 
@@ -1471,6 +1505,12 @@ def _q142_arm_frames(spark: SparkSession, sf_dir: str) -> dict:
         F.col("ewma_last").alias("ewma_last_planted"),
         F.col("alarm_t").alias("ewma_alarm_t_planted"),
     )
+    # null regime for the EWMA chart too (r9: both charts now carry
+    # both regimes; boolean like cusum_alarmed)
+    ewn = ewma_control(daily, "day", "c", params).select(
+        "ewma_last",
+        F.col("alarm_t").isNotNull().alias("ewma_alarmed"),
+    )
     # r9 fold (VERDICT r8 directive 6): the streaming volume monitor's
     # batch kernel (ingest.two_sided_cusum — upper chart + lower chart
     # on the reflection, params per side) driver-attested on the same
@@ -1506,6 +1546,7 @@ def _q142_arm_frames(spark: SparkSession, sf_dir: str) -> dict:
         "emb": ed,
         "cusum": cu,
         "cusum_planted": cup,
+        "ewma": ewn,
         "ewma_planted": ewp,
         "volmon": vm,
         "volmon_planted": vmp,
