@@ -89,6 +89,9 @@ HEADLINE = [
     # multi-merge driver rounds) — the one iterative-driver-loop shape
     # in the suite; tracks the jobs-per-merge dial's wall-clock side
     "q144_bpe_learn",
+    # r9: the sequential-chart battery split out of q142 when it
+    # crossed the ~5 s threshold (q142's fingerprint resets — expected)
+    "q145_sequential_charts",
 ]
 
 
@@ -100,6 +103,7 @@ HEADLINE = [
 BATTERY_ARMS = {
     "q142_ks_drift": "_q142_arm_frames",
     "q143_ab_test_battery": "_q143_arm_frames",
+    "q145_sequential_charts": "_q145_arm_frames",
 }
 
 

@@ -1104,7 +1104,123 @@ _Q142_NBINS = len(_Q142_PSI_EDGES) + 1
           ROUND(sqrt(CAST(nrb AS DOUBLE)) / sqrt(CAST(nra AS DOUBLE)), 6)
         END AS emb_norm_ratio
       FROM embd
-    ),
+    )
+    SELECT n_a, n_b, d_stat,
+           ROUND(d_stat * sqrt(CAST(n_a * n_b AS DOUBLE)
+                               / CAST(n_a + n_b AS DOUBLE)), 6) AS ks_stat,
+           psi.psi,
+           TRUE AS d_kll_ok,
+           wass.w1, jsd.js,
+           emb.emb_cosine, emb.emb_norm_ratio
+    FROM gap, psi, wass, jsd, emb
+    """,
+)
+def q142_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift battery (operators/experiment): does the
+    click batch's value distribution match the view batch's? Three
+    arms over the same two samples, one row:
+
+    - ``d_stat``/``ks_stat`` — exact two-sample KS at tie-absorbed
+      jump points (the continuous complement of q130's chi-square;
+      streaming/ingest wires it as the gate's drift arm). r7:
+      pre-aggregated to per-distinct-value counts so the one serial
+      sort sees the value domain, not the observations (VERDICT r6
+      item 3).
+    - ``psi`` — Population Stability Index over fixed literal bins
+      (the ML-monitoring binned drift standard; add-0.5 smoothing;
+      NO serial section at all), exact-decimal term sums hash-matched
+      against the oracle's replay.
+    - ``d_kll_ok`` — the KS 100 TB scale path the exact form's
+      docstring prescribes: D̂ from mergeable KLL quantile sketches
+      (ks_two_sample_kll), pinned within 0.05 of the exact D as a
+      driver-checked boolean (the q28/q82 sketch-arm protocol).
+    - ``emb_cosine``/``emb_norm_ratio`` — r8, the battery-fold policy:
+      the embedding-space drift screen (similarity.embedding_mean_drift,
+      linear-kernel MMD first moment) over a deterministic vec_id-parity
+      split of embeddings, hash-exact against the oracle's posexplode
+      dimension-sum replay — the representation-space complement of the
+      scalar-signal arms.
+    (The sequential-chart arms — CUSUM/EWMA/volume-monitor — moved to
+    their own entry q145_sequential_charts in r9: the battery crossed
+    the ~5 s bench split threshold after the r9 folds, and the two
+    groups share no base — these arms read per-distinct-value counts,
+    those read the daily event-volume series.)"""
+    arms = _q142_arm_frames(spark, sf_dir)
+    out = arms["ks"]
+    for key in ("w1", "psi", "js", "kll", "emb"):
+        out = out.crossJoin(F.broadcast(arms[key]))
+    return out.select(
+        "n_a",
+        "n_b",
+        "d_stat",
+        "ks_stat",
+        "psi",
+        (F.abs(F.col("d_kll") - F.col("d_stat")) <= 0.05).alias("d_kll_ok"),
+        "w1",
+        "js",
+        "emb_cosine",
+        "emb_norm_ratio",
+    )
+
+
+def _q142_arm_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """The drift battery's arms as NAMED single-row frames — the
+    entry assembles them (fixed crossJoin order) and bench.py times
+    each one separately (VERDICT r8 directive 2: batteries are the
+    designated dumping grounds, so per-arm attribution ships with
+    them). Shared bases (the per-distinct-value counts frame and the
+    daily volume series) are localCheckpoint'ed HERE, at build time,
+    so per-arm timings measure each arm's incremental cost on top of
+    the shared materializations."""
+    from ironman_medallion_lakehouse_spark.operators.experiment import (
+        binned_counts_from_value_counts,
+        js_from_bin_counts,
+        ks_from_value_counts,
+        ks_two_sample_kll,
+        per_value_counts,
+        psi_from_bin_counts,
+        wasserstein_from_value_counts,
+    )
+    from ironman_medallion_lakehouse_spark.operators.similarity import (
+        embedding_mean_drift,
+    )
+
+    t = load_tables(spark, sf_dir, "events", "embeddings")
+    ev = t["events"]
+    args = (ev, "value", "event_type", "click", "view")
+    # ONE per-distinct-value pre-aggregation feeds both empirical-CDF
+    # arms (KS + W1) AND — binned down the value domain, identical
+    # exact integers — both binned arms (PSI + JS): four statistics,
+    # one pass over the data (the q143 shared-base discipline)
+    pv = per_value_counts(*args).localCheckpoint(eager=True)
+    ks = ks_from_value_counts(pv)
+    w1 = wasserstein_from_value_counts(pv).select("w1")
+    per_bin = binned_counts_from_value_counts(pv, _Q142_PSI_EDGES)
+    nbins = len(_Q142_PSI_EDGES) + 1
+    psi = psi_from_bin_counts(per_bin, nbins).select("psi")
+    js = js_from_bin_counts(per_bin, nbins).select("js")
+    dk = ks_two_sample_kll(*args)
+    e = t["embeddings"]
+    ed = embedding_mean_drift(
+        e.filter(F.col("vec_id") % 2 == 0), e.filter(F.col("vec_id") % 2 == 1)
+    ).select(
+        F.col("mean_cosine").alias("emb_cosine"),
+        F.col("norm_ratio").alias("emb_norm_ratio"),
+    )
+    return {
+        "ks": ks,
+        "w1": w1,
+        "psi": psi,
+        "js": js,
+        "kll": dk,
+        "emb": ed,
+    }
+
+
+@register(
+    "q145_sequential_charts",
+    oracle="""
+    WITH
     dayc AS (
       SELECT date_trunc('day', ts) AS day, COUNT(*) AS c
       FROM events WHERE ts IS NOT NULL GROUP BY 1
@@ -1308,52 +1424,26 @@ _Q142_NBINS = len(_Q142_PSI_EDGES) + 1
                AS volmon_down_alarm_t_planted
       FROM rdst
     )
-    SELECT n_a, n_b, d_stat,
-           ROUND(d_stat * sqrt(CAST(n_a * n_b AS DOUBLE)
-                               / CAST(n_a + n_b AS DOUBLE)), 6) AS ks_stat,
-           psi.psi,
-           TRUE AS d_kll_ok,
-           wass.w1, jsd.js,
-           emb.emb_cosine, emb.emb_norm_ratio,
-           cusum.cusum_smax, cusum.cusum_alarmed,
+    SELECT cusum.cusum_smax, cusum.cusum_alarmed,
            cusump.cusum_smax_planted, cusump.cusum_alarm_t_planted,
+           ewmanull.ewma_last, ewmanull.ewma_alarmed,
            ewmap.ewma_last_planted, ewmap.ewma_alarm_t_planted,
            cusum.cusum_alarmed AS volmon_up_alarmed,
            vmnull.volmon_down_alarmed,
            vmup.volmon_up_alarmed_planted,
            vmdownp.volmon_down_smax_planted,
-           vmdownp.volmon_down_alarm_t_planted,
-           ewmanull.ewma_last, ewmanull.ewma_alarmed
-    FROM gap, psi, wass, jsd, emb, cusum, cusump, ewmap, vmnull, vmup,
-         vmdownp, ewmanull
+           vmdownp.volmon_down_alarm_t_planted
+    FROM cusum, cusump, ewmap, ewmanull, vmnull, vmup, vmdownp
     """,
 )
-def q142_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution-drift battery (operators/experiment): does the
-    click batch's value distribution match the view batch's? Three
-    arms over the same two samples, one row:
+def q145_sequential_charts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential control-chart battery over the daily event-volume
+    series — split out of q142 in r9 when that battery crossed the
+    ~5 s bench split threshold (the q47 watch rule): these arms read
+    the HORIZON-sized day series, q142's read per-distinct-value
+    counts — no shared base, so the split costs nothing. One row.
 
-    - ``d_stat``/``ks_stat`` — exact two-sample KS at tie-absorbed
-      jump points (the continuous complement of q130's chi-square;
-      streaming/ingest wires it as the gate's drift arm). r7:
-      pre-aggregated to per-distinct-value counts so the one serial
-      sort sees the value domain, not the observations (VERDICT r6
-      item 3).
-    - ``psi`` — Population Stability Index over fixed literal bins
-      (the ML-monitoring binned drift standard; add-0.5 smoothing;
-      NO serial section at all), exact-decimal term sums hash-matched
-      against the oracle's replay.
-    - ``d_kll_ok`` — the KS 100 TB scale path the exact form's
-      docstring prescribes: D̂ from mergeable KLL quantile sketches
-      (ks_two_sample_kll), pinned within 0.05 of the exact D as a
-      driver-checked boolean (the q28/q82 sketch-arm protocol).
-    - ``emb_cosine``/``emb_norm_ratio`` — r8, the battery-fold policy:
-      the embedding-space drift screen (similarity.embedding_mean_drift,
-      linear-kernel MMD first moment) over a deterministic vec_id-parity
-      split of embeddings, hash-exact against the oracle's posexplode
-      dimension-sum replay — the representation-space complement of the
-      scalar-signal arms.
-    - ``cusum_*``/``ewma_*`` — r8, the SEQUENTIAL complement (Page's
+    - ``cusum_*``/``ewma_*`` — the SEQUENTIAL complement (Page's
       CUSUM + Roberts' EWMA control chart over the daily event-volume
       series, experiment.cusum_changepoint / ewma_control): the
       two-sample arms ask "do these batches differ?", these ask "at
@@ -1374,15 +1464,10 @@ def q142_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
       sides quiet) and a planted ⌊mu/2⌋ DROP from day 21 (the
       "lost source" case — down side alarms with its s_max + index,
       up side provably stays quiet)."""
-    arms = _q142_arm_frames(spark, sf_dir)
-    out = arms["ks"]
+
+    arms = _q145_arm_frames(spark, sf_dir)
+    out = arms["cusum"]
     for key in (
-        "w1",
-        "psi",
-        "js",
-        "kll",
-        "emb",
-        "cusum",
         "cusum_planted",
         "ewma",
         "ewma_planted",
@@ -1391,20 +1476,12 @@ def q142_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         out = out.crossJoin(F.broadcast(arms[key]))
     return out.select(
-        "n_a",
-        "n_b",
-        "d_stat",
-        "ks_stat",
-        "psi",
-        (F.abs(F.col("d_kll") - F.col("d_stat")) <= 0.05).alias("d_kll_ok"),
-        "w1",
-        "js",
-        "emb_cosine",
-        "emb_norm_ratio",
         "cusum_smax",
         "cusum_alarmed",
         "cusum_smax_planted",
         "cusum_alarm_t_planted",
+        "ewma_last",
+        "ewma_alarmed",
         "ewma_last_planted",
         "ewma_alarm_t_planted",
         "volmon_up_alarmed",
@@ -1412,62 +1489,24 @@ def q142_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "volmon_up_alarmed_planted",
         "volmon_down_smax_planted",
         "volmon_down_alarm_t_planted",
-        "ewma_last",
-        "ewma_alarmed",
     )
 
 
-def _q142_arm_frames(spark: SparkSession, sf_dir: str) -> dict:
-    """The drift battery's arms as NAMED single-row frames — the
-    entry assembles them (fixed crossJoin order) and bench.py times
-    each one separately (VERDICT r8 directive 2: batteries are the
-    designated dumping grounds, so per-arm attribution ships with
-    them). Shared bases (the per-distinct-value counts frame and the
-    daily volume series) are localCheckpoint'ed HERE, at build time,
-    so per-arm timings measure each arm's incremental cost on top of
-    the shared materializations."""
+def _q145_arm_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """The sequential-chart arms as NAMED single-row frames (the
+    bench per-arm attribution contract, like _q142_arm_frames); the
+    daily series base is localCheckpoint'ed here at build time."""
     from ironman_medallion_lakehouse_spark.operators.experiment import (
-        binned_counts_from_value_counts,
         cusum_changepoint,
         ewma_control,
-        js_from_bin_counts,
-        ks_from_value_counts,
-        ks_two_sample_kll,
-        per_value_counts,
-        psi_from_bin_counts,
         series_params,
-        wasserstein_from_value_counts,
-    )
-    from ironman_medallion_lakehouse_spark.operators.similarity import (
-        embedding_mean_drift,
     )
     from ironman_medallion_lakehouse_spark.streaming.ingest import (
         two_sided_cusum,
     )
     from pyspark.sql import Window
 
-    t = load_tables(spark, sf_dir, "events", "embeddings")
-    ev = t["events"]
-    args = (ev, "value", "event_type", "click", "view")
-    # ONE per-distinct-value pre-aggregation feeds both empirical-CDF
-    # arms (KS + W1) AND — binned down the value domain, identical
-    # exact integers — both binned arms (PSI + JS): four statistics,
-    # one pass over the data (the q143 shared-base discipline)
-    pv = per_value_counts(*args).localCheckpoint(eager=True)
-    ks = ks_from_value_counts(pv)
-    w1 = wasserstein_from_value_counts(pv).select("w1")
-    per_bin = binned_counts_from_value_counts(pv, _Q142_PSI_EDGES)
-    nbins = len(_Q142_PSI_EDGES) + 1
-    psi = psi_from_bin_counts(per_bin, nbins).select("psi")
-    js = js_from_bin_counts(per_bin, nbins).select("js")
-    dk = ks_two_sample_kll(*args)
-    e = t["embeddings"]
-    ed = embedding_mean_drift(
-        e.filter(F.col("vec_id") % 2 == 0), e.filter(F.col("vec_id") % 2 == 1)
-    ).select(
-        F.col("mean_cosine").alias("emb_cosine"),
-        F.col("norm_ratio").alias("emb_norm_ratio"),
-    )
+    ev = load_tables(spark, sf_dir, "events")["events"]
     # daily event-volume series, materialized once for the three chart
     # calls (params + 2 CUSUM + EWMA would otherwise re-scan events)
     daily = (
@@ -1538,12 +1577,6 @@ def _q142_arm_frames(spark: SparkSession, sf_dir: str) -> dict:
         F.col("down_alarm_t").alias("volmon_down_alarm_t_planted"),
     )
     return {
-        "ks": ks,
-        "w1": w1,
-        "psi": psi,
-        "js": js,
-        "kll": dk,
-        "emb": ed,
         "cusum": cu,
         "cusum_planted": cup,
         "ewma": ewn,
