@@ -250,3 +250,66 @@ def test_learn_bpe_replay_sql_min_pair_count(spark):
     assert learn_bpe_replay_sql(counts_sql, 3) == learn_bpe_replay_sql(
         counts_sql, 3, min_pair_count=1
     )
+
+
+def test_batched_admits_provably_harmless_symbol_sharing(spark):
+    """r9 trigram-refined count-invariance: taken (x,a), candidate
+    (a,b) share the symbol 'a' but the linking trigram "x a b" does
+    not exist (the pairs live in different words), so with
+    refine_conflicts=True the candidate's count is invariant and BOTH
+    merge in ONE round — the default (r8) rule stops the batch on any
+    sharing. A linked sharing ((b,</w>) vs taken (a,b) via the real
+    trigram "a b </w>") still stops it."""
+    from ironman_medallion_lakehouse_spark.operators.vocab import learn_bpe_batched
+
+    # xaxay x5: (x,a)=10, (a,x)=5, (a,y)=5, (y,</w>)=5
+    # qab   x6: (q,a)=6, (a,b)=6, (b,</w>)=6
+    vocab = {"xaxay": 5, "qab": 6}
+    df = spark.createDataFrame(list(vocab.items()), "word string, n long")
+    stats = {}
+    got = learn_bpe_batched(
+        df, 2, min_pair_count=1, max_batch=8, stats=stats, refine_conflicts=True
+    )
+    want = _py_serial_bpe(vocab, 2, min_pair_count=1)
+    assert got == want == [("x", "a"), ("a", "b")]
+    # both landed in one driver round: the refinement actually fired
+    assert stats["rounds"] == 1, stats
+    # the genuinely linked case still stops: 3rd merge needs round 2
+    stats3 = {}
+    got3 = learn_bpe_batched(
+        df, 3, min_pair_count=1, max_batch=8, stats=stats3, refine_conflicts=True
+    )
+    assert got3 == _py_serial_bpe(vocab, 3, min_pair_count=1)
+    assert stats3["rounds"] == 2, stats3
+    assert stats3["stop_reasons"].get("symbol_conflict", 0) >= 1
+
+
+def test_batched_equals_serial_on_more_random_corpora(spark):
+    """Extended property sweep: more seeds and a two-letter alphabet
+    (maximal sharing + product collisions) — the batched learner must
+    stay EXACTLY serial in BOTH conflict modes (the r8 conservative
+    default and the r9 trigram-refined opt-in)."""
+    import random
+
+    from ironman_medallion_lakehouse_spark.operators.vocab import learn_bpe_batched
+
+    for seed in range(6, 12):
+        rng = random.Random(seed)
+        alpha = "ab" if seed % 2 else "abc"
+        vocab = {}
+        for _ in range(12):
+            w = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 6)))
+            vocab[w] = vocab.get(w, 0) + rng.randint(1, 9)
+        df = spark.createDataFrame(
+            [(w, n) for w, n in vocab.items()], "word string, n long"
+        )
+        want = _py_serial_bpe(vocab, 12, min_pair_count=1)
+        for refine in (False, True):
+            got = learn_bpe_batched(
+                df,
+                num_merges=12,
+                min_pair_count=1,
+                max_batch=6,
+                refine_conflicts=refine,
+            )
+            assert got == want, f"seed {seed} refine={refine}: {got} != {want}"
