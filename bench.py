@@ -146,6 +146,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qdict = suite.queries()
     names = [n for n in HEADLINE if n in qdict]
+    if len(sys.argv) > 1:
+        # ad-hoc subset run (same protocol); the sidecar detail file is
+        # NOT overwritten so the full-suite fingerprint record survives
+        names = [n for n in sys.argv[1:] if n in qdict]
 
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
@@ -177,9 +181,12 @@ def main() -> None:
             arm_s = {}
             for arm, adf in frames.items():
                 _run(adf)  # warm
-                t0 = time.time()
-                _run(adf)
-                arm_s[arm] = round(time.time() - t0, 3)
+                arm_runs = []
+                for _ in range(RUNS):  # same min-of-N protocol as
+                    t0 = time.time()   # headline entries (ADVICE r9)
+                    _run(adf)
+                    arm_runs.append(time.time() - t0)
+                arm_s[arm] = round(min(arm_runs), 3)
             detail[name]["arm_s"] = arm_s
             _drop_persistent_blocks(spark)
 
@@ -192,17 +199,24 @@ def main() -> None:
     # BENCH_r05.json with parsed:null (VERDICT r5 item 2). The compact
     # headline line is printed LAST so a tail capture always keeps it.
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
-        json.dump(
-            {
-                "sf": sf,
-                "runs_per_query": RUNS,
-                "protocol": f"per-query warmup + min of {RUNS} timed runs",
-                "detail": detail,
-            },
-            fh,
-            indent=1,
-        )
+    if len(sys.argv) > 1:
+        # subset run: detail to stderr, keep the full-suite sidecar
+        print(json.dumps({"detail": detail}, indent=1), file=sys.stderr)
+    else:
+        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(
+                {
+                    "sf": sf,
+                    "runs_per_query": RUNS,
+                    "protocol": (
+                        f"per-query warmup + min of {RUNS} timed runs"
+                        " (arms: same protocol)"
+                    ),
+                    "detail": detail,
+                },
+                fh,
+                indent=1,
+            )
     print(
         json.dumps(
             {

@@ -324,16 +324,17 @@ def _learn_bpe_batched(
             .limit(k)
         )
         if refine_conflicts:
-            # LINKING trigrams among the top-k pairs (r9 refinement):
-            # candidate (x,y) actually loses count to a taken (a,b)
-            # ONLY through the specific trigram the merge consumes —
-            # (x,a,b) when y==a, (a,b,y) when x==b. Pull existence of
-            # those trigrams in the SAME job (unioned under a kind
-            # tag); only third-symbols that are themselves a top-k
-            # left/right can ever be checked, so each link set is
-            # <= k^2 rows — bounded. The limit(k) subtree re-executes
-            # per reference, but its sort key (total desc, a, b) is a
-            # TOTAL order, so every execution agrees.
+            # LINKING trigrams among the top-k pairs (r9 refinement,
+            # OPT-IN — the default path must not pay for it): candidate
+            # (x,y) actually loses count to a taken (a,b) ONLY through
+            # the specific trigram the merge consumes — (x,a,b) when
+            # y==a, (a,b,y) when x==b. Pull existence of those trigrams
+            # in the SAME job (unioned under a kind tag); only
+            # third-symbols that are themselves a top-k left/right can
+            # ever be checked, so each link set is <= k^2 rows —
+            # bounded. The limit(k) subtree re-executes per reference,
+            # but its sort key (total desc, a, b) is a TOTAL order, so
+            # every execution agrees.
             tkp = tk.select(F.col("a").alias("_ta"), F.col("b").alias("_tb"))
             tk_lefts = tk.select(F.col("a").alias("_s")).distinct()
             tk_rights = tk.select(F.col("b").alias("_s")).distinct()
@@ -343,9 +344,7 @@ def _learn_bpe_batched(
                     (F.col("t2") == F.col("_ta")) & (F.col("t3") == F.col("_tb")),
                     "left_semi",
                 )
-                .join(
-                    tk_lefts.hint("merge"), F.col("t1") == F.col("_s"), "left_semi"
-                )
+                .join(tk_lefts.hint("merge"), F.col("t1") == F.col("_s"), "left_semi")
                 .select(
                     F.col("t2").alias("a"),
                     F.col("t3").alias("b"),
@@ -359,9 +358,7 @@ def _learn_bpe_batched(
                     (F.col("t1") == F.col("_ta")) & (F.col("t2") == F.col("_tb")),
                     "left_semi",
                 )
-                .join(
-                    tk_rights.hint("merge"), F.col("t3") == F.col("_s"), "left_semi"
-                )
+                .join(tk_rights.hint("merge"), F.col("t3") == F.col("_s"), "left_semi")
                 .select(
                     F.col("t1").alias("a"),
                     F.col("t2").alias("b"),
@@ -376,267 +373,13 @@ def _learn_bpe_batched(
                 .collect()  # <= k + 2k^2 rows — bounded pull per ROUND
             )
         else:
+            # default path: ONE job collecting just the top-k candidate
+            # table — no trigram link subqueries (SCALING.md r9:
+            # "Verdict: default OFF", ~2.4x per-round wall otherwise)
             pulled = [
                 {**r.asDict(), "kind": "C"}
                 for r in tk.collect()  # <= max_batch rows — bounded
             ]
-        top = sorted(
-            (r for r in pulled if r["kind"] == "C"),
-            key=lambda r: (-r["total"], r["a"], r["b"]),
-        )
-        # s_right[(a,b)] = {x : trigram (x,a,b) exists};
-        # s_left[(a,b)]  = {y : trigram (a,b,y) exists}
-        s_right: dict[tuple[str, str], set[str]] = {}
-        s_left: dict[tuple[str, str], set[str]] = {}
-        for r in pulled:
-            if r["kind"] == "R":
-                s_right.setdefault((r["a"], r["b"]), set()).add(r["x"])
-            elif r["kind"] == "L":
-                s_left.setdefault((r["a"], r["b"]), set()).add(r["x"])
-        if not top or top[0]["total"] < min_pair_count:
-            break
-        a, b = top[0]["a"], top[0]["b"]
-        merges.append((a, b))
-        words = words.select(_merge_fold(F.col("syms"), a, b).alias("syms"), "n")
-        if (i + 1) % max(1, checkpoint_every) == 0:
-            words = words.localCheckpoint(eager=True)
-    return merges
-
-
-def learn_bpe_batched(
-    counts: DataFrame,
-    num_merges: int,
-    min_pair_count: int = 2,
-    max_batch: int = 8,
-    stats: dict | None = None,
-    refine_conflicts: bool = False,
-) -> list[tuple[str, str]]:
-    """``learn_bpe`` with the documented scale dial IMPLEMENTED
-    (VERDICT r7 item 2): batch several merges per driver round while
-    staying EXACTLY equivalent to the serial loop, so jobs/merge drops
-    below 1 instead of the 30k driver-coordinated jobs a production
-    vocabulary costs serially.
-
-    Per round, ONE distributed pass computes the weighted pair counts
-    AND, for the top-``max_batch`` candidates, the max weighted
-    trigram count through each candidate (``max_x tri(x,a,b)`` and
-    ``max_y tri(a,b,y)``). The batch is then chosen driver-side as a
-    PREFIX of the (count desc, a asc, b asc)-sorted table such that
-    each taken pair, in order, is provably still the argmax the serial
-    loop would pick at its turn:
-
-    - *prefix rule*: stop at the first inadmissible candidate — every
-      pair counted above a taken pair must itself be taken (else the
-      serial loop could pick the skipped one after earlier merges
-      lowered nothing of its count);
-    - *count invariance* (r9, trigram-refined): a pair occurrence
-      (x,y) is destroyed by merging (a,b) ONLY through the specific
-      linking trigram the merge consumes — "x a b" when y==a (the y
-      gets absorbed rightward), "a b y" when x==b (the x gets absorbed
-      leftward); left-left / right-right sharing never destroys (the
-      shared symbol's consumed occurrences are the OTHER pair's), and
-      no merge creates an adjacency between two pre-existing symbols
-      (the fresh ``ab`` symbol sits between them — see collision rule
-      for the product-collision exception). So a candidate sharing a
-      symbol with a taken pair stops the batch only when its linking
-      trigram actually EXISTS in the current symbol table — existence
-      is pulled in the same candidate job (trigrams whose head/tail
-      equals a top-k pair and whose third symbol is a top-k
-      left/right: ≤ k² rows per side). Zero linking occurrences ⇒
-      zero destroyed occurrences ⇒ the candidate's count — and the
-      serial argmax order — is invariant. Stopping when the trigram
-      exists even where greedy overlap wouldn't actually consume it
-      is the conservative direction — equivalence holds. The refined
-      check is **opt-in** (``refine_conflicts=True``): on both
-      measured corpora (the 31-word documents lexicon and the
-      50k-word Zipfian probe) every top-candidate conflict was
-      genuinely linked — frequent pairs chain within the same
-      frequent words — so rounds did not drop while the link
-      subqueries cost ~2.4× per-round wall (SCALING.md r9). The
-      default keeps the r8 rule (any sharing stops); turn the
-      refinement on for corpora whose near-tied pairs come from
-      DISJOINT contexts (pinned to fire in
-      tests/test_vocab.py::test_batched_admits_provably_harmless_symbol_sharing);
-    - *new-pair bound*: merging (a,b) creates pairs only around the
-      new ab symbol; any such pair's count is bounded by the max
-      weighted trigram through (a,b) (an (x, ab) needs an "x a b"
-      trigram, an (ab, ab) from "a b a b" has a "b a b" trigram), and
-      by c(a,b) itself. A later candidate is taken only if its count
-      STRICTLY exceeds every taken pair's bound, so no freshly created
-      pair can outrank (or tie) it at its serial turn;
-    - *collision rule*: if a candidate's merge product string already
-      exists as a symbol (possible for length ≥ 3 products via a
-      different split, e.g. 'aba' from ('a','ba') vs ('ab','a')), the
-      merge can INCREASE existing pairs' counts, which the bound does
-      not cover — take the pair (it is still this turn's argmax) and
-      close the batch. The ever-seen symbol set is tracked driver-side
-      (initial alphabet + products, a bounded superset).
-
-    AQE is disabled for the learner's own queries (restored after):
-    every frame past ``word_counts`` is vocab-sized, so adaptive
-    re-planning buys nothing while materializing each tiny shuffle
-    stage as its own job — with it off, a round costs exactly TWO jobs
-    (one candidate collect, one checkpoint), the number the
-    jobs-per-merge test pins.
-
-    .. caveat:: the toggle is **session-wide for the duration of
-       learning** (ADVICE r8 item 2): a concurrent query planned on
-       the SAME SparkSession during that window — e.g. a streaming
-       micro-batch on another thread — is planned with AQE off.
-       ``spark.newSession()`` cannot isolate it because a DataFrame
-       plans under the session it was created from (``counts``'s), so
-       the conf write necessarily lands there. Callers sharing the
-       session with latency-sensitive concurrent work should learn on
-       a dedicated session: build ``counts`` via
-       ``spark.newSession().read...`` (or re-create it there) and pass
-       THAT frame in; the toggle then lives entirely in the clone.
-
-    ``stats`` (optional dict) receives ``rounds``, ``merges``, and a
-    ``stop_reasons`` histogram — which admissibility rule ended each
-    round's batch (``k_exhausted`` / ``min_count`` /
-    ``symbol_conflict`` / ``new_pair_bound`` / ``product_collision``)
-    — so callers can assert driver sync points per merge < 1 and see
-    which rule binds in practice (the r8 directive-3 measurement).
-    Equivalence to ``learn_bpe`` is property-tested against random
-    corpora in tests/test_vocab.py."""
-    spark = counts.sparkSession
-    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        return _learn_bpe_batched(
-            counts, num_merges, min_pair_count, max_batch, stats,
-            refine_conflicts,
-        )
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
-
-
-def _learn_bpe_batched(
-    counts: DataFrame,
-    num_merges: int,
-    min_pair_count: int,
-    max_batch: int,
-    stats: dict | None,
-    refine_conflicts: bool = False,
-) -> list[tuple[str, str]]:
-    words = counts.select(
-        _initial_symbols(F.col("word")).alias("syms"), F.col("n")
-    ).localCheckpoint(eager=True)
-    merges: list[tuple[str, str]] = []
-    rounds = 0
-    # initial alphabet (chars + END), bounded by |charset| + 1 — the
-    # ever-seen symbol superset the collision rule checks against
-    symbols_ever = {
-        r.s
-        for r in counts.select(
-            F.explode(F.split(F.col("word"), "")).alias("s")
-        )
-        .distinct()
-        .collect()
-    }
-    symbols_ever.add(END)
-    folds_since_ckpt = 0
-    while len(merges) < int(num_merges):
-        pc = _pair_counts(words)
-        rounds += 1
-        # max weighted trigram THROUGH each candidate: (x,a,b) bounds
-        # new pairs ending at the product, (a,b,y) bounds ones starting
-        # at it — vocab-table-sized aggregates, joined onto the top-k
-        n = F.size("syms")
-        tri = (
-            words.filter(n >= 3)
-            .select(
-                F.col("n").alias("w"),
-                F.explode(
-                    F.arrays_zip(
-                        F.slice("syms", 1, n - 2).alias("t1"),
-                        F.slice("syms", 2, n - 2).alias("t2"),
-                        F.slice("syms", 3, n - 2).alias("t3"),
-                    )
-                ).alias("t"),
-            )
-            .groupBy(
-                F.col("t.t1").alias("t1"),
-                F.col("t.t2").alias("t2"),
-                F.col("t.t3").alias("t3"),
-            )
-            .agg(F.sum("w").alias("tw"))
-        )
-        in_tri = tri.groupBy(F.col("t2").alias("_a"), F.col("t3").alias("_b")).agg(
-            F.max("tw").alias("in_tri")
-        )
-        out_tri = tri.groupBy(F.col("t1").alias("_a"), F.col("t2").alias("_b")).agg(
-            F.max("tw").alias("out_tri")
-        )
-        k = min(int(max_batch), int(num_merges) - len(merges))
-        # merge-join hints: a broadcast join would spawn a separate
-        # broadcast-build job per side; with AQE off, sort-merge joins
-        # of the (vocab-sized) pair and trigram-maxima tables plus the
-        # FINAL TakeOrderedAndProject keep the whole candidate pull at
-        # ONE job per round
-        tk = (
-            pc.join(
-                in_tri.hint("merge"),
-                (F.col("a") == F.col("_a")) & (F.col("b") == F.col("_b")),
-                "left",
-            )
-            .drop("_a", "_b")
-            .join(
-                out_tri.hint("merge"),
-                (F.col("a") == F.col("_a")) & (F.col("b") == F.col("_b")),
-                "left",
-            )
-            .drop("_a", "_b")
-            .orderBy(F.col("total").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(k)
-        )
-        # LINKING trigrams among the top-k pairs (r9 refinement):
-        # candidate (x,y) actually loses count to a taken (a,b) ONLY
-        # through the specific trigram the merge consumes — (x,a,b)
-        # when y==a, (a,b,y) when x==b. Pull existence of those
-        # trigrams in the SAME job (unioned under a kind tag); only
-        # third-symbols that are themselves a top-k left/right can
-        # ever be checked, so each link set is <= k^2 rows — bounded.
-        # The limit(k) subtree re-executes per reference, but its sort
-        # key (total desc, a, b) is a TOTAL order, so every execution
-        # agrees.
-        tkp = tk.select(F.col("a").alias("_ta"), F.col("b").alias("_tb"))
-        tk_lefts = tk.select(F.col("a").alias("_s")).distinct()
-        tk_rights = tk.select(F.col("b").alias("_s")).distinct()
-        link_r = (
-            tri.join(
-                tkp.hint("merge"),
-                (F.col("t2") == F.col("_ta")) & (F.col("t3") == F.col("_tb")),
-                "left_semi",
-            )
-            .join(tk_lefts.hint("merge"), F.col("t1") == F.col("_s"), "left_semi")
-            .select(
-                F.col("t2").alias("a"),
-                F.col("t3").alias("b"),
-                F.col("t1").alias("x"),
-                F.lit("R").alias("kind"),
-            )
-        )
-        link_l = (
-            tri.join(
-                tkp.hint("merge"),
-                (F.col("t1") == F.col("_ta")) & (F.col("t2") == F.col("_tb")),
-                "left_semi",
-            )
-            .join(tk_rights.hint("merge"), F.col("t3") == F.col("_s"), "left_semi")
-            .select(
-                F.col("t1").alias("a"),
-                F.col("t2").alias("b"),
-                F.col("t3").alias("x"),
-                F.lit("L").alias("kind"),
-            )
-        )
-        pulled = (
-            tk.withColumn("kind", F.lit("C"))
-            .unionByName(link_r, allowMissingColumns=True)
-            .unionByName(link_l, allowMissingColumns=True)
-            .collect()  # <= k + 2k^2 rows — bounded pull per ROUND
-        )
         top = sorted(
             (r for r in pulled if r["kind"] == "C"),
             key=lambda r: (-r["total"], r["a"], r["b"]),
