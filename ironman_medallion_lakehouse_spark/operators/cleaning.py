@@ -40,7 +40,7 @@ def remove_frequent_lines(
     the cleaned document.
 
     Scale: one posexplode to (doc, pos, line) — the exploded frame is
-    **localCheckpoint'ed (eager)** before the count aggregate is
+    **persist()'ed (MEMORY_AND_DISK)** before the count aggregate is
     derived from it, so the corpus really is split/exploded ONCE even
     though two consumers read it (the count branch and the join probe;
     without the materialization Catalyst re-evaluates the explode per
@@ -52,13 +52,19 @@ def remove_frequent_lines(
     distinct line), and one per-doc reassembly via
     array_sort(collect_list(struct(pos, line))) — grouped by the
     document key, so the sort is per-doc-lines-sized, never global.
-    The checkpoint makes this call EAGER (it runs the explode job on
-    invocation) and holds the line-granularity frame on
-    executor-local storage for the query's lifetime — the right trade
-    when the re-explode is CPU-bound corpus work, which at cleaning
-    scale it is. Fully deterministic (exact strings, integer
-    positions) — replays verbatim in SQL with
-    string_agg(... ORDER BY pos)."""
+
+    Storage/fault contract (ADVICE r9): persist — unlike the earlier
+    eager localCheckpoint — is LAZY (no job runs until the result is
+    consumed), keeps lineage (an executor loss recomputes the lost
+    blocks instead of failing the query), and its blocks are
+    LRU-evictable and clearable (``spark.catalog.clearCache()`` or an
+    unpersistRDD sweep, as bench.py does between queries). The blocks
+    otherwise live for the session — callers running many corpora
+    through this in one session should clear between calls. Fully
+    deterministic (exact strings, integer positions) — replays
+    verbatim in SQL with string_agg(... ORDER BY pos)."""
+    from pyspark import StorageLevel
+
     if max_count < 1:
         raise ValueError(f"max_count must be >= 1, got {max_count}")
     lines = (
@@ -67,7 +73,7 @@ def remove_frequent_lines(
             F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
         )
         .withColumn("_key", F.trim(F.col("_line")))
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     counts = lines.groupBy("_key").agg(F.count(F.lit(1)).alias("_c"))
     tagged = lines.join(counts, "_key").select(

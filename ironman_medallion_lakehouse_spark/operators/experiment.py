@@ -1562,6 +1562,7 @@ def ewma_control(
     params: DataFrame,
     lam: float = 0.2,
     limit_sd: float = 3.0,
+    n_points: int | None = None,
 ) -> DataFrame:
     """EWMA control chart over an ordered (t, x) series (Roberts
     1959): E_t = λ·x_t + (1−λ)·E_{t−1}, E_0 = mu, signalling when
@@ -1596,7 +1597,14 @@ def ewma_control(
     closed form is also well-conditioned — prefix terms whose weight
     decays below machine epsilon relative to the running sum drop
     out, which is exactly the EWMA's own forgetting. The length probe
-    is one count() over the horizon-sized series."""
+    is one count() over the horizon-sized series — pass ``n_points``
+    when the caller already knows the horizon (e.g. a streaming
+    monitor invoking the chart per micro-batch) to keep the operator
+    fully lazy (ADVICE r9). The 600 cap bounds only T·ln(1/d), which
+    assumes |x| of ordinary magnitude: the closed form's terms carry
+    an extra factor max|x|, so values beyond ~1e100 could still
+    overflow below the cap — series at that magnitude should be
+    rescaled first (the chart is scale-equivariant)."""
     import math
 
     from pyspark.sql import Window
@@ -1607,7 +1615,9 @@ def ewma_control(
     ).crossJoin(F.broadcast(params))
     # bounded-serial: one row per time point (time-horizon-sized series)
     w = Window.orderBy("_t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    n_pts = series.count()  # horizon-sized probe for the overflow cap
+    # horizon-sized probe for the overflow cap — skipped when the
+    # caller supplies the length (keeps the operator lazy, ADVICE r9)
+    n_pts = int(n_points) if n_points is not None else series.count()
     growth = n_pts * math.log(1.0 / (1.0 - lam)) if 0.0 < lam < 1.0 else float("inf")
     if growth < 600.0:
         # closed form: E_t = d^t·mu + λ·d^t·R_t with one running sum

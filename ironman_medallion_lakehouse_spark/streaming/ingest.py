@@ -575,7 +575,8 @@ def streaming_volume_monitor(
             lambda: store.merge_insert_only(row, volume_table, keys=["batch_id"])
         )
         series = store.read(volume_table).select("batch_id", "n_docs")
-        if series.count() <= int(baseline_n):
+        n_series = series.count()
+        if n_series <= int(baseline_n):
             return  # baseline still forming
         # the series is horizon-sized (one row per micro-batch) —
         # materialize once for the param/chart passes below
@@ -610,8 +611,15 @@ def streaming_volume_monitor(
         else:
             r = next(
                 iter(
-                    ewma_control(series, "batch_id", "n_docs", _params(series))
-                    .collect()
+                    ewma_control(
+                        series,
+                        "batch_id",
+                        "n_docs",
+                        _params(series),
+                        # already counted for the baseline check —
+                        # keeps the chart lazy (no extra per-batch job)
+                        n_points=n_series,
+                    ).collect()
                 ),
                 None,
             )

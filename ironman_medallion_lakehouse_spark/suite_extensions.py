@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ironman_medallion_lakehouse_spark.functions import text as T
+from ironman_medallion_lakehouse_spark.operators import cleaning as CL
 from ironman_medallion_lakehouse_spark.operators import dedup as D
 from ironman_medallion_lakehouse_spark.operators import multimodal as M
 from ironman_medallion_lakehouse_spark.operators import similarity as S
@@ -892,9 +893,49 @@ _Q47_HTML_POST = ("</p><!-- nav --><a href=#>link</a> &amp; tail"
       md5(array_to_string({VB.bpe_tokens_sql('text', _Q47_BPE_MERGES)}, ' '))
         AS bpe_fp,
       md5({T.strip_html_sql("'<html><head><style>p{{color:red}}</style><script>if(1<2){{x=1;}}</script></head><body><p>' || substr(text, 1, 48) || '</p><!-- nav --><a href=#>link</a> &amp; tail</body></html>'")})
-        AS html_strip_fp
-    FROM grams JOIN u5 USING (doc_id)
-    """,
+        AS html_strip_fp,
+      bl.boiler_fp, bl.boiler_n_lines, bl.boiler_n_removed
+    FROM grams JOIN u5 USING (doc_id) JOIN boiler bl USING (doc_id)
+    """.replace(
+        "WITH scored AS (",
+        # corpus-level boilerplate-line removal arm (r10 fold of
+        # operators/cleaning.remove_frequent_lines): synthesize a
+        # multi-line page per doc (the corpus text is single-line) —
+        # a banner every doc shares (always dropped), a trimmed-match
+        # variant on every third doc (exercises trim-keyed counting
+        # with original text preserved), the doc's 64-char text prefix
+        # (cross-doc collisions: dup pages drop, unique ones survive),
+        # and a per-doc unique line (always kept). max_count=2.
+        """WITH boiler_docs AS (
+      SELECT doc_id,
+        'COOKIE BANNER ACCEPT' || chr(10)
+        || CASE WHEN doc_id % 3 = 0
+                THEN '  cookie banner accept  ' || chr(10) ELSE '' END
+        || substr(text, 1, 64) || chr(10)
+        || 'unique-' || CAST(doc_id AS VARCHAR) AS btext
+      FROM documents
+    ),
+    blines AS (
+      SELECT doc_id, pos, ls[pos] AS line, trim(ls[pos]) AS key
+      FROM (SELECT doc_id, string_split(btext, chr(10)) AS ls,
+                   unnest(generate_series(1, len(string_split(btext, chr(10))))) AS pos
+            FROM boiler_docs)
+    ),
+    bcnt AS (SELECT key, COUNT(*) AS c FROM blines GROUP BY key),
+    btag AS (
+      SELECT doc_id, pos, line, (c > 2) AS dropped
+      FROM blines JOIN bcnt USING (key)
+    ),
+    boiler AS (
+      SELECT doc_id,
+        md5(COALESCE(string_agg(CASE WHEN NOT dropped THEN line END,
+                                chr(10) ORDER BY pos), '')) AS boiler_fp,
+        CAST(COUNT(*) AS BIGINT) AS boiler_n_lines,
+        CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS boiler_n_removed
+      FROM btag GROUP BY doc_id
+    ),
+    scored AS (""",
+    ),
 )
 def q47_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The text-analysis surface (functions/text.py) in one scan of
@@ -904,11 +945,35 @@ def q47_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     bag-of-words md5 fingerprint (previously q47-q50), Gopher
     repetition signals, PII scrub, and — r7 — crawl URL
     canonicalization (functions/text.canonical_url: the pre-exact-
-    dedup key for crawl data). Every column is pure Column composition
-    inside whole-stage codegen — one narrow pass, zero Python in the
-    hot path."""
+    dedup key for crawl data). Every per-row column is pure Column
+    composition inside whole-stage codegen — one narrow pass, zero
+    Python in the hot path. r10 adds the one corpus-LEVEL text
+    operator (cleaning.remove_frequent_lines, the C4 boilerplate
+    rule) as a joined arm over a synthesized multi-line page per doc
+    (the corpus text is single-line; the battery's PII-suffix/HTML-
+    shell synthesize-the-input precedent): a banner shared by every
+    doc, a trimmed-match variant on every third doc, the doc's text
+    prefix (real cross-doc collisions), and a per-doc unique line."""
     t = load_tables(spark, sf_dir, "documents")
     d = t["documents"]
+    boiler_in = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("COOKIE BANNER ACCEPT\n"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("  cookie banner accept  \n")
+            ).otherwise(F.lit("")),
+            F.substring(F.col("text"), 1, 64),
+            F.lit("\nunique-"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    boiler = CL.remove_frequent_lines(boiler_in, max_count=2).select(
+        "doc_id",
+        F.md5("text").alias("boiler_fp"),
+        F.col("n_lines").cast("bigint").alias("boiler_n_lines"),
+        F.col("n_removed").cast("bigint").alias("boiler_n_removed"),
+    )
     cols = [
         F.col("doc_id"),
         F.col("lang").alias("actual_lang"),
@@ -1001,7 +1066,7 @@ def q47_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("html_strip_fp"),
     ]
-    return d.select(*cols)
+    return d.select(*cols).join(boiler, "doc_id")
 
 
 # BPE LEARNING oracle entry (r8, the r7 verdict's oracle-slot ask):
