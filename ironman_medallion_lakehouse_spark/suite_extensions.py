@@ -1405,6 +1405,171 @@ def q81_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+# Drift-gate lifecycle (r10, VERDICT r9 directive 6): the refusal /
+# quarantine / recovery arc of streaming_dedup_ingest's KS drift arm,
+# driver-attested. Three planted micro-batches over the documents
+# corpus (reference = every doc's text length):
+#   batch 0 — even-doc originals: length distribution ≈ reference
+#     (exact D ≤ 0.06 at every tested SF, threshold 0.2) → admitted as
+#     the bootstrap corpus;
+#   batch 1 — odd docs padded by 1000 chars: planted drift → the WHOLE
+#     batch is refused and ONE keyed quarantine row (batch_id, n_docs,
+#     d_stat, ks_stat) lands in the refusal table. The oracle replays
+#     the exact KS over (padded odd lengths) vs (all lengths) with the
+#     q142 CTE pattern rather than asserting a literal, so the row
+#     stays hash-exact under testdata regeneration;
+#   batch 2 — recovery: NEW doc ids (odd + 1e7) whose texts are
+#     md5-hex words truncated to the ORIGINAL odd doc's length — the
+#     length distribution passes the screen (same lengths as batch 1's
+#     pre-pad docs) while the word sets are disjoint from the corpus
+#     (32-char hex tokens vs the lexicon; a truncation-collision token
+#     bounds J at ~1/40 ≪ 0.9), so every doc clears BOTH dedup arms
+#     and is admitted.
+# Residue check: no odd original id may appear in the corpus — the
+# refused batch must leave nothing behind. Batch-replay idempotency is
+# pinned in tests/test_streaming_ingest.py (keyed insert-only merges).
+_Q146_OFFSET = 10_000_000
+_Q146_PAD = 1000
+
+
+@register(
+    "q146_drift_gate_lifecycle",
+    oracle=f"""
+    WITH bvals AS (
+      SELECT CAST(LENGTH(text) + {_Q146_PAD} AS DOUBLE) AS v, 1 AS ia, 0 AS ib
+      FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT CAST(LENGTH(text) AS DOUBLE) AS v, 0 AS ia, 1 AS ib FROM documents
+    ),
+    bdist AS (SELECT v, SUM(ia) AS na_v, SUM(ib) AS nb_v FROM bvals GROUP BY v),
+    brun AS (
+      SELECT v,
+             SUM(na_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+             SUM(nb_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb
+      FROM bdist
+    ),
+    btot AS (
+      SELECT CAST(SUM(na_v) AS BIGINT) AS n_a, CAST(SUM(nb_v) AS BIGINT) AS n_b
+      FROM bdist
+    ),
+    bks AS (
+      SELECT n_a,
+             ROUND(MAX(ABS(CAST(ca AS DOUBLE) / n_a
+                           - CAST(cb AS DOUBLE) / n_b)), 6) AS d_stat,
+             ROUND(MAX(ABS(CAST(ca AS DOUBLE) / n_a
+                           - CAST(cb AS DOUBLE) / n_b))
+                   * sqrt(CAST(n_a * n_b AS DOUBLE)
+                          / CAST(n_a + n_b AS DOUBLE)), 6) AS ks_stat
+      FROM brun, btot GROUP BY n_a, n_b
+    ),
+    c AS (
+      SELECT COUNT(*) FILTER (WHERE doc_id % 2 = 0) AS n_even,
+             COUNT(*) FILTER (WHERE doc_id % 2 = 1) AS n_odd
+      FROM documents
+    )
+    SELECT CAST(1 AS BIGINT) AS n_quarantined,
+           CAST(1 AS BIGINT) AS quarantine_batch,
+           CAST(bks.n_a AS BIGINT) AS quarantined_docs,
+           bks.d_stat, bks.ks_stat,
+           CAST(c.n_even + c.n_odd AS BIGINT) AS corpus_docs,
+           CAST(c.n_even AS BIGINT) AS admitted_bootstrap,
+           CAST(c.n_odd AS BIGINT) AS admitted_recovered,
+           CAST(0 AS BIGINT) AS refused_residue
+    FROM bks, c
+    """,
+)
+def q146_drift_gate_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming_dedup_ingest's drift-gate LIFECYCLE end-to-end: a real
+    parquet file stream is driven through admit (bootstrap) → refuse
+    (planted drifted batch → quarantine row) → recover (clean batch
+    admitted after the refusal), and the final quarantine + corpus
+    table state is the oracled result (see the construction comment
+    above). One row: refusal count/stats, per-phase admission counts,
+    and the zero-residue assertion for the refused batch."""
+    import os as _os
+
+    from ironman_medallion_lakehouse_spark.session import staging_dir
+    from ironman_medallion_lakehouse_spark.sources.tablestore import TableStore
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"].select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="driftgate_", dir=staging_dir(spark, "tablestore"))
+    src = _os.path.join(root, "incoming")
+    store = TableStore(spark, _os.path.join(root, "tables"))
+
+    batch_a = d.filter(F.col("doc_id") % 2 == 0)
+    batch_b = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.concat(F.col("text"), F.lit("x" * _Q146_PAD)).alias("text")
+    )
+    hexbase = F.concat_ws(
+        " ", *[F.md5(F.concat(F.col("text"), F.lit(str(j)))) for j in range(40)]
+    )
+    batch_c = d.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") + _Q146_OFFSET).alias("doc_id"),
+        hexbase.substr(F.lit(1), F.length("text")).alias("text"),
+    )
+
+    batch_a.coalesce(1).write.mode("append").parquet(src)
+    from ironman_medallion_lakehouse_spark.streaming.ingest import (
+        streaming_dedup_ingest,
+    )
+
+    q = streaming_dedup_ingest(
+        spark,
+        store,
+        src,
+        "doc_id long, text string",
+        _os.path.join(root, "ckpt"),
+        drift_reference=d,
+        drift_max_d=0.2,
+    )
+    try:
+        q.processAllAvailable()  # batch 0: bootstrap, admitted
+        batch_b.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()  # batch 1: drifted, refused
+        batch_c.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()  # batch 2: recovered, admitted
+    finally:
+        q.stop()
+
+    quar = store.read("corpus.refused_batches")
+    corpus = store.read("corpus.documents")
+    qrow = quar.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_quarantined"),
+        F.max("batch_id").cast("bigint").alias("quarantine_batch"),
+        F.max("n_docs").cast("bigint").alias("quarantined_docs"),
+        F.round(F.max("d_stat"), 6).alias("d_stat"),
+        F.round(F.max("ks_stat"), 6).alias("ks_stat"),
+    )
+    crow = corpus.agg(
+        F.count(F.lit(1)).cast("bigint").alias("corpus_docs"),
+        F.sum((F.col("doc_id") < _Q146_OFFSET).cast("int"))
+        .cast("bigint")
+        .alias("admitted_bootstrap"),
+        F.sum((F.col("doc_id") >= _Q146_OFFSET).cast("int"))
+        .cast("bigint")
+        .alias("admitted_recovered"),
+        F.sum(
+            ((F.col("doc_id") % 2 == 1) & (F.col("doc_id") < _Q146_OFFSET)).cast(
+                "int"
+            )
+        )
+        .cast("bigint")
+        .alias("refused_residue"),
+    )
+    return qrow.crossJoin(crow).select(
+        "n_quarantined",
+        "quarantine_batch",
+        "quarantined_docs",
+        "d_stat",
+        "ks_stat",
+        "corpus_docs",
+        "admitted_bootstrap",
+        "admitted_recovered",
+        "refused_residue",
+    )
+
+
 # ----------------------------------------------------------- multimodal
 
 @register(

@@ -377,3 +377,79 @@ def test_streaming_gate_kll_drift_arm(spark, tmp_path):
         assert refused[0].d_kll == want.d_kll and want.d_kll > 0.6
     finally:
         query.stop()
+
+
+def test_streaming_gate_drift_refusal_replay_idempotent(spark, tmp_path):
+    """The refusal path's exactly-once story, exercised at the actual
+    failure point: foreachBatch replays a batch when the process dies
+    AFTER the sink's side-effects but BEFORE the checkpoint commit —
+    simulated by deleting the checkpoint's commits/<n> marker for the
+    refused batch and restarting. The replayed batch recomputes the
+    same D and re-merges the SAME keyed quarantine row (batch_id), so
+    the table converges: still one refusal row, corpus untouched; a
+    conforming batch after the replay is admitted normally."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ironman_medallion_lakehouse_spark.streaming.ingest import (
+        streaming_dedup_ingest,
+    )
+
+    src = str(tmp_path / "docs_src")
+    ckpt = str(tmp_path / "ckpt")
+    store = TableStore(spark, str(tmp_path / "wh"))
+    n_words = F.size(F.split(F.col("text"), " "))
+
+    def doc(i, nw):
+        return Row(doc_id=i, text=" ".join(f"w{i}t{j}" for j in range(nw)))
+
+    def start():
+        return streaming_dedup_ingest(
+            spark, store, src, b1.schema, ckpt,
+            bands=16, threshold=0.8,
+            drift_reference=reference, drift_signal=n_words, drift_max_d=0.5,
+        )
+
+    reference = spark.createDataFrame([doc(900 + i, 40 + i % 21) for i in range(30)])
+    b1 = spark.createDataFrame([doc(i, 45 + i % 10) for i in range(1, 9)])
+    b1.coalesce(1).write.mode("append").parquet(src)
+    query = start()
+    try:
+        query.processAllAvailable()  # batch 0 admitted (bootstrap)
+        b2 = spark.createDataFrame([doc(100 + i, 3 + i % 3) for i in range(8)])
+        b2.coalesce(1).write.mode("append").parquet(src)
+        query.processAllAvailable()  # batch 1 refused
+        refused = store.read("corpus.refused_batches").collect()
+        assert len(refused) == 1 and refused[0].batch_id == 1
+        d_first = refused[0].d_stat
+    finally:
+        query.stop()
+    query.awaitTermination()  # fully release the checkpoint before restart
+
+    # crash window: side-effects landed, commit marker didn't (the
+    # Hadoop checksum sidecar must go too or the replay's atomic
+    # rewrite fails as FileAlreadyExists)
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    query = start()
+    try:
+        query.processAllAvailable()  # batch 1 REPLAYS (same id, same files)
+        refused = store.read("corpus.refused_batches").collect()
+        assert len(refused) == 1  # keyed merge converged, no second row
+        assert refused[0].batch_id == 1 and refused[0].d_stat == d_first
+        admitted = {r.doc_id for r in store.read("corpus.documents").collect()}
+        assert admitted == set(range(1, 9))  # replay admitted nothing
+
+        # recovery after the replay
+        b3 = spark.createDataFrame([doc(200 + i, 40 + (3 * i) % 21) for i in range(8)])
+        b3.coalesce(1).write.mode("append").parquet(src)
+        query.processAllAvailable()
+        admitted = {r.doc_id for r in store.read("corpus.documents").collect()}
+        assert set(range(200, 208)) <= admitted
+        assert store.read("corpus.refused_batches").count() == 1
+    finally:
+        query.stop()
