@@ -143,6 +143,7 @@ def learn_bpe_batched(
     max_batch: int = 8,
     stats: dict | None = None,
     refine_conflicts: bool = False,
+    select: str = "prefix",
 ) -> list[tuple[str, str]]:
     """``learn_bpe`` with the documented scale dial IMPLEMENTED
     (VERDICT r7 item 2): batch several merges per driver round while
@@ -224,21 +225,66 @@ def learn_bpe_batched(
        ``spark.newSession().read...`` (or re-create it there) and pass
        THAT frame in; the toggle then lives entirely in the clone.
 
+    ``select`` picks the batch-selection rule (r10, VERDICT r9
+    directive 4 — built after the 1k-merge Zipf decomposition showed
+    the per-ROUND candidate pull is 62 % of wall, i.e. cutting rounds
+    is the lever, while the conflict rule caps the serial-equivalent
+    prefix at ~4 merges/round):
+
+    - ``"prefix"`` (default): the rules above — the learned merge
+      list is EXACTLY ``learn_bpe``'s, order included (property-
+      tested). This is the only mode q144's DuckDB replay oracle can
+      attest.
+    - ``"independent"``: per round, take the GREEDY PAIRWISE-NON-
+      INTERACTING SET over the top-k in count order — a candidate
+      that interacts with any taken pair is SKIPPED instead of
+      closing the batch, where "interacts" means any adjacent-form
+      sharing (cand.b == taken.a or cand.a == taken.b — the orders-
+      matter fold cases) or any operand/product string equality
+      (operand == taken's product, product == taken's operand, or
+      equal products). Taken pairs therefore consume disjoint
+      occurrences and their greedy folds COMMUTE — the post-batch
+      symbol table is independent of application order (the
+      commutation lemma is property-tested directly on _merge_fold
+      with randomized fold orders; left-left / right-right operand
+      sharing is allowed because one symbol occurrence has exactly
+      one right neighbor, so two such merges can never contend for
+      the same occurrence). This is NOT serial-order-equivalent:
+      skipping a conflicted higher-count candidate and taking a
+      lower one reorders merges relative to ``learn_bpe`` (and can
+      change the learned set — the skipped pair's count may decay
+      before its turn), which no sound bound can prevent: the
+      skipped candidate's post-merge count is unknowable without
+      executing the merge. The artifact is still a deterministic,
+      reproducible, valid greedy-BPE vocabulary (ties and scan order
+      are total), matches serial exactly on conflict-free corpora
+      (property-tested), and is the standard trade parallel BPE
+      trainers make. The new-pair bound is deliberately NOT applied:
+      the mode makes no serial-argmax claim, and each taken pair's
+      count is its true pre-batch count — batch members are mutually
+      non-interacting, so every count is still exact at application
+      time; pairs created by this round's merges are simply counted
+      next round.
+
     ``stats`` (optional dict) receives ``rounds``, ``merges``, and a
     ``stop_reasons`` histogram — which admissibility rule ended each
     round's batch (``k_exhausted`` / ``min_count`` /
     ``symbol_conflict`` / ``new_pair_bound`` / ``product_collision``)
     — so callers can assert driver sync points per merge < 1 and see
     which rule binds in practice (the r8 directive-3 measurement).
-    Equivalence to ``learn_bpe`` is property-tested against random
+    ``select="independent"`` additionally records
+    ``skipped_interacting`` (total candidates skipped). Equivalence
+    to ``learn_bpe`` (prefix mode) is property-tested against random
     corpora in tests/test_vocab.py."""
+    if select not in ("prefix", "independent"):
+        raise ValueError(f"select must be 'prefix' or 'independent', got {select!r}")
     spark = counts.sparkSession
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         return _learn_bpe_batched(
             counts, num_merges, min_pair_count, max_batch, stats,
-            refine_conflicts,
+            refine_conflicts, select,
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
@@ -251,6 +297,7 @@ def _learn_bpe_batched(
     max_batch: int,
     stats: dict | None,
     refine_conflicts: bool = False,
+    select: str = "prefix",
 ) -> list[tuple[str, str]]:
     words = counts.select(
         _initial_symbols(F.col("word")).alias("syms"), F.col("n")
@@ -269,60 +316,75 @@ def _learn_bpe_batched(
     }
     symbols_ever.add(END)
     folds_since_ckpt = 0
+    import time as _time
+
+    t_collect = 0.0  # candidate pull: per-ROUND cost batching removes
+    t_checkpoint = 0.0  # fold checkpoints: per-MERGE cost it cannot
     while len(merges) < int(num_merges):
         pc = _pair_counts(words)
         rounds += 1
-        # max weighted trigram THROUGH each candidate: (x,a,b) bounds
-        # new pairs ending at the product, (a,b,y) bounds ones starting
-        # at it — vocab-table-sized aggregates, joined onto the top-k
-        n = F.size("syms")
-        tri = (
-            words.filter(n >= 3)
-            .select(
-                F.col("n").alias("w"),
-                F.explode(
-                    F.arrays_zip(
-                        F.slice("syms", 1, n - 2).alias("t1"),
-                        F.slice("syms", 2, n - 2).alias("t2"),
-                        F.slice("syms", 3, n - 2).alias("t3"),
-                    )
-                ).alias("t"),
-            )
-            .groupBy(
-                F.col("t.t1").alias("t1"),
-                F.col("t.t2").alias("t2"),
-                F.col("t.t3").alias("t3"),
-            )
-            .agg(F.sum("w").alias("tw"))
-        )
-        in_tri = tri.groupBy(F.col("t2").alias("_a"), F.col("t3").alias("_b")).agg(
-            F.max("tw").alias("in_tri")
-        )
-        out_tri = tri.groupBy(F.col("t1").alias("_a"), F.col("t2").alias("_b")).agg(
-            F.max("tw").alias("out_tri")
-        )
         k = min(int(max_batch), int(num_merges) - len(merges))
-        # merge-join hints: a broadcast join would spawn a separate
-        # broadcast-build job per side; with AQE off, sort-merge joins
-        # of the (vocab-sized) pair and trigram-maxima tables plus the
-        # FINAL TakeOrderedAndProject keep the whole candidate pull at
-        # ONE job per round
-        tk = (
-            pc.join(
-                in_tri.hint("merge"),
-                (F.col("a") == F.col("_a")) & (F.col("b") == F.col("_b")),
-                "left",
+        if select == "independent" and not refine_conflicts:
+            # the non-interacting set needs no new-pair bound and no
+            # link refinement — the candidate job is just the pair
+            # table's top-k (the trigram explode, ~3x the pair
+            # explode's width, is skipped entirely)
+            tri = None
+            tk = pc.orderBy(
+                F.col("total").desc(), F.col("a").asc(), F.col("b").asc()
+            ).limit(k)
+        else:
+            # max weighted trigram THROUGH each candidate: (x,a,b)
+            # bounds new pairs ending at the product, (a,b,y) ones
+            # starting at it — vocab-table-sized aggregates, joined
+            # onto the top-k
+            n = F.size("syms")
+            tri = (
+                words.filter(n >= 3)
+                .select(
+                    F.col("n").alias("w"),
+                    F.explode(
+                        F.arrays_zip(
+                            F.slice("syms", 1, n - 2).alias("t1"),
+                            F.slice("syms", 2, n - 2).alias("t2"),
+                            F.slice("syms", 3, n - 2).alias("t3"),
+                        )
+                    ).alias("t"),
+                )
+                .groupBy(
+                    F.col("t.t1").alias("t1"),
+                    F.col("t.t2").alias("t2"),
+                    F.col("t.t3").alias("t3"),
+                )
+                .agg(F.sum("w").alias("tw"))
             )
-            .drop("_a", "_b")
-            .join(
-                out_tri.hint("merge"),
-                (F.col("a") == F.col("_a")) & (F.col("b") == F.col("_b")),
-                "left",
+            in_tri = tri.groupBy(F.col("t2").alias("_a"), F.col("t3").alias("_b")).agg(
+                F.max("tw").alias("in_tri")
             )
-            .drop("_a", "_b")
-            .orderBy(F.col("total").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(k)
-        )
+            out_tri = tri.groupBy(F.col("t1").alias("_a"), F.col("t2").alias("_b")).agg(
+                F.max("tw").alias("out_tri")
+            )
+            # merge-join hints: a broadcast join would spawn a separate
+            # broadcast-build job per side; with AQE off, sort-merge
+            # joins of the (vocab-sized) pair and trigram-maxima tables
+            # plus the FINAL TakeOrderedAndProject keep the whole
+            # candidate pull at ONE job per round
+            tk = (
+                pc.join(
+                    in_tri.hint("merge"),
+                    (F.col("a") == F.col("_a")) & (F.col("b") == F.col("_b")),
+                    "left",
+                )
+                .drop("_a", "_b")
+                .join(
+                    out_tri.hint("merge"),
+                    (F.col("a") == F.col("_a")) & (F.col("b") == F.col("_b")),
+                    "left",
+                )
+                .drop("_a", "_b")
+                .orderBy(F.col("total").desc(), F.col("a").asc(), F.col("b").asc())
+                .limit(k)
+            )
         if refine_conflicts:
             # LINKING trigrams among the top-k pairs (r9 refinement,
             # OPT-IN — the default path must not pay for it): candidate
@@ -366,20 +428,22 @@ def _learn_bpe_batched(
                     F.lit("L").alias("kind"),
                 )
             )
+            _t0 = _time.time()
             pulled = (
                 tk.withColumn("kind", F.lit("C"))
                 .unionByName(link_r, allowMissingColumns=True)
                 .unionByName(link_l, allowMissingColumns=True)
                 .collect()  # <= k + 2k^2 rows — bounded pull per ROUND
             )
+            t_collect += _time.time() - _t0
         else:
             # default path: ONE job collecting just the top-k candidate
             # table — no trigram link subqueries (SCALING.md r9:
             # "Verdict: default OFF", ~2.4x per-round wall otherwise)
-            pulled = [
-                {**r.asDict(), "kind": "C"}
-                for r in tk.collect()  # <= max_batch rows — bounded
-            ]
+            _t0 = _time.time()
+            rows = tk.collect()  # <= max_batch rows — bounded
+            t_collect += _time.time() - _t0
+            pulled = [{**r.asDict(), "kind": "C"} for r in rows]
         top = sorted(
             (r for r in pulled if r["kind"] == "C"),
             key=lambda r: (-r["total"], r["a"], r["b"]),
@@ -398,11 +462,45 @@ def _learn_bpe_batched(
         batch: list[tuple[str, str]] = []
         bound_max = -1
         stop_reason = "k_exhausted"  # took every candidate pulled
+        skipped = 0
         for r in top:
             c = r["total"]
             if c < min_pair_count:
                 stop_reason = "min_count"
                 break
+            if select == "independent":
+                # greedy non-interacting set (docstring): SKIP an
+                # interacting candidate instead of closing the batch.
+                # Interaction = adjacent-form sharing (the two fold
+                # cases where order matters) or operand/product
+                # string equality; left-left / right-right operand
+                # sharing commutes and is allowed.
+                prod = r["a"] + r["b"]
+                interacts = any(
+                    r["b"] == ta
+                    or r["a"] == tb
+                    or r["a"] == tp
+                    or r["b"] == tp
+                    or prod == ta
+                    or prod == tb
+                    or prod == tp
+                    for ta, tb, tp in (
+                        (ta, tb, ta + tb) for ta, tb in batch
+                    )
+                )
+                if interacts:
+                    skipped += 1
+                    continue
+                collides = prod in symbols_ever
+                batch.append((r["a"], r["b"]))
+                symbols_ever.add(prod)
+                if collides:
+                    # the product equals a pre-existing symbol: later
+                    # candidates this round were counted without the
+                    # new occurrences — close conservatively
+                    stop_reason = "product_collision"
+                    break
+                continue
             # a shared symbol is a REAL conflict only when the linking
             # trigram exists — zero linking occurrences means zero
             # destroyed candidate occurrences, so the count is
@@ -438,6 +536,10 @@ def _learn_bpe_batched(
         if stats is not None:
             hist = stats.setdefault("stop_reasons", {})
             hist[stop_reason] = hist.get(stop_reason, 0) + 1
+            if select == "independent":
+                stats["skipped_interacting"] = (
+                    stats.get("skipped_interacting", 0) + skipped
+                )
         for a, b in batch:
             merges.append((a, b))
             words = words.select(_merge_fold(F.col("syms"), a, b).alias("syms"), "n")
@@ -446,11 +548,19 @@ def _learn_bpe_batched(
             # bound the nested-fold expression depth (the apply_bpe
             # checkpoint_every=8 discipline) without paying a
             # checkpoint job on every small-batch round
+            _t0 = _time.time()
             words = words.localCheckpoint(eager=True)
+            t_checkpoint += _time.time() - _t0
             folds_since_ckpt = 0
     if stats is not None:
         stats["rounds"] = rounds
         stats["merges"] = len(merges)
+        # wall decomposition for the batching-lever decision
+        # (SCALING.md r10): t_collect scales with ROUNDS (what a
+        # smarter batch rule would cut), t_checkpoint with MERGES/8
+        # (invariant under any batching rule)
+        stats["t_collect_s"] = round(t_collect, 3)
+        stats["t_checkpoint_s"] = round(t_checkpoint, 3)
     return merges
 
 

@@ -313,3 +313,147 @@ def test_batched_equals_serial_on_more_random_corpora(spark):
                 refine_conflicts=refine,
             )
             assert got == want, f"seed {seed} refine={refine}: {got} != {want}"
+
+
+def test_select_mode_validation(spark):
+    import pytest as _pytest
+
+    from ironman_medallion_lakehouse_spark.operators.vocab import learn_bpe_batched
+
+    df = spark.createDataFrame([("ab", 3)], "word string, n long")
+    with _pytest.raises(ValueError, match="select"):
+        learn_bpe_batched(df, 2, select="bogus")
+
+
+def test_independent_mode_deterministic_under_repartition(spark):
+    """select='independent' is deterministic: the candidate scan order
+    is a total order (count desc, a, b) and the interaction rule is
+    pure string comparison, so partitioning must not change the
+    learned list."""
+    import random
+
+    from ironman_medallion_lakehouse_spark.operators.vocab import learn_bpe_batched
+
+    rng = random.Random(42)
+    vocab = {}
+    for _ in range(30):
+        w = "".join(rng.choice("abcdef") for _ in range(rng.randint(2, 6)))
+        vocab[w] = vocab.get(w, 0) + rng.randint(1, 9)
+    rows = [(w, n) for w, n in vocab.items()]
+    a = learn_bpe_batched(
+        spark.createDataFrame(rows, "word string, n long"),
+        12, min_pair_count=1, max_batch=16, select="independent",
+    )
+    b = learn_bpe_batched(
+        spark.createDataFrame(rows, "word string, n long").repartition(7),
+        12, min_pair_count=1, max_batch=16, select="independent",
+    )
+    assert a == b and len(a) == 12
+
+
+def test_independent_mode_equals_serial_on_conflict_free_corpus(spark):
+    """On a corpus whose top pairs never interact (words over disjoint
+    alphabets), the greedy independent set IS the serial prefix, so
+    select='independent' must equal learn_bpe exactly — order
+    included."""
+    from ironman_medallion_lakehouse_spark.operators.vocab import (
+        learn_bpe,
+        learn_bpe_batched,
+    )
+
+    # single-char words: each candidate is (x, </w>) — right-right
+    # sharing of </w> commutes (allowed), products form no further
+    # pairs, and counts strictly order the serial sequence, so the
+    # greedy independent set IS the serial prefix
+    rows = [("a", 9), ("b", 7), ("c", 5), ("d", 3)]
+    df = spark.createDataFrame(rows, "word string, n long")
+    serial = learn_bpe(df, 4, min_pair_count=1)
+    indep = learn_bpe_batched(
+        df, 4, min_pair_count=1, max_batch=8, select="independent"
+    )
+    assert indep == serial and len(serial) == 4
+
+
+def test_independent_mode_packs_more_merges_per_round(spark):
+    """The mode's reason to exist: on a conflict-chained corpus the
+    prefix rule stops batches early while the independent rule skips
+    the interacting candidate and keeps packing — fewer driver
+    rounds for the same merge count."""
+    import random
+
+    from ironman_medallion_lakehouse_spark.operators.vocab import learn_bpe_batched
+
+    rng = random.Random(7)
+    vocab = {}
+    for _ in range(60):
+        w = "".join(rng.choice("abcdefgh") for _ in range(rng.randint(2, 7)))
+        vocab[w] = vocab.get(w, 0) + rng.randint(1, 9)
+    rows = [(w, n) for w, n in vocab.items()]
+    df = spark.createDataFrame(rows, "word string, n long")
+    st_p, st_i = {}, {}
+    learn_bpe_batched(df, 16, min_pair_count=1, max_batch=16, stats=st_p)
+    learn_bpe_batched(
+        df, 16, min_pair_count=1, max_batch=16, stats=st_i,
+        select="independent",
+    )
+    assert st_i["rounds"] < st_p["rounds"], (st_i, st_p)
+    assert st_i.get("skipped_interacting", 0) > 0
+
+
+def test_independent_batch_folds_commute(spark):
+    """The commutation lemma underpinning select='independent': folds
+    of a pairwise NON-INTERACTING pair set (no adjacent-form sharing,
+    no operand/product string equality — left-left and right-right
+    operand sharing allowed) produce the SAME symbol table in any
+    application order. Randomized: corpora over a small alphabet,
+    greedy non-interacting sets picked by the same rule, fold order
+    shuffled."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ironman_medallion_lakehouse_spark.operators.vocab import (
+        _initial_symbols,
+        _merge_fold,
+    )
+
+    def non_interacting(cands):
+        taken = []
+        for a, b in cands:
+            prod = a + b
+            if any(
+                b == ta or a == tb or a == tp or b == tp
+                or prod in (ta, tb, tp)
+                for ta, tb, tp in ((ta, tb, ta + tb) for ta, tb in taken)
+            ):
+                continue
+            taken.append((a, b))
+        return taken
+
+    for seed in range(8):
+        rng = random.Random(seed)
+        words = [
+            "".join(rng.choice("abcd") for _ in range(rng.randint(2, 6)))
+            for _ in range(12)
+        ]
+        # candidate pool: random adjacent pairs actually present
+        pool = set()
+        for w in words:
+            syms = list(w) + ["</w>"]
+            for i in range(len(syms) - 1):
+                pool.add((syms[i], syms[i + 1]))
+        batch = non_interacting(sorted(pool)[: rng.randint(2, 6)])
+        if len(batch) < 2:
+            continue
+        df = spark.createDataFrame([(w,) for w in words], "word string").select(
+            _initial_symbols(F.col("word")).alias("syms")
+        )
+        orders = [list(batch), list(batch)]
+        rng.shuffle(orders[1])
+        tables = []
+        for order in orders:
+            out = df
+            for a, b in order:
+                out = out.select(_merge_fold(F.col("syms"), a, b).alias("syms"))
+            tables.append([tuple(r.syms) for r in out.collect()])
+        assert tables[0] == tables[1], (seed, batch, orders)

@@ -62,14 +62,19 @@ def main() -> None:
         counts = word_counts(docs).localCheckpoint(eager=True)
     n_words = counts.count()
     out = []
-    for max_batch in (16, 32):
-        group = f"bpe-probe-{max_batch}"
-        sc.setJobGroup(group, f"bpe probe max_batch={max_batch}")
+    arms = [("prefix", 16), ("prefix", 32), ("independent", 64)]
+    if len(sys.argv) > 3:  # e.g. "independent:64" to run one arm
+        mode, mb = sys.argv[3].split(":")
+        arms = [(mode, int(mb))]
+    for select, max_batch in arms:
+        group = f"bpe-probe-{select}-{max_batch}"
+        sc.setJobGroup(group, f"bpe probe {select} max_batch={max_batch}")
         stats: dict = {}
         t0 = time.time()
         try:
             merges = learn_bpe_batched(
-                counts, num_merges, max_batch=max_batch, stats=stats
+                counts, num_merges, max_batch=max_batch, stats=stats,
+                select=select,
             )
             jobs = len(sc.statusTracker().getJobIdsForGroup(group))
         finally:
@@ -78,6 +83,8 @@ def main() -> None:
         rec = {
             "sf_dir": sf_dir,
             "distinct_words": n_words,
+            "select": select,
+            "skipped_interacting": stats.get("skipped_interacting"),
             "max_batch": max_batch,
             "merges": len(merges),
             "rounds": stats["rounds"],
@@ -85,6 +92,11 @@ def main() -> None:
             "jobs": jobs,
             "jobs_per_merge": round(jobs / len(merges), 3),
             "wall_s": round(wall, 1),
+            # wall decomposition (r10): collect scales with ROUNDS
+            # (what a smarter batch rule cuts), checkpoint with
+            # MERGES/8 (invariant under any batching rule)
+            "t_collect_s": stats.get("t_collect_s"),
+            "t_checkpoint_s": stats.get("t_checkpoint_s"),
             "stop_reasons": stats.get("stop_reasons", {}),
         }
         out.append(rec)
