@@ -677,6 +677,107 @@ def dedup_incoming(
     )
 
 
+def update_dedup_groups(
+    groups: DataFrame,
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 128,
+    bands: int = 16,
+    threshold: float = 0.9,
+    corpus_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """INCREMENTAL near-dup group maintenance — the append-only-corpus
+    complement of ``near_dedup_groups`` (batch) and ``dedup_incoming``
+    (classification): admit every new document but keep the corpus's
+    (id, group_id) assignment current without re-running components
+    over the whole corpus.
+
+    Returns the maintained ``(id, group_id)`` over corpus ∪ new_docs,
+    EQUAL row-for-row to ``near_dedup_groups(corpus ∪ new_docs)``
+    restricted to those columns. Why equality holds: MinHash band
+    buckets depend only on each document's own signature, so the LSH
+    candidate-edge set over N docs is invariant under batching — the
+    full run's edges are exactly (prior-corpus internal edges, already
+    reflected in ``groups``) ∪ (new×corpus cross edges) ∪ (new×new
+    edges), and the last two are what this function computes. Two
+    prior GROUPS can only merge through a new bridge document (their
+    mutual edges were already contracted), so contracting each corpus
+    endpoint to its group LABEL (= the group's min id, so mins
+    compose) and running components on the BATCH-SIZED contracted
+    graph {new ids} ∪ {touched labels} yields the full run's min-id
+    labels. Same refine semantics as near_dedup_groups (exact Jaccard
+    on 60-bit hashed token sets at ``threshold``) — the q83 DuckDB
+    oracle replays the maintained result verbatim.
+
+    Scale shape: O(batch) signature work + O(bucket hits) candidate
+    joins (pass the STORED signature table via ``corpus_sigs`` — the
+    q94b prepared pattern — so the corpus is never re-hashed), a
+    batch-sized component computation, and a relabel join that
+    rewrites only TOUCHED groups' rows (broadcast the batch-sized
+    relabel map). Precondition: new ids are not already in the corpus
+    (re-crawled known ids are the MERGE layer's concern, not the
+    grouper's)."""
+    sig_new = minhash_signatures(new_docs, text_col, id_col, k=k).localCheckpoint(
+        eager=True
+    )
+    if corpus_sigs is None:
+        corpus_sigs = minhash_signatures(corpus, text_col, id_col, k=k)
+    cross = lsh_cross_candidates(sig_new, corpus_sigs, id_col, bands=bands)
+    self_pairs = lsh_candidate_pairs(sig_new, id_col, k=k, bands=bands)
+    cand = (
+        self_pairs.select("id_a", "id_b")
+        .unionByName(
+            cross.withColumnsRenamed({"id_new": "id_a", "id_corpus": "id_b"}).select(
+                "id_a", "id_b"
+            )
+        )
+        .distinct()
+    )
+    lookup = new_docs.select(id_col, text_col).unionByName(
+        corpus.select(id_col, text_col)
+    )
+    edges = jaccard_refine(
+        cand, lookup, text_col, id_col, threshold=threshold, hashed_tokens=True
+    ).select("id_a", "id_b")
+    # contract corpus endpoints to their group labels (labels are each
+    # group's min id, so component mins compose to the global min)
+    m = groups.select(
+        F.col(id_col).alias("_m_id"), F.col("group_id").alias("_m_node")
+    )
+    contracted = (
+        edges.join(m, edges["id_a"] == m["_m_id"], "left")
+        .select(
+            F.coalesce("_m_node", "id_a").alias("s"), F.col("id_b").alias("_d")
+        )
+        .join(m, F.col("_d") == m["_m_id"], "left")
+        .select("s", F.coalesce("_m_node", "_d").alias("d"))
+        .filter(F.col("s") != F.col("d"))  # intra-group cross edges are no-ops
+    )
+    from ironman_medallion_lakehouse_spark.operators.graph import (
+        connected_components,
+    )
+
+    comp = connected_components(contracted, "s", "d").localCheckpoint(eager=True)
+    relabel = comp.select(F.col("node").alias("_old"), F.col("component").alias("_new"))
+    updated = (
+        groups.join(
+            F.broadcast(relabel), groups["group_id"] == relabel["_old"], "left"
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce("_new", "group_id").alias("group_id"),
+        )
+    )
+    new_assigned = (
+        new_docs.select(id_col)
+        .join(F.broadcast(relabel), F.col(id_col) == relabel["_old"], "left")
+        .select(F.col(id_col), F.coalesce("_new", F.col(id_col)).alias("group_id"))
+    )
+    return updated.unionByName(new_assigned)
+
+
 def winnowing_candidate_pairs(
     docs: DataFrame,
     text_col: str = "text",

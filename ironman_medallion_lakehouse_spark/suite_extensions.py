@@ -189,9 +189,13 @@ _HASHED_WORDS = (
 ).format(_WORDS)
 
 
-@register(
-    "q83_dedup_groups",
-    oracle=f"""
+# the full near-dup-grouping replay: MinHash -> banded candidates ->
+# exact hashed-token Jaccard -> recursive-CTE components with min-id
+# labels. Shared by q83 (batch grouping) and q147 (incremental group
+# maintenance) — the incremental result is provably equal to the
+# batch recompute (see dedup.update_dedup_groups), so ONE oracle
+# attests both.
+_Q83_ORACLE = f"""
     WITH RECURSIVE toks AS (
       SELECT doc_id, unnest({_WORDS}) AS tok FROM documents
     ),
@@ -237,8 +241,10 @@ _HASHED_WORDS = (
            COUNT(*) OVER (PARTITION BY group_id) AS group_size,
            (doc_id = group_id) AS is_survivor
     FROM assigned
-    """,
-)
+    """
+
+
+@register("q83_dedup_groups", oracle=_Q83_ORACLE)
 def q83_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup GROUPS, the stage after q43's pairs: MinHash → LSH
     (16 bands × r=8, matched to the 0.9 bar — see _Q83_BANDS) →
@@ -266,6 +272,51 @@ def q83_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "documents")
     return D.near_dedup_groups(
         t["documents"], k=_LSH_K, bands=_Q83_BANDS, threshold=_Q83_THRESHOLD
+    )
+
+
+@register("q147_incremental_group_maintenance", oracle=_Q83_ORACLE)
+def q147_incremental_group_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup group maintenance driver-attested against
+    the BATCH oracle (r10): the corpus arrives in three batches
+    (doc_id % 3); batch 0 is grouped with near_dedup_groups, then
+    dedup.update_dedup_groups folds batches 1 and 2 in — O(batch)
+    signature work + bucket-hit joins + a touched-groups-only relabel
+    per step, with each batch's signatures computed ONCE and
+    accumulated as the stored corpus_sigs (the q94b prepared pattern).
+    Because LSH candidate edges depend only on per-doc signatures, the
+    maintained assignment provably equals the full recompute — so this
+    entry's oracle IS q83's batch-grouping replay, row-for-row
+    (group_size/is_survivor derived from the maintained (id, group)
+    pairs at the end)."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"].select("doc_id", "text")
+    batches = [d.filter(F.col("doc_id") % 3 == i).localCheckpoint() for i in range(3)]
+    groups = D.near_dedup_groups(
+        batches[0], k=_LSH_K, bands=_Q83_BANDS, threshold=_Q83_THRESHOLD
+    ).select("doc_id", "group_id")
+    corpus = batches[0]
+    sigs = D.minhash_signatures(batches[0], k=_LSH_K).localCheckpoint()
+    for b in batches[1:]:
+        groups = D.update_dedup_groups(
+            groups,
+            corpus,
+            b,
+            k=_LSH_K,
+            bands=_Q83_BANDS,
+            threshold=_Q83_THRESHOLD,
+            corpus_sigs=sigs,
+        ).localCheckpoint()  # bound lineage across maintenance steps
+        corpus = corpus.unionByName(b).localCheckpoint()
+        sigs = sigs.unionByName(D.minhash_signatures(b, k=_LSH_K)).localCheckpoint()
+    w = Window.partitionBy("group_id")
+    return groups.select(
+        "doc_id",
+        "group_id",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        (F.col("doc_id") == F.col("group_id")).alias("is_survivor"),
     )
 
 

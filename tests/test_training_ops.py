@@ -450,3 +450,112 @@ def test_lsh_cross_candidates_width_mismatch(spark):
         D.lsh_cross_candidates(
             D.minhash_signatures(docs, k=32), D.minhash_signatures(docs, k=16)
         )
+
+
+# ---------------------------------------------- update_dedup_groups (r10)
+
+
+def test_update_dedup_groups_equals_batch_recompute(spark):
+    """The equality contract: folding random batch splits through
+    update_dedup_groups yields EXACTLY near_dedup_groups on the full
+    corpus (LSH edges depend only on per-doc signatures, so the edge
+    set is batching-invariant; group labels are min ids, which
+    compose). Random corpora with planted near-dups."""
+    import random
+
+    for seed in range(3):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(30)]
+        docs = []
+        for i in range(18):
+            base = rng.sample(vocab, 12)
+            docs.append((i, " ".join(base)))
+            if rng.random() < 0.5:  # planted near-dup (11/13 ~ 0.846)
+                dup = base[:-1] + [rng.choice(vocab)]
+                docs.append((100 + i, " ".join(dup)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        want = {
+            (r.doc_id, r.group_id)
+            for r in D.near_dedup_groups(
+                df, k=64, bands=16, threshold=0.7
+            ).collect()
+        }
+        order = [r for r in range(3)]
+        rng.shuffle(order)
+        parts = [df.filter(F.col("doc_id") % 3 == i).localCheckpoint() for i in order]
+        groups = D.near_dedup_groups(
+            parts[0], k=64, bands=16, threshold=0.7
+        ).select("doc_id", "group_id")
+        corpus = parts[0]
+        for b in parts[1:]:
+            groups = D.update_dedup_groups(
+                groups, corpus, b, k=64, bands=16, threshold=0.7
+            ).localCheckpoint()
+            corpus = corpus.unionByName(b).localCheckpoint()
+        got = {(r.doc_id, r.group_id) for r in groups.collect()}
+        assert got == want, f"seed {seed}"
+
+
+def test_update_dedup_groups_bridge_merges_two_groups(spark):
+    """A new document near-matching members of TWO existing groups
+    must union them under the global min id, rewriting the absorbed
+    group's rows."""
+    words_a = " ".join(f"a{i}" for i in range(20))
+    words_a2 = " ".join([f"a{i}" for i in range(19)] + ["zz"])
+    words_b = " ".join(f"b{i}" for i in range(20))
+    words_b2 = " ".join([f"b{i}" for i in range(19)] + ["yy"])
+    corpus = spark.createDataFrame(
+        [(1, words_a), (5, words_a2), (2, words_b), (7, words_b2)],
+        "doc_id long, text string",
+    )
+    groups = D.near_dedup_groups(corpus, k=64, bands=16, threshold=0.7).select(
+        "doc_id", "group_id"
+    )
+    assert {(r.doc_id, r.group_id) for r in groups.collect()} == {
+        (1, 1), (5, 1), (2, 2), (7, 2),
+    }
+    # bridge: half a-words, half b-words; J vs each 20-word doc with
+    # 10 shared = 10/30 — too low. Use an overlapping 18-word doc:
+    # 16 a-words + 16 b-words can't both clear 0.7; instead bridge via
+    # TWO new docs? No — ONE doc CAN bridge at a lower threshold.
+    bridge = spark.createDataFrame(
+        [(9, words_a), (11, words_b)], "doc_id long, text string"
+    )
+    updated = D.update_dedup_groups(
+        groups, corpus, bridge, k=64, bands=16, threshold=0.7
+    )
+    got = {(r.doc_id, r.group_id) for r in updated.collect()}
+    # 9 joins group 1 (exact text of doc 1), 11 joins group 2
+    assert got == {(1, 1), (5, 1), (9, 1), (2, 2), (7, 2), (11, 2)}
+    # now a REAL bridge: small token sets + r=2 banding so candidacy
+    # at the bridge's J=0.444 is effectively certain (1-(1-J^2)^32),
+    # and deterministic either way since the minhash coefficients are
+    # fixed. corpus2: two singleton-ish groups over disjoint alphabets.
+    corpus2 = spark.createDataFrame(
+        [
+            (1, " ".join(f"x{i}" for i in range(10))),
+            (2, " ".join(f"y{i}" for i in range(10))),
+        ],
+        "doc_id long, text string",
+    )
+    groups2 = D.near_dedup_groups(corpus2, k=64, bands=32, threshold=0.4).select(
+        "doc_id", "group_id"
+    )
+    assert {(r.doc_id, r.group_id) for r in groups2.collect()} == {(1, 1), (2, 2)}
+    mixed = " ".join(
+        [f"x{i}" for i in range(8)] + [f"y{i}" for i in range(8)]
+    )  # J vs each 10-word doc: 8/(16+10-8) = 0.444 >= 0.4
+    new3 = spark.createDataFrame([(9, mixed)], "doc_id long, text string")
+    bridged = D.update_dedup_groups(
+        groups2, corpus2, new3, k=64, bands=32, threshold=0.4
+    )
+    got2 = {(r.doc_id, r.group_id) for r in bridged.collect()}
+    want2 = {
+        (r.doc_id, r.group_id)
+        for r in D.near_dedup_groups(
+            corpus2.unionByName(new3), k=64, bands=32, threshold=0.4
+        ).collect()
+    }
+    assert got2 == want2
+    # the bridge unioned both groups under the global min id
+    assert got2 == {(1, 1), (2, 1), (9, 1)}, got2
