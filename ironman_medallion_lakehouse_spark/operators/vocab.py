@@ -88,6 +88,41 @@ def _merge_fold(syms: F.Column, a: str, b: str) -> F.Column:
     )
 
 
+def _merge_fold_batch(syms: F.Column, batch: list[tuple[str, str]]) -> F.Column:
+    """ONE left-to-right greedy pass applying a whole PAIRWISE-NON-
+    INTERACTING merge batch (the ``select="independent"`` contract):
+    at each element, a when-chain over the batch decides whether
+    (accumulator-last, current) is one of the batch pairs. Equivalent
+    to folding the pairs sequentially — non-interaction means no
+    pair's occurrences overlap another's, no pair's operand equals
+    another's product (so a product minted mid-pass can never match a
+    later element's pair test the sequential order wouldn't), and the
+    per-element conditions are mutually exclusive. Cost: one array
+    rebuild per row per ROUND instead of per MERGE — the fold pass is
+    the batched learner's dominant cost at scale. NOT valid for
+    prefix-mode batches: their product-collision rule admits a
+    colliding pair whose product can equal an EARLIER batch member's
+    operand, where simultaneous application diverges from sequential.
+    """
+    las = [F.lit(a) for a, _ in batch]
+    lbs = [F.lit(b) for _, b in batch]
+    labs = [F.lit(a + b) for a, b in batch]
+
+    def step(acc: F.Column, s: F.Column) -> F.Column:
+        merged = None
+        for la, lb, lab in zip(las, lbs, labs):
+            hit = (F.element_at(acc, -1) == la) & (s == lb)
+            branch = F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(lab))
+            merged = (
+                F.when(hit, branch) if merged is None else merged.when(hit, branch)
+            )
+        return F.when(F.size(acc) > 0, merged.otherwise(F.concat(acc, F.array(s)))).otherwise(
+            F.concat(acc, F.array(s))
+        )
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
 def _pair_counts(words: DataFrame) -> DataFrame:
     """(a, b, total) weighted adjacent-pair counts over the vocab-sized
     symbol table — arrays_zip of the two offset slices, exploded, then
@@ -144,6 +179,7 @@ def learn_bpe_batched(
     stats: dict | None = None,
     refine_conflicts: bool = False,
     select: str = "prefix",
+    checkpoint_folds: int = 8,
 ) -> list[tuple[str, str]]:
     """``learn_bpe`` with the documented scale dial IMPLEMENTED
     (VERDICT r7 item 2): batch several merges per driver round while
@@ -266,6 +302,17 @@ def learn_bpe_batched(
       time; pairs created by this round's merges are simply counted
       next round.
 
+    ``checkpoint_folds`` bounds the nested-fold expression depth: the
+    symbol table is localCheckpoint'ed after that many merge folds
+    accumulate (default 8 — the apply_bpe discipline). Measured A/B
+    (SCALING.md r10 follow-up, 256 independent merges): 8 vs 16 vs 4
+    are within noise (total fold evaluation is per-merge and
+    dominates), but a value EXCEEDING the typical per-round batch is
+    poisonous — unfinished chains then cross round boundaries into
+    the next CANDIDATE PULL, which re-evaluates them interpreted
+    (cf=32 under ~23-merge rounds: t_collect 3.3 → 101 s). Keep it at
+    or below the expected batch size; 8 is right.
+
     ``stats`` (optional dict) receives ``rounds``, ``merges``, and a
     ``stop_reasons`` histogram — which admissibility rule ended each
     round's batch (``k_exhausted`` / ``min_count`` /
@@ -284,7 +331,7 @@ def learn_bpe_batched(
     try:
         return _learn_bpe_batched(
             counts, num_merges, min_pair_count, max_batch, stats,
-            refine_conflicts, select,
+            refine_conflicts, select, checkpoint_folds,
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
@@ -298,6 +345,7 @@ def _learn_bpe_batched(
     stats: dict | None,
     refine_conflicts: bool = False,
     select: str = "prefix",
+    checkpoint_folds: int = 8,
 ) -> list[tuple[str, str]]:
     words = counts.select(
         _initial_symbols(F.col("word")).alias("syms"), F.col("n")
@@ -540,11 +588,21 @@ def _learn_bpe_batched(
                 stats["skipped_interacting"] = (
                     stats.get("skipped_interacting", 0) + skipped
                 )
-        for a, b in batch:
-            merges.append((a, b))
-            words = words.select(_merge_fold(F.col("syms"), a, b).alias("syms"), "n")
+        merges.extend(batch)
+        if select == "independent" and len(batch) > 1:
+            # non-interacting batch: ONE combined fold pass (see
+            # _merge_fold_batch) — one array rebuild per row per round
+            # instead of per merge
+            words = words.select(
+                _merge_fold_batch(F.col("syms"), batch).alias("syms"), "n"
+            )
+        else:
+            for a, b in batch:
+                words = words.select(
+                    _merge_fold(F.col("syms"), a, b).alias("syms"), "n"
+                )
         folds_since_ckpt += len(batch)
-        if folds_since_ckpt >= 8:
+        if folds_since_ckpt >= int(checkpoint_folds):
             # bound the nested-fold expression depth (the apply_bpe
             # checkpoint_every=8 discipline) without paying a
             # checkpoint job on every small-batch round

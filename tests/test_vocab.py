@@ -415,6 +415,7 @@ def test_independent_batch_folds_commute(spark):
     from ironman_medallion_lakehouse_spark.operators.vocab import (
         _initial_symbols,
         _merge_fold,
+        _merge_fold_batch,
     )
 
     def non_interacting(cands):
@@ -457,3 +458,12 @@ def test_independent_batch_folds_commute(spark):
                 out = out.select(_merge_fold(F.col("syms"), a, b).alias("syms"))
             tables.append([tuple(r.syms) for r in out.collect()])
         assert tables[0] == tables[1], (seed, batch, orders)
+        # and the ONE-PASS combined fold (the round's actual
+        # application path) equals the sequential folds
+        combined = [
+            tuple(r.syms)
+            for r in df.select(
+                _merge_fold_batch(F.col("syms"), batch).alias("syms")
+            ).collect()
+        ]
+        assert combined == tables[0], (seed, batch)
