@@ -123,6 +123,38 @@ def _merge_fold_batch(syms: F.Column, batch: list[tuple[str, str]]) -> F.Column:
     return F.aggregate(syms, F.array().cast("array<string>"), step)
 
 
+def _noninteracting_prefix_groups(
+    merges: list[tuple[str, str]],
+) -> list[list[tuple[str, str]]]:
+    """Partition an ordered merge list into CONSECUTIVE groups whose
+    members are pairwise non-interacting (the ``_merge_fold_batch``
+    contract: no adjacent-form sharing, no operand/product string
+    equality). Applying each group as one combined pass, groups in
+    list order, is exactly the sequential application of the full
+    list — the combined pass equals its members in any order, and
+    group boundaries preserve the list's order. Used by ``apply_bpe``
+    to cut fold passes over the distinct-word table; real learned
+    vocabularies chain (es → est → est</w>), so typical groups are
+    small but ≥ 1 pass is always saved wherever merges touch
+    different symbols."""
+    groups: list[list[tuple[str, str]]] = []
+    cur: list[tuple[str, str]] = []
+    for a, b in merges:
+        prod = a + b
+        interacts = any(
+            b == ta or a == tb or a == tp or b == tp or prod in (ta, tb, tp)
+            for ta, tb, tp in ((ta, tb, ta + tb) for ta, tb in cur)
+        )
+        if interacts:
+            groups.append(cur)
+            cur = [(a, b)]
+        else:
+            cur.append((a, b))
+    if cur:
+        groups.append(cur)
+    return groups
+
+
 def _pair_counts(words: DataFrame) -> DataFrame:
     """(a, b, total) weighted adjacent-pair counts over the vocab-sized
     symbol table — arrays_zip of the two offset slices, exploded, then
@@ -653,10 +685,27 @@ def apply_bpe(
     ).filter(F.col("word") != "")
     vocab = exploded.select("word").distinct()
     vocab = vocab.select("word", _initial_symbols(F.col("word")).alias("syms"))
-    for i, (a, b) in enumerate(merges):
-        vocab = vocab.select("word", _merge_fold(F.col("syms"), a, b).alias("syms"))
-        if (i + 1) % max(1, checkpoint_every) == 0:
+    # consecutive non-interacting merges apply as ONE combined fold
+    # pass (r10, _merge_fold_batch contract — provably equal to the
+    # sequential list); checkpoint cadence counts MERGES, not passes,
+    # preserving the expression-depth bound
+    applied = 0
+    since_ckpt = 0
+    for grp in _noninteracting_prefix_groups(merges):
+        if len(grp) > 1:
+            vocab = vocab.select(
+                "word", _merge_fold_batch(F.col("syms"), grp).alias("syms")
+            )
+        else:
+            a, b = grp[0]
+            vocab = vocab.select(
+                "word", _merge_fold(F.col("syms"), a, b).alias("syms")
+            )
+        applied += len(grp)
+        since_ckpt += len(grp)
+        if since_ckpt >= max(1, checkpoint_every) and applied < len(merges):
             vocab = vocab.localCheckpoint(eager=True)
+            since_ckpt = 0
     tokenized = exploded.join(F.broadcast(vocab), "word")
     return (
         tokenized.groupBy(id_col)

@@ -467,3 +467,51 @@ def test_independent_batch_folds_commute(spark):
             ).collect()
         ]
         assert combined == tables[0], (seed, batch)
+
+
+def test_apply_bpe_grouped_passes_match_sequential_semantics(spark):
+    """apply_bpe now applies consecutive NON-INTERACTING merges as one
+    combined fold pass (_noninteracting_prefix_groups) — the output
+    must equal the plain sequential greedy application of the ordered
+    merge list (pure-Python reference) on REAL learned lists, whose
+    chained merges (es -> est) force group breaks."""
+    import random
+
+    from ironman_medallion_lakehouse_spark.operators.vocab import (
+        END,
+        _noninteracting_prefix_groups,
+        learn_bpe,
+    )
+
+    def py_apply(word, merges):
+        syms = list(word) + [END]
+        for a, b in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        vocab = {}
+        for _ in range(20):
+            w = "".join(rng.choice("abcd") for _ in range(rng.randint(2, 6)))
+            vocab[w] = vocab.get(w, 0) + rng.randint(1, 9)
+        counts = spark.createDataFrame(
+            [(w, n) for w, n in vocab.items()], "word string, n long"
+        )
+        merges = learn_bpe(counts, 12, min_pair_count=1)
+        # the grouping must actually engage on at least one seed
+        groups = _noninteracting_prefix_groups(merges)
+        doc_words = rng.sample(list(vocab), min(8, len(vocab)))
+        doc = spark.createDataFrame(
+            [(1, " ".join(doc_words))], "doc_id long, text string"
+        )
+        got = apply_bpe(doc, merges).collect()[0]
+        want = [t for w in doc_words for t in py_apply(w, merges)]
+        assert got.tokens == want, (seed, merges, groups)
+        assert got.n_tokens == len(want)
