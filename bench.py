@@ -149,7 +149,12 @@ def main() -> None:
     if len(sys.argv) > 1:
         # ad-hoc subset run (same protocol); the sidecar detail file is
         # NOT overwritten so the full-suite fingerprint record survives
-        names = [n for n in sys.argv[1:] if n in qdict]
+        unknown = [n for n in sys.argv[1:] if n not in qdict]
+        if unknown:
+            # a typo must not silently run a partial suite and print a
+            # misleadingly small headline total (ADVICE r10)
+            raise SystemExit(f"bench.py: unknown query name(s): {' '.join(unknown)}")
+        names = list(sys.argv[1:])
 
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}

@@ -24,6 +24,7 @@ def remove_frequent_lines(
     id_col: str = "doc_id",
     max_count: int = 1,
     keep_empty_docs: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """Drop every line that occurs (exactly, after trim) more than
     ``max_count`` times ACROSS THE CORPUS, from every document — the
@@ -60,7 +61,11 @@ def remove_frequent_lines(
     LRU-evictable and clearable (``spark.catalog.clearCache()`` or an
     unpersistRDD sweep, as bench.py does between queries). The blocks
     otherwise live for the session — callers running many corpora
-    through this in one session should clear between calls. Fully
+    through this in one session should either clear between calls or
+    pass ``materialize=True`` (ADVICE r10): the result is then eagerly
+    localCheckpoint'ed and the exploded frame unpersisted BEFORE
+    return, so nothing leaks into the session — at the cost of running
+    the job now and materializing the (document-sized) result. Fully
     deterministic (exact strings, integer positions) — replays
     verbatim in SQL with string_agg(... ORDER BY pos)."""
     from pyspark import StorageLevel
@@ -103,4 +108,7 @@ def remove_frequent_lines(
     out = rebuilt.select(id_col, text_col, "n_lines", "n_removed")
     if not keep_empty_docs:
         out = out.filter(F.col("n_lines") > F.col("n_removed"))
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        lines.unpersist()
     return out

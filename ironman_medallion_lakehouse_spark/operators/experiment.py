@@ -1600,7 +1600,11 @@ def ewma_control(
     is one count() over the horizon-sized series — pass ``n_points``
     when the caller already knows the horizon (e.g. a streaming
     monitor invoking the chart per micro-batch) to keep the operator
-    fully lazy (ADVICE r9). The 600 cap bounds only T·ln(1/d), which
+    fully lazy (ADVICE r9). ``n_points`` MUST be the exact series
+    length: it is trusted for the overflow-cap branch decision, and an
+    undersized value that wrongly selects the closed form past the cap
+    raises at evaluation time (per-row finite-range guard) instead of
+    silently yielding inf/NaN (ADVICE r10). The 600 cap bounds only T·ln(1/d), which
     assumes |x| of ordinary magnitude: the closed form's terms carry
     an extra factor max|x|, so values beyond ~1e100 could still
     overflow below the cap — series at that magnitude should be
@@ -1641,7 +1645,23 @@ def ewma_control(
         )
         pre = terms.select("mu", "sd", "_i", F.sum("_term").over(wi).alias("_r"))
         decay = F.pow(F.lit(1.0 - lam), F.col("_i").cast("double"))
-        e = decay * F.col("mu") + F.lit(lam) * decay * F.col("_r")
+        e_raw = decay * F.col("mu") + F.lit(lam) * decay * F.col("_r")
+        # overflow guard (ADVICE r10): ``n_points`` selects this branch
+        # on trust — it MUST be the exact series length. An undersized
+        # value past the cap makes d^(−j) overflow double range; rather
+        # than silently emitting inf/NaN EWMA values, fail loudly
+        # per-row (pure scalar check, no extra job; a well-conditioned
+        # series below the cap never trips it).
+        e = F.when(
+            F.isnan(e_raw) | (F.abs(e_raw) > F.lit(1.7e308)),
+            F.raise_error(
+                F.lit(
+                    "ewma_control: closed-form EWMA overflowed double range — "
+                    "n_points was smaller than the true series length (it must "
+                    "be EXACT), or |x| is at extreme magnitude (rescale first)"
+                )
+            ).cast("double"),
+        ).otherwise(e_raw)
     else:
         # fold fallback: each row folds its own prefix — O(T²) scalars,
         # range-safe at any horizon
@@ -1668,10 +1688,12 @@ def ewma_control(
             )
         )
     )
-    rows = pre.select(
+    # let-bind the EWMA tree once (codegen has no CSE; the closed-form
+    # branch now carries the overflow-guard when/raise tree)
+    rows = pre.select("_i", "mu", "sd", e.alias("_e")).select(
         "_i",
-        e.alias("_e"),
-        (F.abs(e - F.col("mu")) > lim).alias("_alarm"),
+        "_e",
+        (F.abs(F.col("_e") - F.col("mu")) > lim).alias("_alarm"),
     )
     return rows.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_points"),

@@ -357,6 +357,17 @@ def learn_bpe_batched(
     corpora in tests/test_vocab.py."""
     if select not in ("prefix", "independent"):
         raise ValueError(f"select must be 'prefix' or 'independent', got {select!r}")
+    if select == "independent" and refine_conflicts:
+        # the link-refinement pass exists to rescue CONFLICTED prefix
+        # candidates; the independent branch skips every interacting
+        # candidate outright and never reads the link sets, so paying
+        # the trigram/link pull (~2.4x per-round wall, SCALING.md r9)
+        # buys nothing (ADVICE r10)
+        raise ValueError(
+            "refine_conflicts=True is meaningless with select='independent' "
+            "(the independent branch never reads the link sets); "
+            "use select='prefix' for conflict refinement"
+        )
     spark = counts.sparkSession
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -1552,8 +1552,20 @@ def q146_drift_gate_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_b = d.filter(F.col("doc_id") % 2 == 1).select(
         "doc_id", F.concat(F.col("text"), F.lit("x" * _Q146_PAD)).alias("text")
     )
+    # recovery texts are md5-hex words truncated to the ORIGINAL doc
+    # length — the word count must make the generated base AT LEAST as
+    # long as the longest corpus text, else substr silently truncates
+    # and shifts batch-2's length distribution (ADVICE r10). Each word
+    # contributes 33 chars (32 hex + separator) less the final space,
+    # so w words cover 33*w - 1 chars; derive w from the corpus max
+    # (bounded scalar pull: one value).
+    max_len = int(
+        d.agg(F.max(F.length("text"))).collect()[0][0] or 0
+    )
+    n_words = max(1, -(-(max_len + 1) // 33))
     hexbase = F.concat_ws(
-        " ", *[F.md5(F.concat(F.col("text"), F.lit(str(j)))) for j in range(40)]
+        " ",
+        *[F.md5(F.concat(F.col("text"), F.lit(str(j)))) for j in range(n_words)],
     )
     batch_c = d.filter(F.col("doc_id") % 2 == 1).select(
         (F.col("doc_id") + _Q146_OFFSET).alias("doc_id"),
@@ -1690,3 +1702,238 @@ def q139_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_streaming.py asserts batch ≡ stream)."""
     t = load_tables(spark, sf_dir, "events")
     return EW.tumbling_distinct_users(t["events"], "1 hour")
+
+
+# ----------------------------------------------- JSONL landing boundary
+
+# q148 (r11, VERDICT r10 directive 4a): the JSONL quarantine boundary
+# driver-attested end-to-end. A mixed dump is PLANTED deterministically
+# from the documents table (one line per doc, class = doc_id % 4):
+#   0 — clean full record  {"doc_id":N,"text":"<md5(text)>","lang":"<lang>"}
+#   1 — absent-field record {"doc_id":N}            → clean, NULL fields
+#   2 — type-drifted doc_id {"doc_id":"xN",...}     → quarantined whole
+#   3 — non-JSON garbage    garbage N {unclosed     → quarantined whole
+# (text payload is md5(text): JSON-safe by construction, so the planted
+# line needs no escaping and the oracle rebuilds it byte-identically).
+# The file is WRITTEN to shared staging and read back through
+# sources/jsonl.read_jsonl + split_quarantine — the real landing path —
+# and the row oracles: per-class counts, the parsed-value checksum over
+# clean rows, and md5 fingerprints of BOTH sides' full contents (clean
+# rendered rows; quarantined VERBATIM raw lines) against a DuckDB
+# replay of the generative formulas. raw_fp matching proves retention
+# is verbatim; clean_fp proves absent fields land as NULLs, not drops.
+_Q148_NULL = "<null>"
+
+
+@register(
+    "q148_jsonl_quarantine",
+    oracle=f"""
+    WITH lines AS (
+      SELECT doc_id, lang, md5(text) AS payload, CAST(doc_id % 4 AS INT) AS cls
+      FROM documents
+    ),
+    rendered AS (
+      SELECT doc_id, cls,
+        CASE cls
+          WHEN 0 THEN '{{"doc_id":' || CAST(doc_id AS VARCHAR)
+                      || ',"text":"' || payload || '","lang":"' || lang || '"}}'
+          WHEN 1 THEN '{{"doc_id":' || CAST(doc_id AS VARCHAR) || '}}'
+          WHEN 2 THEN '{{"doc_id":"x' || CAST(doc_id AS VARCHAR)
+                      || '","text":"' || payload || '"}}'
+          ELSE 'garbage ' || CAST(doc_id AS VARCHAR) || ' {{unclosed'
+        END AS line,
+        CASE WHEN cls = 0
+             THEN CAST(doc_id AS VARCHAR) || '|' || payload || '|' || lang
+             WHEN cls = 1
+             THEN CAST(doc_id AS VARCHAR) || '|{_Q148_NULL}|{_Q148_NULL}'
+        END AS clean_row
+      FROM lines
+    )
+    SELECT
+      COUNT(*) AS n_lines,
+      COUNT(*) FILTER (WHERE cls IN (0, 1)) AS n_clean,
+      COUNT(*) FILTER (WHERE cls IN (2, 3)) AS n_quarantined,
+      COUNT(*) FILTER (WHERE cls = 0) AS n_full,
+      COUNT(*) FILTER (WHERE cls = 1) AS n_absent_field,
+      CAST(SUM(doc_id) FILTER (WHERE cls IN (0, 1)) AS BIGINT) AS clean_docid_sum,
+      COUNT(*) FILTER (WHERE cls = 2) AS n_type_drift,
+      COUNT(*) FILTER (WHERE cls = 3) AS n_garbage,
+      md5(string_agg(clean_row, '#' ORDER BY clean_row)
+          FILTER (WHERE cls IN (0, 1))) AS clean_fp,
+      md5(string_agg(line, '#' ORDER BY line)
+          FILTER (WHERE cls IN (2, 3))) AS raw_fp
+    FROM rendered
+    """,
+)
+def q148_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL landing quarantine contract end-to-end (sources/jsonl.py):
+    a planted mixed dump — clean / absent-field / type-drifted /
+    garbage lines, one per document — is written to shared staging,
+    read back with read_jsonl's explicit-schema parse, split with
+    split_quarantine, and the per-class counts + both sides' content
+    fingerprints are oracled against a DuckDB replay of the generative
+    formulas (see the construction comment above). One corpus-sized
+    text scan + parse, one grouped aggregate — nothing driver-side."""
+    import os as _os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ironman_medallion_lakehouse_spark.session import staging_dir
+    from ironman_medallion_lakehouse_spark.sources.jsonl import (
+        read_jsonl,
+        split_quarantine,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"].select(
+        "doc_id", "lang", F.md5(F.col("text")).alias("payload"),
+        (F.col("doc_id") % 4).cast("int").alias("cls"),
+    )
+    ds = F.col("doc_id").cast("string")
+    line = (
+        F.when(
+            F.col("cls") == 0,
+            F.concat(
+                F.lit('{"doc_id":'), ds, F.lit(',"text":"'), F.col("payload"),
+                F.lit('","lang":"'), F.col("lang"), F.lit('"}'),
+            ),
+        )
+        .when(F.col("cls") == 1, F.concat(F.lit('{"doc_id":'), ds, F.lit("}")))
+        .when(
+            F.col("cls") == 2,
+            F.concat(
+                F.lit('{"doc_id":"x'), ds, F.lit('","text":"'),
+                F.col("payload"), F.lit('"}'),
+            ),
+        )
+        .otherwise(F.concat(F.lit("garbage "), ds, F.lit(" {unclosed")))
+    )
+    root = tempfile.mkdtemp(prefix="jsonlq_", dir=staging_dir(spark, "tablestore"))
+    src = _os.path.join(root, "dump")
+    d.select(line.alias("value")).coalesce(1).write.mode("overwrite").text(src)
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+        ]
+    )
+    clean, quar = split_quarantine(read_jsonl(spark, src, schema))
+    crow = clean.select(
+        F.concat_ws(
+            "|",
+            F.col("doc_id").cast("string"),
+            F.coalesce(F.col("text"), F.lit(_Q148_NULL)),
+            F.coalesce(F.col("lang"), F.lit(_Q148_NULL)),
+        ).alias("clean_row"),
+        "doc_id",
+        F.col("text").isNotNull().cast("int").alias("is_full"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clean"),
+        F.sum("is_full").cast("bigint").alias("n_full"),
+        F.sum(1 - F.col("is_full")).cast("bigint").alias("n_absent_field"),
+        F.sum("doc_id").cast("bigint").alias("clean_docid_sum"),
+        F.md5(
+            F.concat_ws("#", F.array_sort(F.collect_list("clean_row")))
+        ).alias("clean_fp"),
+    )
+    qrow = quar.select(
+        "_raw",
+        F.col("_raw").startswith('{"doc_id":"x').cast("int").alias("is_drift"),
+        F.col("_raw").startswith("garbage ").cast("int").alias("is_garbage"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_quarantined"),
+        F.sum("is_drift").cast("bigint").alias("n_type_drift"),
+        F.sum("is_garbage").cast("bigint").alias("n_garbage"),
+        F.md5(F.concat_ws("#", F.array_sort(F.collect_list("_raw")))).alias("raw_fp"),
+    )
+    return crow.crossJoin(qrow).select(
+        (F.col("n_clean") + F.col("n_quarantined")).alias("n_lines"),
+        "n_clean",
+        "n_quarantined",
+        "n_full",
+        "n_absent_field",
+        "clean_docid_sum",
+        "n_type_drift",
+        "n_garbage",
+        "clean_fp",
+        "raw_fp",
+    )
+
+
+# --------------------------------------- stream-stream interval join
+
+# q149 (r11, VERDICT r10 directive 4b): the stream-stream interval
+# join's batch-equality attestation, driver-oracled. The events table
+# is split into two micro-batches by event_id parity — NOT by time, so
+# cross-batch pairs force each side's join state to buffer batch-1
+# rows until batch 2 arrives (the state contract under test) — and
+# appended to a real parquet file stream while the query is live. The
+# oracle states the naive θ-join semantics at full µs precision
+# (events.ts carries microseconds; flooring to seconds would flip
+# boundary pairs). Watermark is set far beyond the table's span so no
+# state is evicted mid-test: the streamed pair set must equal the
+# batch join EXACTLY (eviction-under-lateness is pinned separately in
+# tests/test_streaming.py).
+@register(
+    "q149_streaming_interval_join",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pt
+      FROM events WHERE event_type = 'purchase'
+    ),
+    errors AS (
+      SELECT event_id AS error_id, user_id, epoch_us(ts) AS et
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT p.purchase_id, e.error_id, p.user_id
+    FROM purchases p JOIN errors e
+      ON p.user_id = e.user_id AND ABS(p.pt - e.et) <= CAST(3600 AS BIGINT) * 1000000
+    """,
+)
+def q149_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join driven through a REAL file stream
+    (streaming/event_windows.streaming_interval_join): purchases
+    paired with same-user errors within ±1 h, both sides unbounded
+    streams of the same source, fed as two event_id-parity batches so
+    cross-batch pairs exercise the join-state buffering. Output pairs
+    (purchase_id, error_id, user_id) are oracled against the batch
+    θ-join at µs precision — the streaming twin of q75's binned range
+    join."""
+    import os as _os
+
+    from ironman_medallion_lakehouse_spark.session import staging_dir
+    from ironman_medallion_lakehouse_spark.streaming.event_windows import (
+        streaming_interval_join,
+    )
+
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"].filter(F.col("event_type").isin("purchase", "error"))
+    root = tempfile.mkdtemp(prefix="ivjoin_", dir=staging_dir(spark, "tablestore"))
+    src = _os.path.join(root, "incoming")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+
+    sink = f"ivjoin_sink_{abs(hash(root)) % 100000}"
+    q, sink = streaming_interval_join(
+        spark, src, schema,
+        window_seconds=3600,
+        watermark="3650 days",  # beyond the table span: nothing evicts
+        sink_name=sink,
+    )
+    try:
+        q.processAllAvailable()  # batch 0: even event_ids
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()  # batch 1: odd ids — cross-batch pairs
+        result = spark.table(sink).select(
+            "purchase_id", "error_id", "user_id"
+        ).localCheckpoint()  # materialize before stopping the query
+    finally:
+        q.stop()
+    return result
