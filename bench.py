@@ -106,6 +106,15 @@ BATTERY_ARMS = {
     "q145_sequential_charts": "_q145_arm_frames",
 }
 
+# Iterative operators that run with AQE ON re-plan per iteration at
+# runtime, so their TASK count wobbles with AQE's partition coalescing
+# (r10: q106 jobs/stages pinned 61/94 while tasks read 118 → 99 on an
+# identical plan). For these entries the structural fingerprint is
+# jobs+stages ONLY — a box-noise adjudication must not treat a task
+# drift as a plan change (VERDICT r10 directive 6). Recorded per-entry
+# in the detail sidecar as ``fp_compare``.
+AQE_ITERATIVE = {"q106_pagerank"}
+
 
 def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -172,7 +181,13 @@ def main() -> None:
             spark.sparkContext.setJobGroup("", "")
             _drop_persistent_blocks(spark)
         timings[name] = min(runs)
-        detail[name] = {"runs": runs, **_group_counts(spark, group)}
+        detail[name] = {
+            "runs": runs,
+            **_group_counts(spark, group),
+            "fp_compare": (
+                "jobs+stages" if name in AQE_ITERATIVE else "jobs+stages+tasks"
+            ),
+        }
         if name in BATTERY_ARMS:
             import importlib
 

@@ -79,3 +79,27 @@ def test_deterministic_under_repartition(spark):
         )
     )
     assert a == b
+
+
+def test_materialize_unpersists_exploded_frame(spark):
+    """materialize=True (ADVICE r10): the result is eagerly
+    materialized and the exploded line frame's persist is released
+    before return — no storage outlives the call."""
+    def _persistent_ids(sc):
+        it = sc._jsc.sc().getPersistentRDDs().iterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next()._1())
+        return ids
+
+    sc = spark.sparkContext
+    before = _persistent_ids(sc)
+    got = remove_frequent_lines(_df(spark), max_count=1, materialize=True)
+    after = _persistent_ids(sc)
+    # the exploded frame's MEMORY_AND_DISK persist is gone; only the
+    # result's localCheckpoint RDD may remain
+    rows = {r.doc_id: r for r in got.collect()}
+    assert rows[0].text == "Alpha unique content line"
+    leaked = after - before
+    # at most the checkpoint RDD of the returned frame remains
+    assert len(leaked) <= 1

@@ -515,3 +515,17 @@ def test_apply_bpe_grouped_passes_match_sequential_semantics(spark):
         want = [t for w in doc_words for t in py_apply(w, merges)]
         assert got.tokens == want, (seed, merges, groups)
         assert got.n_tokens == len(want)
+
+
+def test_independent_rejects_refine_conflicts(spark):
+    """select='independent' never reads the link sets, so paying the
+    trigram/link pull is meaningless — rejected loudly (ADVICE r10)."""
+    import pytest as _pytest
+
+    from ironman_medallion_lakehouse_spark.operators.vocab import learn_bpe_batched
+
+    df = spark.createDataFrame([("ab", 3)], "word string, n long")
+    with _pytest.raises(ValueError, match="refine_conflicts"):
+        learn_bpe_batched(
+            df, 2, min_pair_count=1, select="independent", refine_conflicts=True
+        )
