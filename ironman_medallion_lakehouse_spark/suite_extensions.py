@@ -1937,3 +1937,164 @@ def q149_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return result
+
+
+# --------------------------------------------------- JDBC extract (S12)
+
+# q150 (r11): the S12 JDBC extract driver-attested — previously the
+# one SURVEY §2 row with pytest-only coverage. A deterministic orders
+# slice is WRITTEN to an embedded Derby database (the JDBC engine
+# inside Spark's own jars — no external service), then extracted back
+# through sources/jdbc.jdbc_extract with BOTH scale features on: a
+# database-side predicate (WHERE pushed into the remote subquery) and
+# a partitioned parallel pull (4 range scans, MIN/MAX bounds probed
+# over the FILTERED rows — the ADVICE r4 contract). The aggregate is
+# oracled against DuckDB computing the same slice straight from the
+# parquet: agreement proves the values survived the
+# parquet → Derby → JDBC-range-scan round trip exactly.
+@register(
+    "q150_jdbc_extract",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_orderkey % 10 = 0 AND o_totalprice > 1000
+    GROUP BY o_orderpriority
+    """,
+)
+def q150_jdbc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 JDBC extract end-to-end (sources/jdbc.py): plant a
+    deterministic orders slice in embedded Derby, pull it back as 4
+    parallel range scans with a database-side predicate, and oracle
+    the grouped aggregate against DuckDB on the original parquet (see
+    construction comment). At production scale the same call is a
+    partitioned Postgres pull — only the URL and driver change."""
+    import os as _os
+
+    from ironman_medallion_lakehouse_spark.session import staging_dir
+    from ironman_medallion_lakehouse_spark.sources.jdbc import jdbc_extract
+
+    t = load_tables(spark, sf_dir, "orders")
+    src = t["orders"].filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    db = _os.path.join(
+        tempfile.mkdtemp(prefix="jdbcq_", dir=staging_dir(spark, "tablestore")),
+        "ordersdb",
+    )
+    url = f"jdbc:derby:{db};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    (
+        src.write.format("jdbc")
+        .option("url", url)
+        .option("driver", driver)
+        .option("dbtable", "orders_ext")
+        .mode("overwrite")
+        .save()
+    )
+    df = jdbc_extract(
+        spark,
+        url,
+        "orders_ext",
+        driver=driver,
+        predicate='"o_totalprice" > 1000',
+        partition_column="o_orderkey",
+        num_partitions=4,
+    )
+    return df.groupBy(F.col("o_orderpriority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        dsum("o_totalprice", "sum_price"),
+    )
+
+
+# ------------------------------------------------- WAV codec round trip
+
+# q151 (r11): the PCM WAV REAL-codec round trip driver-attested (the
+# audio twin of q54's PPM row — wav_decode was pytest-only). Each
+# document becomes an actual RIFF/WAVE payload (mono 16-bit PCM sine,
+# length and tone from md5(text) — synthesize_wav_payloads), the
+# Arrow-batched mapInPandas decode (extract_audio_features) parses the
+# real headers and samples, and the aggregate is oracled against a
+# DuckDB replay of the generative formulas: n_samples = 400 +
+# little-endian(first two md5 bytes) % 1200, payload bytes = 44-byte
+# canonical header + 2·n. Spark's numbers come from DECODED BYTES, the
+# oracle's from the formula. The sine's RMS (≈ 0.5/√2) and
+# zero-crossing rate (≈ 2f/rate) are attested as per-row tolerance
+# booleans folded with bool_and — float sample math is real-decode
+# evidence but not SQL-replayable bit-exactly.
+@register(
+    "q151_wav_codec",
+    oracle="""
+    WITH m AS (
+      SELECT 400 + (('0x' || substr(md5(text), 3, 2) || substr(md5(text), 1, 2))::INT)
+                   % 1200 AS n
+      FROM documents
+    )
+    SELECT 8000 AS sample_rate,
+           1 AS n_channels,
+           COUNT(*) AS n_media,
+           CAST(SUM(n) AS BIGINT) AS total_samples,
+           CAST(SUM(44 + 2 * n) AS BIGINT) AS total_bytes,
+           ROUND(CAST(SUM(n) AS DOUBLE) / 8000.0 / COUNT(*), 6) AS avg_duration_s,
+           TRUE AS rms_in_band,
+           TRUE AS zcr_tracks_tone
+    FROM m
+    """,
+)
+def q151_wav_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCM WAV codec round trip (operators/multimodal.py): synthesize
+    real RIFF payloads from the documents fixture, decode them with
+    the stdlib-wave mapInPandas stage, and oracle counts/sample totals/
+    byte totals against the generative md5 formula (see construction
+    comment). rms_in_band pins |rms − 0.5/√2| < 0.02; zcr_tracks_tone
+    pins the zero-crossing rate within 25 % of the synthesized tone's
+    2f/rate — both real-decode assertions a stub could not pass."""
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"]
+    media = M.synthesize_wav_payloads(docs)
+    feats = M.extract_audio_features(media.select("media_id", "payload"))
+    # the synthesized tone's frequency, replayed from the same md5 so
+    # the zcr check is per-row (d[2] = third md5 byte); n_bytes is the
+    # REAL payload length from the synth stage — summing it (not a
+    # re-derivation from n_samples) is what attests the byte layout
+    freq = 100.0 + F.conv(
+        F.substring(F.md5("text"), 5, 2), 16, 10
+    ).cast("double") * 4.0
+    tone = docs.select(F.col("doc_id").alias("media_id"), freq.alias("freq"))
+    j = feats.join(media.select("media_id", "n_bytes"), "media_id").join(
+        tone, "media_id"
+    )
+    return (
+        j.groupBy("sample_rate", "n_channels")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_samples").cast("bigint").alias("total_samples"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.round(
+                F.sum("n_samples").cast("double") / 8000.0 / F.count(F.lit(1)), 6
+            ).alias("avg_duration_s"),
+            F.bool_and(
+                F.abs(F.col("rms").cast("double") - 0.35355339) < 0.02
+            ).alias("rms_in_band"),
+            F.bool_and(
+                F.abs(
+                    F.col("zero_crossing_rate").cast("double")
+                    - 2.0 * F.col("freq") / 8000.0
+                )
+                < 0.25 * (2.0 * F.col("freq") / 8000.0)
+            ).alias("zcr_tracks_tone"),
+        )
+        .select(
+            "sample_rate",
+            "n_channels",
+            "n_media",
+            "total_samples",
+            "total_bytes",
+            "avg_duration_s",
+            "rms_in_band",
+            "zcr_tracks_tone",
+        )
+    )
