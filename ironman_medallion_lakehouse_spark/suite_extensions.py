@@ -2098,3 +2098,242 @@ def q151_wav_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zcr_tracks_tone",
         )
     )
+
+
+# ------------------------------------- stateful streaming (SURVEY §2.9)
+
+# q152 (r11): applyInPandasWithState driven through a REAL file stream
+# — previously pytest-only (tests/test_stateful_streaming). Events are
+# fed as three event_id%3 batches; the state store carries per-user
+# (count, sum) across micro-batches and update mode emits one row per
+# TOUCHED user per batch, so the memory sink accumulates the exact
+# emission history. The oracle restates that history as a per-batch
+# cumulative window. Exactness: the staged value column is
+# floor(value*100) — integer-valued doubles, so every partial sum is
+# exact in IEEE double on both engines regardless of addition order.
+@register(
+    "q152_stateful_running_totals",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, FLOOR(value * 100) AS v, event_id % 3 AS b
+      FROM events
+    ),
+    per AS (
+      SELECT user_id, b, COUNT(*) AS c, SUM(v) AS s
+      FROM e GROUP BY user_id, b
+    )
+    SELECT user_id,
+           CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY b) AS BIGINT)
+             AS n_events,
+           CAST(SUM(s) OVER (PARTITION BY user_id ORDER BY b) AS DOUBLE)
+             AS total_value
+    FROM per
+    """,
+)
+def q152_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator end-to-end
+    (streaming/stateful.running_user_totals): readStream →
+    groupBy(user).applyInPandasWithState → update-mode memory sink,
+    driven through a real parquet file stream in three batches. Every
+    micro-batch's emission (the running totals of each user it
+    touched) is oracled against a batch cumulative window — attesting
+    the state store carries (count, sum) across batches and that
+    update mode emits exactly the touched keys. The 100 TB shape:
+    per-key state lives in the executor state store, partitioned by
+    the group key; no driver-side accumulation."""
+    import os as _os
+
+    from ironman_medallion_lakehouse_spark.session import staging_dir
+    from ironman_medallion_lakehouse_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    t = load_tables(spark, sf_dir, "events")
+    staged = t["events"].select(
+        "event_id",
+        "user_id",
+        # integer-valued doubles: exact sums in any order on any engine
+        F.floor(F.col("value") * 100).cast("double").alias("value"),
+    )
+    root = tempfile.mkdtemp(prefix="stateful_", dir=staging_dir(spark, "tablestore"))
+    src = _os.path.join(root, "incoming")
+    schema = "event_id long, user_id long, value double"
+
+    staged.filter(F.col("event_id") % 3 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    sink = f"running_sink_{abs(hash(root)) % 100000}"
+    q, sink = running_user_totals(spark, src, schema, sink_name=sink)
+    try:
+        q.processAllAvailable()  # batch 0
+        staged.filter(F.col("event_id") % 3 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()  # batch 1: totals accumulate in state
+        staged.filter(F.col("event_id") % 3 == 2).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()  # batch 2
+        result = spark.table(sink).select(
+            "user_id", "n_events", "total_value"
+        ).localCheckpoint()  # materialize before stopping the query
+    finally:
+        q.stop()
+    return result
+
+
+# --------------------------------- end-to-end curation pipeline (r11)
+
+# q153: training_pipeline.curate driver-attested — the composite the
+# package exists for (gate → near-dup survivors → stratified mixture →
+# chunk → pack), previously pytest-only. The oracle composes the
+# already-attested stage replays (q89 gate signals, q83 MinHash/LSH/
+# Jaccard/components, q93 hash sampling, q95 sliding windows, q84
+# cumulative packing) into ONE SQL pipeline over the same corpus, so
+# agreement proves the COMPOSITION — which rows each stage hands the
+# next — not just each stage alone. The DSIR arm is exercised
+# standalone by q107/q111 and stays off here (dsir_target=None).
+_Q153_RATES = {"en": 0.5, "de": 1.0, "es": 0.5, "zh": 0.25, "fr": 0.75}
+_Q153_CASE = " ".join(
+    f"WHEN '{lang}' THEN {int(rate * 1_000_000)}"
+    for lang, rate in _Q153_RATES.items()
+)
+_Q153_SIZE, _Q153_OVERLAP, _Q153_BUDGET = 64, 16, 1024
+_Q153_STEP = _Q153_SIZE - _Q153_OVERLAP
+
+_Q153_ORACLE = f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, lang,
+        string_split_regex(lower(text), '\\s+') AS w,
+        len(list_intersect({_WORDS}, [{_Q89_EN}])) AS score_en
+      FROM documents
+    ),
+    grams AS (
+      SELECT *, list_transform(generate_series(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i + 1]) AS bg
+      FROM base
+    ),
+    gated AS (
+      SELECT doc_id, lang, w FROM grams
+      WHERE CAST(len(w) AS BIGINT) >= {_Q89_MIN_WORDS}
+        AND (CASE WHEN len(w) < 2 THEN 0.0
+             ELSE 2.0 * CAST(list_max(list_transform(list_distinct(bg),
+                     b -> len(list_filter(bg, x -> x = b)))) AS DOUBLE)
+                  / CAST(len(w) AS DOUBLE) END) < {_Q89_MAX_TBF}
+        AND CAST(score_en AS DOUBLE)
+              / CAST(greatest(len(list_distinct(w)), 1) AS DOUBLE)
+            >= {_Q89_MIN_SWR}
+    ),
+    toks AS (SELECT doc_id, unnest(list_distinct(w)) AS tok FROM gated),
+    sigs AS (
+      SELECT doc_id,
+        {_SIG_EXPRS}
+      FROM toks GROUP BY doc_id
+    ),
+    bands AS (
+      {_band_selects(_Q83_BANDS)}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    ws AS (
+      SELECT doc_id,
+        list_transform(list_distinct(w),
+          tok -> (('0x' || substr(md5(tok), 1, 15))::UBIGINT)::BIGINT) AS hw
+      FROM gated
+    ),
+    refined AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN ws a ON a.doc_id = c.id_a JOIN ws b ON b.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(a.hw, b.hw)) AS DOUBLE)
+          / CAST(len(a.hw) + len(b.hw) - len(list_intersect(a.hw, b.hw)) AS DOUBLE)
+          >= {_Q83_THRESHOLD}
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM refined
+      UNION SELECT id_b, id_a FROM refined
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.d, rr.r FROM reach rr JOIN edges e ON e.s = rr.node
+    ),
+    comp AS (SELECT node, MIN(r) AS group_id FROM reach GROUP BY node),
+    survivors AS (
+      SELECT g.doc_id, g.lang, g.w
+      FROM gated g LEFT JOIN comp c ON c.node = g.doc_id
+      WHERE COALESCE(c.group_id, g.doc_id) = g.doc_id
+    ),
+    sampled AS (
+      SELECT doc_id, w FROM survivors
+      WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':strat'), 1, 8))::UBIGINT
+            % 1000000
+          < (CASE lang {_Q153_CASE} ELSE 0 END)
+    ),
+    chunks AS (
+      SELECT doc_id,
+        CAST((s - 1) // {_Q153_STEP} AS BIGINT) AS chunk_index,
+        CAST(len(w[s:s + {_Q153_SIZE - 1}]) AS BIGINT) AS n_tokens,
+        md5(array_to_string(w[s:s + {_Q153_SIZE - 1}], ' ')) AS chunk_hash
+      FROM sampled, unnest(generate_series(1, len(w), {_Q153_STEP})) AS u(s)
+      WHERE len(w) > 0
+    ),
+    coords AS (
+      SELECT doc_id, chunk_index, n_tokens, chunk_hash,
+        SUM(n_tokens) OVER (ORDER BY doc_id, chunk_index
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - n_tokens AS excl
+      FROM chunks
+    )
+    SELECT doc_id, chunk_index, n_tokens, chunk_hash,
+      CAST(excl // {_Q153_BUDGET} AS BIGINT) AS start_pack,
+      CAST(excl % {_Q153_BUDGET} AS BIGINT) AS start_offset,
+      CAST((excl + greatest(n_tokens, 1) - 1) // {_Q153_BUDGET} AS BIGINT)
+        AS end_pack
+    FROM coords
+    """
+
+
+@register("q153_curation_pipeline", oracle=_Q153_ORACLE)
+def q153_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation pipeline
+    (training_pipeline.curate): quality gate (q89's Gopher signals) →
+    near-dup survivor selection (q83's MinHash/LSH/Jaccard/components
+    over the GATED docs) → deterministic stratified lang mixture
+    (q93's hash rule) → sliding-window chunking (q95) → fixed-budget
+    sequence packing (q84's distributed prefix sum). Returns every
+    chunk's pack coordinates + content hash; hash-equality with the
+    composed SQL replay attests the stage HANDOFFS, not just each
+    stage. The 100 TB shape is the per-stage one already attested:
+    map-only gate/sample/chunk, skew-free LSH shuffles, range-
+    partitioned prefix sum — composed with localCheckpoint barriers
+    between iterative stages."""
+    from ironman_medallion_lakehouse_spark.training_pipeline import curate
+
+    t = load_tables(spark, sf_dir, "documents")
+    res = curate(
+        spark,
+        t["documents"],
+        min_words=30,
+        max_top_bigram=0.15,
+        min_stopword_ratio=0.02,
+        dedup_threshold=_Q83_THRESHOLD,
+        dedup_bands=_Q83_BANDS,
+        sample_rates=_Q153_RATES,
+        strata_col="lang",
+        chunk_size=_Q153_SIZE,
+        chunk_overlap=_Q153_OVERLAP,
+        pack_budget=_Q153_BUDGET,
+    )
+    return res.chunks.select(
+        "doc_id",
+        "chunk_index",
+        "n_tokens",
+        "chunk_hash",
+        "start_pack",
+        "start_offset",
+        "end_pack",
+    )
