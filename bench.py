@@ -92,6 +92,10 @@ HEADLINE = [
     # r9: the sequential-chart battery split out of q142 when it
     # crossed the ~5 s threshold (q142's fingerprint resets — expected)
     "q145_sequential_charts",
+    # r11: the end-to-end curation pipeline (gate → near-dup → mixture
+    # → chunk → pack) — the composite the package exists for; appended
+    # so the prior 26-entry subset stays comparable across rounds
+    "q153_curation_pipeline",
 ]
 
 
