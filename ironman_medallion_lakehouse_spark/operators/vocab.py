@@ -334,6 +334,20 @@ def learn_bpe_batched(
       time; pairs created by this round's merges are simply counted
       next round.
 
+      **Use this mode for production learn-at-scale** (r11 decision,
+      VERDICT r10 directive 5 — measured, tools/probe_bpe_quality.py
+      on the 48k-word Zipf corpus at 8192 merges): the tokenizer the
+      two modes ship is QUALITY-EQUIVALENT — corpus-weighted
+      compression agrees to within ±0.06 % at every cut (1k/2k/4k/8k;
+      8k: 0.205045 independent vs 0.205094 prefix) even though the
+      merge-product sets overlap only ~0.70 Jaccard (0.82 containment
+      of serial) — while learning is 13.7× faster (342 s / 170 rounds
+      vs 4695 s / 1683 rounds, same box). The DEFAULT stays
+      ``"prefix"`` deliberately: it is the canonical serial BPE
+      artifact (reproducible against any reference implementation,
+      and the only mode an argmax-replay oracle can attest); the
+      choice between them is artifact-identity vs wall, not quality.
+
     ``checkpoint_folds`` bounds the nested-fold expression depth: the
     symbol table is localCheckpoint'ed after that many merge folds
     accumulate (default 8 — the apply_bpe discipline). Measured A/B
