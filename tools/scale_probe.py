@@ -20,7 +20,7 @@ exactly k× — the "k× more data at the same density" model the 100 TB
 question actually asks about. These are timed end-to-end (build +
 execute) because connected components runs jobs during construction.
 
-Usage: python tools/scale_probe.py [factor] [classic|dedup|more|stats|ivf|all]
+Usage: python tools/scale_probe.py [factor] [classic|dedup|more|stats|ivf|curate|all]
 """
 
 from __future__ import annotations
@@ -474,6 +474,54 @@ def _probe_ivf(spark, factor: int, out: dict) -> None:
     }
 
 
+def _probe_curate(spark, factor: int, out: dict) -> None:
+    """r11: the q153 composite end-to-end (gate -> near-dup survivors
+    -> stratified mixture -> chunk -> pack) at 1x vs kx with the
+    token-salted replicator, so the near-dup stage's candidate/pair
+    volume grows kx like real corpus growth (not k^2 like naive
+    duplication). min_stopword_ratio=0 here because salting prefixes
+    every token and stopword membership is not salt-invariant; the
+    n_words and top-bigram gates ARE salt-invariant (token count
+    unchanged; salting is a token bijection within a replica), so the
+    gate still drops its real share and every downstream stage sees
+    kx its 1x input. Timed e2e (_time_e2e): the components stage and
+    the CurationResult counts run jobs during construction."""
+    from ironman_medallion_lakehouse_spark.training_pipeline import curate
+
+    base = load_tables(spark, SF_DIR, "documents")["documents"]
+    docs1 = base.localCheckpoint(eager=True)
+    docsn = _replicate_docs(base, factor).localCheckpoint(eager=True)
+
+    def mk(d):
+        def build():
+            return curate(
+                spark,
+                d,
+                min_words=30,
+                max_top_bigram=0.15,
+                min_stopword_ratio=0.0,
+                dedup_threshold=0.9,
+                dedup_bands=16,
+                sample_rates={"en": 0.5, "de": 1.0, "es": 0.5,
+                              "zh": 0.25, "fr": 0.75},
+                strata_col="lang",
+                chunk_size=64,
+                chunk_overlap=16,
+                pack_budget=1024,
+            ).chunks
+
+        return build
+
+    _time_e2e(mk(docs1))  # warm codegen/JIT on the small side
+    t1 = _time_e2e(mk(docs1))
+    tn = _time_e2e(mk(docsn))
+    out["queries"]["curation_q153"] = {
+        "t_1x": t1,
+        f"t_{factor}x": tn,
+        "ratio": round(tn / t1, 2) if t1 > 0 else None,
+    }
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     which = sys.argv[2] if len(sys.argv) > 2 else "all"
@@ -499,6 +547,8 @@ def main() -> None:
         _probe_stats(spark, factor, out)
     if which in ("ivf", "all"):
         _probe_ivf(spark, factor, out)
+    if which in ("curate", "all"):
+        _probe_curate(spark, factor, out)
     print(json.dumps(out))
 
 
