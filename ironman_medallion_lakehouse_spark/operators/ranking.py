@@ -107,8 +107,10 @@ def unigram_logprob_scores(
     frequency skew is harmless — the build side has one row per
     token), one grouped aggregation per doc. Determinism: ln values
     are rounded into DECIMAL(18,4) before summing (the repo's
-    dsum/davg policy), so the mean is independent of partitioning and
-    reproduces bit-exactly in the DuckDB oracle."""
+    dsum/davg policy), so the mean — the exact decimal sum cast to
+    double, divided by the count, with NO further rounding — is
+    independent of partitioning and reproduces bit-exactly in the
+    DuckDB oracle."""
     from ironman_medallion_lakehouse_spark.suite import dsum
 
     tf = docs.select(F.col(id_col), F.explode(words(text_col)).alias("tok"))
@@ -126,7 +128,12 @@ def unigram_logprob_scores(
         .select(
             F.col(id_col),
             F.col("n_tokens"),
-            F.round(F.col("sum_lp") / F.col("n_tokens"), 4).alias("mean_logprob"),
+            # no final round: sum_lp is the EXACT decimal sum cast to
+            # double, so double-division by the bigint count is one
+            # IEEE op — identical on any engine. A round here would
+            # reintroduce engine-dependent half-boundary behavior
+            # (r11: ROUND(-3.42925, 4) split spark/duckdb at sf0.001)
+            (F.col("sum_lp") / F.col("n_tokens")).alias("mean_logprob"),
         )
     )
 
@@ -246,7 +253,12 @@ def bigram_logprob_scores(
         .select(
             F.col(id_col),
             F.col("n_tokens"),
-            F.round(F.col("sum_lp") / F.col("n_tokens"), 4).alias("mean_logprob"),
+            # no final round: sum_lp is the EXACT decimal sum cast to
+            # double, so double-division by the bigint count is one
+            # IEEE op — identical on any engine. A round here would
+            # reintroduce engine-dependent half-boundary behavior
+            # (r11: ROUND(-3.42925, 4) split spark/duckdb at sf0.001)
+            (F.col("sum_lp") / F.col("n_tokens")).alias("mean_logprob"),
         )
     )
 

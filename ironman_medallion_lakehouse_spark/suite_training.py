@@ -208,7 +208,7 @@ def q93_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     uni AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-             ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 4) AS mean_logprob
+             CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_logprob
       FROM lp GROUP BY doc_id
     ),
     -- bigram arm (r8c): stupid backoff over the EMPTY-STRIPPED token
@@ -256,7 +256,7 @@ def q93_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     bg AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS bg_n_tokens,
-             ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 4) AS bg_mean_logprob
+             CAST(SUM(v) AS DOUBLE) / COUNT(*) AS bg_mean_logprob
       FROM blp GROUP BY doc_id
     )
     SELECT uni.doc_id, uni.n_tokens, uni.mean_logprob,
@@ -270,7 +270,10 @@ def q98_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-probability under the corpus's own unigram model — the
     perplexity-bucket split used to tier crawl text by fluency. ln
     values are rounded into DECIMAL(18,4) before the sum (the repo's
-    determinism policy), so the mean reproduces bit-exactly across
+    determinism policy) and the mean is the exact decimal sum cast to
+    double over the count with NO final round (r11: a ROUND on the
+    double quotient split spark/duckdb at a representable
+    half-boundary at sf0.001), so it reproduces bit-exactly across
     engines and partitionings.
 
     r8c (battery-fold policy): two bigram columns join the same rows —
