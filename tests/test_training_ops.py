@@ -61,7 +61,8 @@ def test_unigram_logprob_hand_computed(spark):
     """corpus: 'a a b' + 'b c' -> N=5, p(a)=2/5, p(b)=2/5, p(c)=1/5.
     doc1 mean = (ln.4+ln.4+ln.4)/3 = ln .4; doc2 = (ln.4+ln.2)/2 —
     with each ln rounded to 4 decimals first (the decimal-sum
-    determinism policy)."""
+    determinism policy) and NO final round on the quotient
+    (ranking.py "no final round" contract, r11 q98 fix)."""
     from ironman_medallion_lakehouse_spark.operators.ranking import (
         unigram_logprob_scores,
     )
@@ -71,8 +72,8 @@ def test_unigram_logprob_hand_computed(spark):
     )
     out = {r.doc_id: r for r in unigram_logprob_scores(docs).collect()}
     r4 = lambda x: round(x, 4)
-    exp1 = round(3 * r4(math.log(0.4)) / 3, 4)
-    exp2 = round((r4(math.log(0.4)) + r4(math.log(0.2))) / 2, 4)
+    exp1 = 3 * r4(math.log(0.4)) / 3
+    exp2 = (r4(math.log(0.4)) + r4(math.log(0.2))) / 2
     assert out[1].n_tokens == 3 and abs(out[1].mean_logprob - exp1) < 1e-9
     assert out[2].n_tokens == 2 and abs(out[2].mean_logprob - exp2) < 1e-9
     # fluency ordering: the doc of common tokens scores higher
