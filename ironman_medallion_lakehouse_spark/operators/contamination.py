@@ -190,10 +190,13 @@ def duplicate_span_coverage(
             F.coalesce("covered_tokens", F.lit(0)).cast("bigint").alias(
                 "covered_tokens"
             ),
-            F.round(
+            # No final round: covered/n_tokens is a single IEEE divide of
+            # exact integer counts — bit-identical on any engine unrounded,
+            # but ROUND could land on a representable half-boundary and
+            # split engines (the r11 q98 class).
+            (
                 F.coalesce("covered_tokens", F.lit(0)).cast("double")
-                / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
-                4,
+                / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
             ).alias("dup_fraction"),
         )
     )

@@ -933,8 +933,11 @@ def containment_refine(
         .select(
             "id_a",
             "id_b",
-            F.round(cont, 6).alias("containment"),
-            F.round(jac, 6).alias("jaccard"),
+            # No final round: both are single IEEE divides of exact integer
+            # set sizes — bit-identical cross-engine unrounded; rounding
+            # adds a reachable half-boundary split (the r11 q98 class).
+            cont.alias("containment"),
+            jac.alias("jaccard"),
         )
         .filter(F.col("containment") >= threshold)
         .withColumn("subset_style", F.col("jaccard") < F.lit(jaccard_bar))

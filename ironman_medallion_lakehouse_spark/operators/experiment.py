@@ -72,10 +72,12 @@ def cuped_adjusted_means(
         .groupBy("variant")
         .agg(
             F.count(F.lit(1)).alias("n_units"),
-            F.round(F.sum("_y").cast("double") / F.count(F.lit(1)), 6).alias(
-                "mean_y"
-            ),
-            F.round(F.sum("_ya").cast("double") / F.count(F.lit(1)), 6).alias(
+            # No final round: decimal-absorbed sums cast double over a unit
+            # count are one IEEE divide — bit-identical cross-engine
+            # unrounded; ROUND could split engines on a representable
+            # half-boundary (the r11 q98 class).
+            (F.sum("_y").cast("double") / F.count(F.lit(1))).alias("mean_y"),
+            (F.sum("_ya").cast("double") / F.count(F.lit(1))).alias(
                 "mean_y_adj"
             ),
         )
@@ -240,12 +242,16 @@ def cohens_kappa(
     pe = F.col("sum_ab").cast("double") / (
         F.col("n").cast("double") * F.col("n").cast("double")
     )
+    # No final round: po/pe are integer-count ratios and kappa is +,-,/
+    # over those same doubles — all exactly-rounded IEEE, bit-identical
+    # cross-engine unrounded; ROUND could land on a representable
+    # half-boundary and split engines (the r11 q98 class).
     return out.select(
         F.col("n").cast("bigint").alias("n"),
-        F.round(po, 6).alias("po"),
-        F.round(pe, 6).alias("pe"),
+        po.alias("po"),
+        pe.alias("pe"),
         F.when(pe == 1.0, F.lit(None)).otherwise(
-            F.round((po - pe) / (1.0 - pe), 6)
+            (po - pe) / (1.0 - pe)
         ).alias("kappa"),
     )
 

@@ -317,8 +317,8 @@ _Q120_SPLIT = "2024-01-16 00:00:00"
       FROM per CROSS JOIN stats
     )
     SELECT variant, COUNT(*) AS n_units,
-           ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS mean_y,
-           ROUND(CAST(SUM(ya) AS DOUBLE) / COUNT(*), 6) AS mean_y_adj
+           CAST(SUM(y) AS DOUBLE) / COUNT(*) AS mean_y,
+           CAST(SUM(ya) AS DOUBLE) / COUNT(*) AS mean_y_adj
     FROM adj GROUP BY variant
     """,
 )
@@ -328,7 +328,9 @@ def q120_cuped_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity, covariate X = each user's pre-period event count (before
     Jan 16), metric Y = post-period purchase value; per-variant raw
     vs adjusted means. Exact decimal ΣX/ΣY/ΣXY/ΣX² make θ and both
-    means engine-exact at 6 decimals. One stats broadcast + one
+    means engine-exact unrounded (one IEEE divide of decimal-absorbed
+    sums over the unit count — no final round, the r11 q98 rule). One
+    stats broadcast + one
     map-only adjustment + one tiny per-variant aggregate."""
     from ironman_medallion_lakehouse_spark.operators.experiment import (
         cuped_adjusted_means,
@@ -946,18 +948,18 @@ def q131_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT COALESCE(SUM(na * nb), 0) AS sum_ab FROM ma JOIN mb ON ma.a = mb.b
     )
     SELECT CAST(tot.n AS BIGINT) AS n,
-           ROUND(CAST(agree.n_agree AS DOUBLE) / tot.n, 6) AS po,
-           ROUND(CAST(chance.sum_ab AS DOUBLE)
-                 / (CAST(tot.n AS DOUBLE) * CAST(tot.n AS DOUBLE)), 6) AS pe,
+           CAST(agree.n_agree AS DOUBLE) / tot.n AS po,
+           CAST(chance.sum_ab AS DOUBLE)
+                 / (CAST(tot.n AS DOUBLE) * CAST(tot.n AS DOUBLE)) AS pe,
            CASE WHEN CAST(chance.sum_ab AS DOUBLE)
                      / (CAST(tot.n AS DOUBLE) * CAST(tot.n AS DOUBLE)) = 1.0
                 THEN NULL
-                ELSE ROUND(
+                ELSE
                   (CAST(agree.n_agree AS DOUBLE) / tot.n
                    - CAST(chance.sum_ab AS DOUBLE)
                      / (CAST(tot.n AS DOUBLE) * CAST(tot.n AS DOUBLE)))
                   / (1.0 - CAST(chance.sum_ab AS DOUBLE)
-                     / (CAST(tot.n AS DOUBLE) * CAST(tot.n AS DOUBLE))), 6)
+                     / (CAST(tot.n AS DOUBLE) * CAST(tot.n AS DOUBLE)))
            END AS kappa
     FROM tot, agree, chance
     """,

@@ -768,8 +768,8 @@ _Q100_N = 8
     SELECT t.doc_id,
            CAST(len(t.w) AS BIGINT) AS n_tokens,
            CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens,
-           ROUND(CAST(COALESCE(c.covered, 0) AS DOUBLE)
-                 / CAST(GREATEST(len(t.w), 1) AS DOUBLE), 4) AS dup_fraction
+           CAST(COALESCE(c.covered, 0) AS DOUBLE)
+                 / CAST(GREATEST(len(t.w), 1) AS DOUBLE) AS dup_fraction
     FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id
     """,
 )
@@ -1140,10 +1140,10 @@ _Q109_THRESHOLD, _Q109_JBAR = 0.95, 0.9
     ),
     scored AS (
       SELECT c.id_a, c.id_b,
-        ROUND(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
-              / least(len(a.w), len(b.w)), 6) AS containment,
-        ROUND(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
-              / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))), 6) AS jaccard
+        CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+              / least(len(a.w), len(b.w)) AS containment,
+        CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+              / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) AS jaccard
       FROM cand c JOIN ws a ON a.doc_id = c.id_a JOIN ws b ON b.doc_id = c.id_b
     )
     SELECT id_a, id_b, containment, jaccard,

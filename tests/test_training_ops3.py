@@ -194,7 +194,8 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert (r.id_a, r.id_b) == (1, 2)
     assert r.containment == 1.0
     assert r.subset_style is True
-    assert abs(r.jaccard - round(4 / 12, 6)) < 1e-9
+    # unrounded contract (r12, the q98 class): one IEEE divide of counts
+    assert abs(r.jaccard - 4 / 12) < 1e-12
 
 
 def test_containment_symmetric_near_dup_not_subset_style(spark):
@@ -976,7 +977,10 @@ def test_cohens_kappa_hand_computed(spark):
         + [Row(a="no", b="yes")] * 10 + [Row(a="no", b="no")] * 15
     )
     out = cohens_kappa(spark.createDataFrame(rows), "a", "b").collect()[0]
-    assert out.n == 50 and out.po == 0.7 and out.pe == 0.5 and out.kappa == 0.4
+    # unrounded contract (r12): kappa is the raw IEEE (po-pe)/(1-pe),
+    # which is 0.3999999999999999… — assert the exact double expression
+    assert out.n == 50 and out.po == 0.7 and out.pe == 0.5
+    assert out.kappa == (35 / 50 - 0.5) / (1.0 - 0.5)
 
 
 def test_cohens_kappa_degenerate_constant_raters(spark):
