@@ -117,7 +117,15 @@ BATTERY_ARMS = {
 # jobs+stages ONLY — a box-noise adjudication must not treat a task
 # drift as a plan change (VERDICT r10 directive 6). Recorded per-entry
 # in the detail sidecar as ``fp_compare``.
-AQE_ITERATIVE = {"q106_pagerank"}
+#
+# r12 (VERDICT r11 directive 6): q153 joins the set — the curation
+# composite runs behind localCheckpoint barriers like q106, so AQE
+# re-plans each post-barrier stage group at runtime and the task
+# count wobbles with coalescing (driver r11 read 717 tasks vs the
+# quiet-box 751 at the IDENTICAL 45/65 jobs+stages fingerprint). A
+# task drift at unchanged jobs+stages is box/AQE noise, not a plan
+# change; jobs/stages moving still re-opens the audit.
+AQE_ITERATIVE = {"q106_pagerank", "q153_curation_pipeline"}
 
 
 def _run(df) -> None:
