@@ -136,6 +136,13 @@ def grouped_ols(
     return g.select(
         *group_cols,
         "n",
+        # ROUND here is LOAD-BEARING (r12 audit): the moment decimals
+        # (scaled Σx², Σxy ≈ 1e20) exceed the double mantissa, so the
+        # decimal→double CAST itself is engine-specific (Spark BigDecimal
+        # vs DuckDB int128/10^scale) and n·Σxx − (Σx)² amplifies the cast
+        # noise by cancellation (~400 ulp observed at sf0.01). The round
+        # absorbs it; boundary risk is measure-zero on cast-noise-fed
+        # full-entropy values.
         F.when(denx <= 0, F.lit(None)).otherwise(F.round(b, 6)).alias("slope"),
         F.when(denx <= 0, F.lit(None)).otherwise(F.round(a, 6)).alias("intercept"),
         F.when((denx <= 0) | (deny <= 0), F.lit(None))
@@ -193,7 +200,10 @@ def chi_square_independence(
     return dims.select(
         F.col("n").cast("bigint").alias("n"),
         ((F.col("_nr") - 1) * (F.col("_nc") - 1)).cast("bigint").alias("dof"),
-        F.round(F.col("_chi2").cast("double"), 6).alias("chi2"),
+        # No final round (r12): the exact DECIMAL(18,9) term sum cast to
+        # double is one correctly-rounded conversion — bit-identical
+        # cross-engine; ROUND could split on a half-boundary.
+        F.col("_chi2").cast("double").alias("chi2"),
     )
 
 
@@ -425,20 +435,23 @@ def _ks_finish(cum: DataFrame) -> DataFrame:
                 - F.col("cb_end").cast("double") / F.col("n_b").cast("double")
             ).alias("g"),
         )
+        # No final round (r12, the q98 class): every CDF gap is two IEEE
+        # divides of exact integer counts and a subtract — bit-identical
+        # cross-engine, so the max is too; ks_stat adds only a correctly-
+        # rounded sqrt and one multiply over exact integers.
         .groupBy("n_a", "n_b")
-        .agg(F.round(F.max("g"), 6).alias("d_stat"))
+        .agg(F.max("g").alias("d_stat"))
     )
     return gap.select(
         "n_a",
         "n_b",
         "d_stat",
-        F.round(
+        (
             F.col("d_stat")
             * F.sqrt(
                 (F.col("n_a") * F.col("n_b")).cast("double")
                 / (F.col("n_a") + F.col("n_b")).cast("double")
-            ),
-            6,
+            )
         ).alias("ks_stat"),
     )
 
@@ -659,8 +672,12 @@ def winsorized_welch_from_value_counts(
         "n_b",
         F.round(F.col("cut_lo"), 6).alias("cut_lo"),
         F.round(F.col("cut_hi"), 6).alias("cut_hi"),
-        F.round(ma, 6).alias("mean_a"),
-        F.round(mb, 6).alias("mean_b"),
+        # means unrounded (r12, the q98 class): Σ(n_v·x_w) fits the double
+        # mantissa, so sum/count is one bit-identical IEEE divide. t/dof
+        # STAY rounded: Σx² exceeds the mantissa, so its cast (and the
+        # variance cancellation) is engine-specific — the q129 lesson.
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
         F.when(ok, F.round(t, 6)).alias("t_stat"),
         F.when(ok, F.round(dof, 6)).alias("dof"),
     )
@@ -749,10 +766,14 @@ def mann_whitney_u(
     return agg.select(
         "n_a",
         "n_b",
-        F.round(F.col("r2a").cast("double") / 2 / na, 6).alias("mean_rank_a"),
-        F.round(F.col("r2b").cast("double") / 2 / nb, 6).alias("mean_rank_b"),
-        F.round(u_a, 6).alias("u_a"),
-        F.when(ok, F.round(z, 6)).alias("z_stat"),
+        # No final round (r12, the q98 class): rank sums and tie terms are
+        # exact bigints below 2^53, so every output is a fixed chain of
+        # exactly-rounded IEEE ops (plus one correctly-rounded sqrt) —
+        # bit-identical cross-engine unrounded.
+        (F.col("r2a").cast("double") / 2 / na).alias("mean_rank_a"),
+        (F.col("r2b").cast("double") / 2 / nb).alias("mean_rank_b"),
+        u_a.alias("u_a"),
+        F.when(ok, z).alias("z_stat"),
     )
 
 
@@ -910,8 +931,12 @@ def poisson_bootstrap_mean_diff(
     return out.select(
         "n_a",
         "n_b",
-        F.round(F.col("_ma"), 6).alias("mean_a"),
-        F.round(F.col("_mb"), 6).alias("mean_b"),
+        # means unrounded (r12): Σ(w·x) decimal sums fit the double
+        # mantissa → sum/count is bit-identical. diff/se/ci STAY rounded:
+        # Σd² overflows the mantissa (the q129 cast lesson) and se feeds
+        # the CIs.
+        F.col("_ma").alias("mean_a"),
+        F.col("_mb").alias("mean_b"),
         F.round(d0, 6).alias("diff"),
         "n_reps",
         F.when(ok, F.round(se, 6)).alias("se_boot"),
@@ -977,7 +1002,9 @@ def srm_check(
         .select(
             F.col("n").cast("bigint").alias("n"),
             F.lit(len(ps) - 1).cast("bigint").alias("dof"),
-            F.round(F.col("_chi2").cast("double"), 6).alias("chi2"),
+            # No final round (r12): exact DECIMAL(18,9) sum, small magnitude —
+        # the cast to double is bit-identical cross-engine.
+        F.col("_chi2").cast("double").alias("chi2"),
         )
     )
 
@@ -1094,9 +1121,11 @@ def psi_from_bin_counts(per_bin: DataFrame, nbins: int) -> DataFrame:
     return (
         j.groupBy("n_a", "n_b")
         .agg(F.sum(term).alias("_psi"))
-        .select(
-            "n_a", "n_b", F.round(F.col("_psi").cast("double"), 6).alias("psi")
-        )
+        # No final round (r12): engine-specific ln is already absorbed by
+        # the per-term DECIMAL(18,9) rounding; the exact term sum (|PSI|
+        # ≲ 10, scaled ≤ 1e10 — far inside the double mantissa) casts to
+        # double bit-identically on both engines.
+        .select("n_a", "n_b", F.col("_psi").cast("double").alias("psi"))
     )
 
 
@@ -1150,7 +1179,9 @@ def js_from_bin_counts(per_bin: DataFrame, nbins: int) -> DataFrame:
     return (
         j.groupBy("n_a", "n_b")
         .agg(F.sum(term).alias("_js"))
-        .select("n_a", "n_b", F.round(F.col("_js").cast("double"), 6).alias("js"))
+        # No final round (r12): ln absorbed per-term into DECIMAL(18,9);
+        # JS ≤ ln 2, so the exact sum casts to double bit-identically.
+        .select("n_a", "n_b", F.col("_js").cast("double").alias("js"))
     )
 
 
@@ -1332,8 +1363,11 @@ def welch_t_test(
     return row.select(
         F.col("a_n").cast("bigint").alias("n_a"),
         F.col("b_n").cast("bigint").alias("n_b"),
-        F.round(ma, 6).alias("mean_a"),
-        F.round(mb, 6).alias("mean_b"),
+        # means unrounded (r12, the q98 class): Σx fits the double
+        # mantissa → sum/count bit-identical. t/dof STAY rounded: Σx²
+        # exceeds the mantissa (the q129 cast lesson).
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
         F.when(ok, F.round(t, 6)).alias("t_stat"),
         F.when(ok, F.round(dof, 6)).alias("dof"),
     )
@@ -1402,8 +1436,11 @@ def msprt_normal(
     return row.select(
         F.col("a_n").cast("bigint").alias("n_a"),
         F.col("b_n").cast("bigint").alias("n_b"),
-        F.round(ma, 6).alias("mean_a"),
-        F.round(mb, 6).alias("mean_b"),
+        # means unrounded (r12): Σx fits the double mantissa. log_lambda/p
+        # STAY rounded: se2 is fed by the engine-specific Σx² cast (q129)
+        # and ln/exp are engine-specific libm.
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
         F.when(ok, F.round(log_lam, 6)).alias("log_lambda"),
         F.when(ok, F.round(p, 6)).alias("p_always_valid"),
     )
@@ -1451,9 +1488,12 @@ def two_proportion_ztest(
     return row.select(
         F.col("a_n").cast("bigint").alias("n_a"),
         F.col("b_n").cast("bigint").alias("n_b"),
-        F.round(pa, 6).alias("p_a"),
-        F.round(pb, 6).alias("p_b"),
-        F.when(ok, F.round(z, 6)).alias("z_stat"),
+        # No final round (r12, the q98 class): p̂s are integer-count
+        # ratios and z adds only exactly-rounded ops plus a correctly-
+        # rounded sqrt — bit-identical cross-engine unrounded.
+        pa.alias("p_a"),
+        pb.alias("p_b"),
+        F.when(ok, z).alias("z_stat"),
     )
 
 
@@ -1554,6 +1594,11 @@ def cusum_changepoint(
     )
     return st.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        # ROUND is LOAD-BEARING here (r12 audit): the running Σ(x−μ−k) is
+        # an ordered chain of double adds, and engines may associate
+        # windowed sums differently (segment-tree vs streaming) — the
+        # round absorbs that; boundary risk is measure-zero on the
+        # full-entropy accumulated values.
         F.round(F.max("_s"), 6).alias("s_max"),
         F.min(F.when(F.col("_s") > F.col("h"), F.col("_i")))
         .cast("bigint")
@@ -1703,6 +1748,10 @@ def ewma_control(
     )
     return rows.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        # ROUND is LOAD-BEARING: the oracle replays EWMA in pow() closed
+        # form while this side folds the recurrence — different
+        # association order and engine-specific pow; the round absorbs
+        # both (measure-zero boundary on full-entropy values).
         F.round(F.max_by("_e", "_i"), 6).alias("ewma_last"),
         F.min(F.when(F.col("_alarm"), F.col("_i"))).cast("bigint").alias("alarm_t"),
     )
@@ -1803,7 +1852,10 @@ def bh_adjust(
     )
     return df.join(F.broadcast(adj), on=key_col, how="left").withColumns(
         {
-            "p_adj": F.round(F.col("_adj"), 6),
+            # unrounded (r12): p·m/rank over already-6dp-absorbed p's is
+            # exact-input IEEE — bit-identical cross-engine; rounding it
+            # re-introduces a reachable half-boundary.
+            "p_adj": F.col("_adj"),
             "bh_reject": F.col("_adj") <= F.lit(float(alpha)),
         }
     ).drop("_adj")
@@ -1887,9 +1939,12 @@ def delta_method_ratio_test(
     return row.select(
         F.col("a_n").cast("bigint").alias("n_a"),
         F.col("b_n").cast("bigint").alias("n_b"),
-        F.when(swa != 0, F.round(ra, 6)).alias("ratio_a"),
-        F.when(swb != 0, F.round(rb, 6)).alias("ratio_b"),
-        F.when((swa != 0) & (swb != 0), F.round(diff, 6)).alias("diff"),
+        # ratios/diff unrounded (r12): Σu, Σw decimal sums fit the double
+        # mantissa → each ratio is one bit-identical IEEE divide. z/ci
+        # STAY rounded: Σu², Σw², Σuw exceed the mantissa (q129 lesson).
+        F.when(swa != 0, ra).alias("ratio_a"),
+        F.when(swb != 0, rb).alias("ratio_b"),
+        F.when((swa != 0) & (swb != 0), diff).alias("diff"),
         F.when(ok, F.round(diff / se, 6)).alias("z_stat"),
         F.when(ok, F.round(diff - F.lit(float(ci_z)) * se, 6)).alias("ci_lo"),
         F.when(ok, F.round(diff + F.lit(float(ci_z)) * se, 6)).alias("ci_hi"),

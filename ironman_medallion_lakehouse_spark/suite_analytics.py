@@ -853,7 +853,7 @@ def q129_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(MAX(n) AS BIGINT) AS n,
            CAST((COUNT(DISTINCT r) - 1) * (COUNT(DISTINCT c) - 1) AS BIGINT) AS dof,
-           ROUND(CAST(SUM(t) AS DOUBLE), 6) AS chi2
+           CAST(SUM(t) AS DOUBLE) AS chi2
     FROM terms
     """,
 )
@@ -1024,8 +1024,8 @@ _Q142_NBINS = len(_Q142_PSI_EDGES) + 1
     ),
     gap AS (
       SELECT tot.n_a, tot.n_b,
-             ROUND(MAX(ABS(CAST(ca_end AS DOUBLE) / tot.n_a
-                           - CAST(cb_end AS DOUBLE) / tot.n_b)), 6) AS d_stat
+             MAX(ABS(CAST(ca_end AS DOUBLE) / tot.n_a
+                           - CAST(cb_end AS DOUBLE) / tot.n_b)) AS d_stat
       FROM cum, tot GROUP BY tot.n_a, tot.n_b
     ),
     dist AS (
@@ -1052,7 +1052,7 @@ _Q142_NBINS = len(_Q142_PSI_EDGES) + 1
     ),
     psit AS (SELECT SUM(ca) AS pna, SUM(cb) AS pnb FROM psic),
     psi AS (
-      SELECT ROUND(CAST(SUM(CAST(
+      SELECT CAST(SUM(CAST(
           ((CAST(ca AS DOUBLE) + 0.5)
              / (CAST(pna AS DOUBLE) + 0.5 * {_Q142_NBINS})
            - (CAST(cb AS DOUBLE) + 0.5)
@@ -1061,13 +1061,13 @@ _Q142_NBINS = len(_Q142_PSI_EDGES) + 1
                   / (CAST(pna AS DOUBLE) + 0.5 * {_Q142_NBINS}))
                / ((CAST(cb AS DOUBLE) + 0.5)
                   / (CAST(pnb AS DOUBLE) + 0.5 * {_Q142_NBINS})))
-        AS DECIMAL(18,9))) AS DOUBLE), 6) AS psi
+        AS DECIMAL(18,9))) AS DOUBLE) AS psi
       FROM psic, psit
     ),
     jsd AS (
-      SELECT ROUND(CAST(SUM(CAST(
+      SELECT CAST(SUM(CAST(
           0.5 * p * ln(p / ((p + q) / 2)) + 0.5 * q * ln(q / ((p + q) / 2))
-        AS DECIMAL(18,9))) AS DOUBLE), 6) AS js
+        AS DECIMAL(18,9))) AS DOUBLE) AS js
       FROM (SELECT
               (CAST(ca AS DOUBLE) + 0.5)
                 / (CAST(pna AS DOUBLE) + 0.5 * {_Q142_NBINS}) AS p,
@@ -1108,8 +1108,8 @@ _Q142_NBINS = len(_Q142_PSI_EDGES) + 1
       FROM embd
     )
     SELECT n_a, n_b, d_stat,
-           ROUND(d_stat * sqrt(CAST(n_a * n_b AS DOUBLE)
-                               / CAST(n_a + n_b AS DOUBLE)), 6) AS ks_stat,
+           d_stat * sqrt(CAST(n_a * n_b AS DOUBLE)
+                               / CAST(n_a + n_b AS DOUBLE)) AS ks_stat,
            psi.psi,
            TRUE AS d_kll_ok,
            wass.w1, jsd.js,
@@ -1646,7 +1646,7 @@ _Q143_W_SQL = " + ".join(
     welch AS (
       SELECT 'welch_t' AS test, CAST(n_a AS BIGINT) AS n_a,
              CAST(n_b AS BIGINT) AS n_b,
-             ROUND(ma_, 6) AS est_a, ROUND(mb_, 6) AS est_b,
+             ma_ AS est_a, mb_ AS est_b,
              CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
                   THEN ROUND((ma_ - mb_) / sqrt(se2), 6) END AS stat,
              CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
@@ -1659,14 +1659,14 @@ _Q143_W_SQL = " + ".join(
     prop AS (
       SELECT 'prop_z' AS test, CAST(n_a AS BIGINT) AS n_a,
              CAST(n_b AS BIGINT) AS n_b,
-             ROUND(CAST(ka AS DOUBLE) / na, 6) AS est_a,
-             ROUND(CAST(kb AS DOUBLE) / nb, 6) AS est_b,
+             CAST(ka AS DOUBLE) / na AS est_a,
+             CAST(kb AS DOUBLE) / nb AS est_b,
              CASE WHEN CAST(ka + kb AS DOUBLE) / (na + nb) > 0
                    AND CAST(ka + kb AS DOUBLE) / (na + nb) < 1
-                  THEN ROUND((CAST(ka AS DOUBLE) / na - CAST(kb AS DOUBLE) / nb)
+                  THEN (CAST(ka AS DOUBLE) / na - CAST(kb AS DOUBLE) / nb)
                        / sqrt(CAST(ka + kb AS DOUBLE) / (na + nb)
                               * (1 - CAST(ka + kb AS DOUBLE) / (na + nb))
-                              * (1 / na + 1 / nb)), 6) END AS stat,
+                              * (1 / na + 1 / nb)) END AS stat,
              CAST(NULL AS DOUBLE) AS dof,
              CAST(NULL AS DOUBLE) AS ci_lo, CAST(NULL AS DOUBLE) AS ci_hi
       FROM j
@@ -1707,11 +1707,11 @@ _Q143_W_SQL = " + ".join(
     mw AS (
       SELECT 'mann_whitney' AS test,
         CAST(mw_na AS BIGINT) AS n_a, CAST(mw_nb AS BIGINT) AS n_b,
-        ROUND(CAST(r2a AS DOUBLE) / 2 / CAST(mw_na AS DOUBLE), 6) AS est_a,
-        ROUND(CAST(r2b AS DOUBLE) / 2 / CAST(mw_nb AS DOUBLE), 6) AS est_b,
+        CAST(r2a AS DOUBLE) / 2 / CAST(mw_na AS DOUBLE) AS est_a,
+        CAST(r2b AS DOUBLE) / 2 / CAST(mw_nb AS DOUBLE) AS est_b,
         CASE WHEN mw_na > 0 AND mw_nb > 0 AND vr > 0
-             THEN ROUND((ua - CAST(mw_na AS DOUBLE) * CAST(mw_nb AS DOUBLE) / 2)
-                        / sqrt(vr), 6) END AS stat,
+             THEN (ua - CAST(mw_na AS DOUBLE) * CAST(mw_nb AS DOUBLE) / 2)
+                        / sqrt(vr) END AS stat,
         CAST(NULL AS DOUBLE) AS dof,
         CAST(NULL AS DOUBLE) AS ci_lo, CAST(NULL AS DOUBLE) AS ci_hi
       FROM mwx
@@ -1725,7 +1725,7 @@ _Q143_W_SQL = " + ".join(
     msprt AS (
       SELECT 'msprt' AS test, CAST(n_a AS BIGINT) AS n_a,
         CAST(n_b AS BIGINT) AS n_b,
-        ROUND(ma_, 6) AS est_a, ROUND(mb_, 6) AS est_b,
+        ma_ AS est_a, mb_ AS est_b,
         CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
              THEN ROUND(ll, 6) END AS stat,
         CAST(NULL AS DOUBLE) AS dof,
@@ -1742,10 +1742,10 @@ _Q143_W_SQL = " + ".join(
       SELECT 'srm' AS test, CAST(srm_n AS BIGINT) AS n_a,
         CAST(NULL AS BIGINT) AS n_b,
         CAST(NULL AS DOUBLE) AS est_a, CAST(NULL AS DOUBLE) AS est_b,
-        ROUND(CAST(SUM(CAST(
+        CAST(SUM(CAST(
           (CAST(o AS DOUBLE) - CAST(srm_n AS DOUBLE) * p)
           * (CAST(o AS DOUBLE) - CAST(srm_n AS DOUBLE) * p)
-          / (CAST(srm_n AS DOUBLE) * p) AS DECIMAL(18,9))) AS DOUBLE), 6)
+          / (CAST(srm_n AS DOUBLE) * p) AS DECIMAL(18,9))) AS DOUBLE)
           AS stat,
         CAST(1 AS DOUBLE) AS dof,
         CAST(NULL AS DOUBLE) AS ci_lo, CAST(NULL AS DOUBLE) AS ci_hi
@@ -1798,7 +1798,7 @@ _Q143_W_SQL = " + ".join(
     ),
     boot AS (
       SELECT 'boot_mean_diff' AS test, n_a, n_b,
-        ROUND(ma0, 6) AS est_a, ROUND(mb0, 6) AS est_b,
+        ma0 AS est_a, mb0 AS est_b,
         ROUND(CAST(d0 AS DOUBLE), 6) AS stat,
         CAST(NULL AS DOUBLE) AS dof,
         CASE WHEN bok THEN
@@ -1844,7 +1844,7 @@ _Q143_W_SQL = " + ".join(
     welch_eff AS (
       SELECT 'welch_t_planted' AS test, CAST(n_a AS BIGINT) AS n_a,
              CAST(n_b AS BIGINT) AS n_b,
-             ROUND(ma_, 6) AS est_a, ROUND(mb_, 6) AS est_b,
+             ma_ AS est_a, mb_ AS est_b,
              CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
                   THEN ROUND((ma_ - mb_) / sqrt(se2), 6) END AS stat,
              CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
@@ -1857,7 +1857,7 @@ _Q143_W_SQL = " + ".join(
     msprt_eff AS (
       SELECT 'msprt_planted' AS test, CAST(n_a AS BIGINT) AS n_a,
         CAST(n_b AS BIGINT) AS n_b,
-        ROUND(ma_, 6) AS est_a, ROUND(mb_, 6) AS est_b,
+        ma_ AS est_a, mb_ AS est_b,
         CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
              THEN ROUND(0.5 * ln(se2 / (se2 + 1000000.0))
                         + (ma_ - mb_) * (ma_ - mb_) * 1000000.0
@@ -1911,8 +1911,8 @@ _Q143_W_SQL = " + ".join(
     delta AS (
       SELECT 'delta_ratio' AS test, CAST(n_a AS BIGINT) AS n_a,
         CAST(n_b AS BIGINT) AS n_b,
-        CASE WHEN swa <> 0 THEN ROUND(ra, 6) END AS est_a,
-        CASE WHEN swb <> 0 THEN ROUND(rb, 6) END AS est_b,
+        CASE WHEN swa <> 0 THEN ra END AS est_a,
+        CASE WHEN swb <> 0 THEN rb END AS est_b,
         CASE WHEN dok THEN ROUND((ra - rb) / sqrt(vra + vrb), 6) END AS stat,
         CAST(NULL AS DOUBLE) AS dof,
         CASE WHEN dok THEN
@@ -2010,7 +2010,7 @@ _Q143_W_SQL = " + ".join(
     winz AS (
       SELECT 'winsorized_t' AS test, CAST(n_a AS BIGINT) AS n_a,
              CAST(n_b AS BIGINT) AS n_b,
-             ROUND(ma_, 6) AS est_a, ROUND(mb_, 6) AS est_b,
+             ma_ AS est_a, mb_ AS est_b,
              CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
                   THEN ROUND((ma_ - mb_) / sqrt(se2), 6) END AS stat,
              CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
@@ -2050,7 +2050,7 @@ _Q143_W_SQL = " + ".join(
                OVER (ORDER BY rnk DESC ROWS UNBOUNDED PRECEDING)) AS adj
       FROM bhn
     )
-    SELECT pv.*, ROUND(bhr.adj, 6) AS p_adj, bhr.adj <= 0.05 AS bh_reject
+    SELECT pv.*, bhr.adj AS p_adj, bhr.adj <= 0.05 AS bh_reject
     FROM pv LEFT JOIN bhr USING (test)
     """.replace("{P_STAT}", _npts_sql("stat")).replace(
         "{P_SQRT}", _npts_sql("sqrt(stat)")

@@ -1051,7 +1051,8 @@ def test_welch_t_degenerate_small_group(spark):
 
 def test_two_proportion_z_hand_computed(spark):
     """a: 1/4 success, b: 3/4 -> pooled 0.5, z = -0.5/sqrt(0.125) =
-    -1.414214; all-success pool -> NULL (zero variance)."""
+    -1.414214…; all-success pool -> NULL (zero variance). Unrounded
+    contract (r12): expectations are the exact IEEE expressions."""
     from ironman_medallion_lakehouse_spark.operators.experiment import (
         two_proportion_ztest,
     )
@@ -1061,7 +1062,7 @@ def test_two_proportion_z_hand_computed(spark):
     ]
     out = two_proportion_ztest(spark.createDataFrame(rows), "s", "g", "a", "b").collect()[0]
     assert (out.n_a, out.n_b, out.p_a, out.p_b) == (4, 4, 0.25, 0.75)
-    assert out.z_stat == -1.414214
+    assert out.z_stat == (0.25 - 0.75) / math.sqrt(0.5 * (1 - 0.5) * (1 / 4.0 + 1 / 4.0))
 
     rows = [Row(g=g, s=True) for g in ("a", "a", "b")]
     out = two_proportion_ztest(spark.createDataFrame(rows), "s", "g", "a", "b").collect()[0]
@@ -1078,10 +1079,12 @@ def test_mann_whitney_hand_computed(spark):
     ]
     out = mann_whitney_u(spark.createDataFrame(rows), "v", "g", "a", "b").collect()[0]
     assert (out.n_a, out.n_b) == (3, 4)
-    assert out.mean_rank_a == round(8 / 3, 6) and out.mean_rank_b == 5.0
+    # unrounded contract (r12): 8/3 exact IEEE, not its 6dp rounding
+    # unrounded contract (r12): 16/2/3 exact IEEE, not its 6dp rounding
+    assert out.mean_rank_a == 16 / 2 / 3 and out.mean_rank_b == 5.0
     assert out.u_a == 2.0
     var = 3 * 4 / 12 * ((7 + 1) - 12 / (7 * 6))
-    assert out.z_stat == round((2.0 - 6.0) / math.sqrt(var), 6)
+    assert out.z_stat == (2.0 - 6.0) / math.sqrt(var)
 
 
 def test_mann_whitney_all_tied_null_z(spark):
@@ -1200,11 +1203,11 @@ def test_psi_empty_bin_smoothed_finite(spark):
     import math
 
     p1, q1 = 10.5 / 11.0, 0.5 / 11.0
-    expected = round(
-        round((p1 - q1) * math.log(p1 / q1), 9) + round((q1 - p1) * math.log(q1 / p1), 9),
-        6,
+    # unrounded contract (r12): exact sum of the 9dp-absorbed terms
+    expected = round((p1 - q1) * math.log(p1 / q1), 9) + round(
+        (q1 - p1) * math.log(q1 / p1), 9
     )
-    assert out.psi == expected
+    assert abs(out.psi - expected) < 1e-12
 
 
 def test_kll_ks_tracks_exact(spark):
