@@ -206,13 +206,18 @@ def test_streaming_index_ingest_embedding_drift_gate(spark, tmp_path):
         assert n_good == n_seeded + good.count()  # conforming: admitted
         assert log == []
 
-        # drifted batch: a constant far-off direction (encoder flip)
+        # drifted batch: a constant far-off direction (encoder flip).
+        # coalesce(1): the query is live with continuous triggers, and a
+        # multi-file append commits part-files one by one — a trigger can
+        # list a PARTIAL batch, refuse it, and log twice (observed flake).
+        # One file appears atomically, so the whole batch lands in one
+        # micro-batch and the refusal is logged exactly once.
         bad = spark.createDataFrame(
             [(900 + i, [100.0] + [(-100.0) ** (j % 2) for j in range(dim - 1)])
              for i in range(6)],
             "vec_id long, embedding array<double>",
         )
-        bad.write.mode("append").parquet(src)
+        bad.coalesce(1).write.mode("append").parquet(src)
         query.processAllAvailable()
         assert store.read(idx.assign_table).count() == n_good  # untouched
         assert len(log) == 1 and log[0][1] == 6 and log[0][2] < 0.98

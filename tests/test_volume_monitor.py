@@ -52,7 +52,10 @@ def test_cusum_alarm_on_volume_jump(spark, tmp_path):
         query.processAllAvailable()
         base = 100
         for s in sizes[1:]:
-            _docs(spark, base, s).write.mode("append").parquet(src)
+            # coalesce(1): atomic single-file append — the live query's
+            # trigger must see each logical batch whole (the test_ivf
+            # partial-listing flake), or the monitor logs it twice
+            _docs(spark, base, s).coalesce(1).write.mode("append").parquet(src)
             base += 100
             query.processAllAvailable()
         vols = store.read("monitor.batch_volumes")
@@ -96,7 +99,10 @@ def test_cusum_alarm_on_volume_drop(spark, tmp_path):
         query.processAllAvailable()
         base = 100
         for s in sizes[1:]:
-            _docs(spark, base, s).write.mode("append").parquet(src)
+            # coalesce(1): atomic single-file append — the live query's
+            # trigger must see each logical batch whole (the test_ivf
+            # partial-listing flake), or the monitor logs it twice
+            _docs(spark, base, s).coalesce(1).write.mode("append").parquet(src)
             base += 100
             query.processAllAvailable()
         alerts = store.read("monitor.volume_alerts").collect()
@@ -117,7 +123,10 @@ def test_stable_volume_never_alarms(spark, tmp_path):
         query.processAllAvailable()
         base = 100
         for s in sizes[1:]:
-            _docs(spark, base, s).write.mode("append").parquet(src)
+            # coalesce(1): atomic single-file append — the live query's
+            # trigger must see each logical batch whole (the test_ivf
+            # partial-listing flake), or the monitor logs it twice
+            _docs(spark, base, s).coalesce(1).write.mode("append").parquet(src)
             base += 100
             query.processAllAvailable()
         assert store.read("monitor.batch_volumes").count() == len(sizes)
@@ -141,7 +150,10 @@ def test_standing_alarm_merges_one_row_and_replay_idempotent(spark, tmp_path):
         query.processAllAvailable()
         base = 100
         for s in sizes[1:]:
-            _docs(spark, base, s).write.mode("append").parquet(src)
+            # coalesce(1): atomic single-file append — the live query's
+            # trigger must see each logical batch whole (the test_ivf
+            # partial-listing flake), or the monitor logs it twice
+            _docs(spark, base, s).coalesce(1).write.mode("append").parquet(src)
             base += 100
             query.processAllAvailable()
         alerts1 = [tuple(r) for r in store.read("monitor.volume_alerts").collect()]
@@ -185,7 +197,10 @@ def test_ewma_chart_option(spark, tmp_path):
         query.processAllAvailable()
         base = 100
         for s in sizes[1:]:
-            _docs(spark, base, s).write.mode("append").parquet(src)
+            # coalesce(1): atomic single-file append — the live query's
+            # trigger must see each logical batch whole (the test_ivf
+            # partial-listing flake), or the monitor logs it twice
+            _docs(spark, base, s).coalesce(1).write.mode("append").parquet(src)
             base += 100
             query.processAllAvailable()
         alerts = store.read("monitor.volume_alerts").collect()
