@@ -2133,7 +2133,9 @@ def q143_ab_test_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         battery = battery.unionByName(arms[key])
 
-    # per-arm two-sided p (6dp, from the already-rounded stat), then
+    # per-arm two-sided p (6dp; the stat is rounded for the sqrt-of-
+    # wide-sum arms and exact-IEEE for the integer-fed ones — either
+    # way identical on both engines, and the p is 6dp-absorbed), then
     # Benjamini-Hochberg FDR across the battery's tested looks; the
     # bootstrap and QTE rows are estimates, not tests — NULL p,
     # excluded from m
