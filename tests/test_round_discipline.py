@@ -1,0 +1,222 @@
+"""r12 round-discipline guard: every F.round in the operator modules
+is a CLASSIFIED decision, so a new boundary-reachable final round (the
+q98/sf0.001 class that split engines in r11) cannot land silently.
+
+The repo rule (NOTES_r12, refined from the r11 audit the hard way via
+the q129 grouped-OLS empirical failure):
+
+  A final ROUND is REMOVABLE iff every input of the post-absorption
+  final expression is EXACTLY double-representable (integer counts
+  < 2^53; decimal sums whose SCALED magnitude < 2^53) and the
+  expression is +,-,*,/ plus correctly-rounded sqrt, with operation
+  order mirrored exactly in the oracle. Otherwise the ROUND is
+  LOAD-BEARING (it absorbs libm, wide-decimal cast noise, or
+  association-order differences) and must stay.
+
+This test walks the operators/ AST and compares the per-function
+F.round census against the allowlist below. Each entry carries its
+classification so the next editor inherits the reasoning:
+
+  KEEP       — load-bearing, do not remove (reason given);
+  NO-OP      — numerically inert on the data contract (<= round's own
+               precision), kept to avoid staling churn;
+  R13-REMOVE — classified removable under the rule, scheduled for the
+               r13 window (removing it stales the module's entries,
+               which the r12 window could not absorb — NOTES_r12
+               item 5/7);
+  R13-AUDIT  — final-expression provenance not yet pinned; audit
+               before touching.
+
+Adding a NEW F.round to any operators/ function fails this test until
+the site is classified here — classify it under the rule first (if
+removable, don't add it at all).
+"""
+
+from __future__ import annotations
+
+import ast
+from pathlib import Path
+
+PKG = Path(__file__).resolve().parent.parent / "ironman_medallion_lakehouse_spark"
+
+# (module, function) -> (expected F.round call count, classification)
+ALLOWED = {
+    # ---------------------------------------------------- experiment.py
+    ("operators/experiment.py", "grouped_ols"): (
+        3,
+        "KEEP: scaled moment decimals exceed the double mantissa; the "
+        "decimal->double cast is engine-specific and n*Sxx-(Sx)^2 "
+        "amplifies it ~400 ulp (measured r12)",
+    ),
+    ("operators/experiment.py", "welch_t_test"): (
+        2,
+        "KEEP: t/dof fed by mantissa-overflowing Sx^2 casts",
+    ),
+    ("operators/experiment.py", "winsorized_welch_from_value_counts"): (
+        4,
+        "NO-OP (cuts, <=4dp values) + KEEP (t/dof, wide Sx^2 casts)",
+    ),
+    ("operators/experiment.py", "qte_from_value_counts"): (
+        3,
+        "NO-OP on <=4dp metrics; absorber for full-entropy ones",
+    ),
+    ("operators/experiment.py", "poisson_bootstrap_mean_diff"): (
+        4,
+        "NO-OP (diff, DECIMAL(12,6)) + KEEP (se/ci, Sd^2 overflows "
+        "the mantissa)",
+    ),
+    ("operators/experiment.py", "msprt_normal"): (
+        2,
+        "KEEP: ln/exp libm + se2 from wide Sx^2 casts",
+    ),
+    ("operators/experiment.py", "delta_method_ratio_test"): (
+        3,
+        "KEEP: z/ci fed by mantissa-overflowing Su^2/Sw^2/Suw casts",
+    ),
+    ("operators/experiment.py", "wasserstein_from_value_counts"): (
+        1,
+        "KEEP: DECIMAL(28,12) segment sum scale is data-dependent vs "
+        "the mantissa bound",
+    ),
+    ("operators/experiment.py", "ks_two_sample_kll"): (
+        1,
+        "NO-OP-adjacent: grid denominators (101) cannot terminate in "
+        "binary, boundary unreachable",
+    ),
+    ("operators/experiment.py", "ks_kll_from_grids"): (
+        1,
+        "NO-OP-adjacent: same grid-denominator argument",
+    ),
+    ("operators/experiment.py", "cusum_changepoint"): (
+        1,
+        "KEEP: engines associate windowed running sums differently",
+    ),
+    ("operators/experiment.py", "ewma_control"): (
+        1,
+        "KEEP: oracle replays EWMA in pow() closed form vs our fold; "
+        "pow is libm",
+    ),
+    # ------------------------------------------------------- funnel.py
+    ("operators/funnel.py", "daily_count_anomalies"): (
+        1,
+        "R13-REMOVE: z over integer-count moments that fit the "
+        "mantissa (q118)",
+    ),
+    ("operators/funnel.py", "trending_items"): (
+        1,
+        "R13-REMOVE: small DECIMAL(18,9) decayed sum (q122)",
+    ),
+    # -------------------------------------------------------- graph.py
+    ("operators/graph.py", "triangle_stats"): (
+        1,
+        "R13-REMOVE: 3*triangles/wedges integer ratio (q121)",
+    ),
+    # ------------------------------------------------------ ranking.py
+    ("operators/ranking.py", "bm25_topk"): (
+        1,
+        "KEEP: idf is ln() libm",
+    ),
+    ("operators/ranking.py", "rrf_fuse"): (
+        1,
+        "R13-REMOVE: small DECIMAL(18,12) contribution sum (q101/q134)",
+    ),
+    # ----------------------------------------------------- sampling.py
+    ("operators/sampling.py", "dsir_logweights"): (
+        1,
+        "R13-REMOVE: S(cnt*lr) decimal sum fits the mantissa (q107)",
+    ),
+    # --------------------------------------------------- similarity.py
+    ("operators/similarity.py", "embedding_mean_drift"): (
+        2,
+        "KEEP: sqrt of borderline-mantissa DECIMAL(28,12) sums (the "
+        "q142 emb-arm analogy)",
+    ),
+    ("operators/similarity.py", "sq8_encode"): (
+        1,
+        "KEEP: semantic quantization round (integral codes), not a "
+        "display round",
+    ),
+    ("operators/similarity.py", "sq8_recon_stats"): (
+        4,
+        "KEEP (2 semantic quantization, scale_r full-entropy input) + "
+        "R13-REMOVE (mean_abs_err: small decimal sum / count, q108)",
+    ),
+    ("operators/similarity.py", "jl_project"): (
+        1,
+        "R13-AUDIT: root is sqrt(integer); pin term provenance first "
+        "(q110)",
+    ),
+    ("operators/similarity.py", "feature_hash_vectors"): (
+        1,
+        "R13-AUDIT: pin final-expression provenance (q116)",
+    ),
+    # ----------------------------------------------------- sketches.py
+    ("operators/sketches.py", "pairwise_overlap"): (
+        1,
+        "R13-REMOVE: n_inter/union integer ratio",
+    ),
+    # --------------------------------------------------- timeseries.py
+    ("operators/timeseries.py", "time_weighted_average"): (
+        1,
+        "R13-REMOVE: Svw/Sw decimal sums fit the mantissa (q131)",
+    ),
+}
+
+
+def _census() -> dict[tuple[str, str], int]:
+    seen: dict[tuple[str, str], int] = {}
+    for path in sorted((PKG / "operators").glob("*.py")):
+        tree = ast.parse(path.read_text())
+        rel = f"operators/{path.name}"
+        # top-level functions only: attribute nested defs to their
+        # enclosing top-level function (matches how entries call them)
+        for node in tree.body:
+            if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                continue
+            n = 0
+            for child in ast.walk(node):
+                if (
+                    isinstance(child, ast.Call)
+                    and isinstance(child.func, ast.Attribute)
+                    and child.func.attr == "round"
+                    and isinstance(child.func.value, ast.Name)
+                    and child.func.value.id == "F"
+                ):
+                    n += 1
+            if n:
+                seen[(rel, node.name)] = n
+    return seen
+
+
+def test_every_operator_round_is_classified():
+    census = _census()
+    allowed_counts = {k: v[0] for k, v in ALLOWED.items()}
+    new = {k: n for k, n in census.items() if k not in allowed_counts}
+    assert not new, (
+        f"UNCLASSIFIED F.round site(s) {sorted(new)} — classify under the "
+        "NOTES_r12 rule (removable => don't round; load-bearing => add "
+        "an ALLOWED entry with the reason)"
+    )
+    drifted = {
+        k: (n, allowed_counts[k]) for k, n in census.items()
+        if n != allowed_counts[k]
+    }
+    assert not drifted, (
+        f"F.round count drift {drifted} (actual, expected) — a site was "
+        "added or removed; re-classify and update ALLOWED"
+    )
+    gone = sorted(k for k in allowed_counts if k not in census)
+    assert not gone, (
+        f"ALLOWED entries with no remaining site: {gone} — rounds were "
+        "removed (good); delete their ALLOWED rows"
+    )
+
+
+def test_r13_queue_matches_notes():
+    """The R13-REMOVE/R13-AUDIT tags here ARE the r13 work list — keep
+    them in sync with NOTES_r12 item 5 until r13 clears them."""
+    pending = [k for k, v in ALLOWED.items() if v[1].startswith("R13-")]
+    # 9 sites scheduled (7 REMOVE + 2 AUDIT) as of r12 round end; the
+    # mixed sq8_recon_stats row (mean_abs_err sub-site) is tracked in
+    # its KEEP reason text
+    assert len(pending) == 9, pending
