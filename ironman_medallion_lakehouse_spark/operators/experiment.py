@@ -40,8 +40,9 @@ def cuped_adjusted_means(
     per-unit frame (one row per experiment unit with covariate
     ``x_col``, metric ``y_col``, assignment ``variant_col``).
 
-    Output: (variant, n_units, mean_y, mean_y_adj), means rounded to
-    6 decimals. θ is computed POOLED across variants (the standard
+    Output: (variant, n_units, mean_y, mean_y_adj), means UNROUNDED
+    (exact IEEE quotients of decimal-absorbed sums — r12, the q98
+    rule). θ is computed POOLED across variants (the standard
     estimator — assignment-independent by randomization); a
     zero-variance covariate degrades gracefully to θ = 0, i.e.
     mean_y_adj = mean_y."""
@@ -226,7 +227,8 @@ def cohens_kappa(
 
     All inputs are exact integers from one contingency count
     (map-side combined); po/pe/kappa are fixed double expressions over
-    them rounded to 6 decimals — order-free, engine-exact. Degenerate
+    them, UNROUNDED (exact IEEE, bit-identical cross-engine — r12) —
+    order-free, engine-exact. Degenerate
     case pe = 1 (both raters constant) → kappa NULL. Plan: the q130
     shape — one grouped count, two tiny marginal re-aggregations,
     scalar output."""
@@ -317,7 +319,8 @@ def ks_two_sample(
     value at x counts every observation ≤ x, so the max is taken over
     per-distinct-value LAST rows). All counts are exact integers; the
     division is one fixed double expression, so the max is
-    engine-exact at 6 decimals.
+    engine-exact UNROUNDED (r12: no final round — a round could land
+    on a representable half-boundary and split engines).
 
     Plan (VERDICT r6 item 3): a distributed ``groupBy(v)`` FIRST
     collapses the raw observations to per-distinct-value counts — a
@@ -712,7 +715,8 @@ def mann_whitney_u(
     preceding count, and TWICE the average rank, 2·prev + t + 1, is an
     integer — so the rank sums Σ n_av·rank2 and the tie term Σ(t³−t)
     are exact bigint aggregates (order-free), and every output is a
-    fixed double expression over them, rounded to 6 decimals.
+    fixed double expression over them, UNROUNDED (r12: exact IEEE,
+    bit-identical cross-engine).
     (Bigint bounds: rank2 sums reach O(N²), the tie term O(t³·#ties) —
     ample below ~10⁹ pooled rows; past that, run on a per-batch sample
     like KS.) Plan: one hash aggregate with map-side partial combine,
@@ -830,7 +834,9 @@ def poisson_bootstrap_mean_diff(
     each replicate's diff is rounded into DECIMAL(12,6) (and its
     square stays inside both engines' exact multiply) so the SE
     aggregate is order-free, and every output is fixed scalar double
-    math rounded to 6 decimals. A replicate where either group draws
+    math — means unrounded (exact quotients), diff/se/CI rounded to
+    6 decimals (Σd² exceeds the double mantissa). A replicate where
+    either group draws
     total weight 0 is excluded from the SE (n_reps reports the count
     used). Plan: scan → explode(×R+1) → md5 per pair → ONE grouped
     aggregate on R+1 keys → scalar output; no shuffle wider than
@@ -1327,8 +1333,9 @@ def welch_t_test(
     Determinism (the q129 policy): values enter as DECIMAL(12,4) —
     narrow enough that x² stays inside both engines' exact decimal
     multiply — so Σx and Σx² are order-free exact aggregates; means,
-    variances, t and dof are then fixed scalar double expressions,
-    rounded to 6 decimals. Plan: ONE map-side-combined aggregate over
+    variances, t and dof are then fixed scalar double expressions —
+    means unrounded (Σx fits the double mantissa), t/dof rounded to
+    6 decimals (Σx² does not). Plan: ONE map-side-combined aggregate over
     the filtered rows, then scalar math — no shuffle wider than two
     group keys, nothing data-sized after the scan."""
     x = F.col(value_col).cast("decimal(12,4)")
@@ -1400,8 +1407,9 @@ def msprt_normal(
     group has < 2 observations or V = 0.
 
     Same determinism + plan as ``welch_t_test``: one map-side-combined
-    aggregate of exact decimal sums, fixed scalar double math after,
-    rounded to 6 decimals (ln Λ overflows nowhere — the exp lives only
+    aggregate of exact decimal sums, fixed scalar double math after —
+    means unrounded, log_lambda/p rounded to 6 decimals (libm ln/exp
+    plus the wide-Σx² cast; ln Λ overflows nowhere — the exp lives only
     inside the p clamp, where IEEE e^{−huge} → 0 identically in both
     engines)."""
     x = F.col(value_col).cast("decimal(12,4)")
@@ -1463,7 +1471,8 @@ def two_proportion_ztest(
     or 1 (zero variance). ``success_col`` is boolean (or 0/1).
 
     All counts are exact integers; p̂s and z are fixed double
-    expressions over them, rounded to 6 decimals — engine-exact. One
+    expressions over them, UNROUNDED (r12: exact IEEE plus one
+    correctly-rounded sqrt — bit-identical cross-engine). One
     map-side-combined aggregate, scalar math after."""
     s = F.col(success_col).cast("int")
     g = (
@@ -1805,7 +1814,8 @@ def bh_adjust(
     across the rows of a small battery frame: adds
 
         p_adj     — BH step-up adjusted p (min over j ≥ i of p_j·m/j,
-                    clamped to 1, 6dp)
+                    clamped to 1; UNROUNDED — exact-input IEEE over
+                    the 6dp-absorbed p's, r12)
         bh_reject — p_adj ≤ alpha (the BH decision at FDR level alpha)
 
     keyed by ``key_col`` (must be unique per row). Rows with NULL p
@@ -1888,8 +1898,10 @@ def delta_method_ratio_test(
 
     Determinism (the welch_t discipline): num/den enter as
     DECIMAL(12,4) so Σu, Σw, Σu², Σw², Σuw are exact order-free
-    decimal aggregates; everything after is fixed scalar double math
-    rounded to 6dp. Plan: ONE map-side-combined aggregate, scalar
+    decimal aggregates; everything after is fixed scalar double math —
+    ratios/diff unrounded (first-moment sums fit the mantissa), z/CI
+    rounded to 6dp (the second-moment sums do not). Plan: ONE
+    map-side-combined aggregate, scalar
     output."""
     u = F.col(num_col).cast("decimal(12,4)")
     w = F.col(den_col).cast("decimal(12,4)")
