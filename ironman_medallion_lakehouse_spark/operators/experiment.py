@@ -387,7 +387,9 @@ def wasserstein_from_value_counts(per_value: DataFrame) -> DataFrame:
     Exactness: CDF heights come from exact integer running counts over
     the tie-absorbed distinct-value sort (the ``ks_two_sample``
     discipline); each segment's |ΔF|·Δv is one fixed double expression
-    rounded into DECIMAL(28,12) before the order-free sum, 6dp after.
+    rounded into DECIMAL(28,12) before the order-free sum; the total
+    ships UNROUNDED (it telescopes to ≤ the value range, so the exact
+    decimal fits the double mantissa — r12, the q98 rule).
     Plan: same shape as KS — the serial section is the distinct-value
     sort, reused by the lead() segment width."""
     from pyspark.sql import Window
@@ -418,11 +420,16 @@ def wasserstein_from_value_counts(per_value: DataFrame) -> DataFrame:
         ).cast("decimal(28,12)"),
     )
     # sum skips the last row's NULL segment; a single-distinct-value
-    # input (both distributions one point mass at the same v) is W1 = 0
+    # input (both distributions one point mass at the same v) is W1 = 0.
+    # No final round (r12 continuation): the segment sum TELESCOPES —
+    # Σ|ΔF|·Δv ≤ v_max − v_min — so at any realistic value domain the
+    # exact DECIMAL(28,12) total fits the double mantissa and the cast
+    # is bit-identical cross-engine; a 6dp ROUND of a 12dp-absorbed sum
+    # is exactly the q98 half-boundary class.
     return cum.groupBy("n_a", "n_b").agg(
-        F.round(
-            F.coalesce(F.sum(seg), F.lit(0).cast("decimal(28,12)")).cast("double"), 6
-        ).alias("w1")
+        F.coalesce(F.sum(seg), F.lit(0).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("w1")
     )
 
 

@@ -1039,11 +1039,11 @@ _Q142_NBINS = len(_Q142_PSI_EDGES) + 1
       FROM dist
     ),
     wass AS (
-      SELECT ROUND(CAST(COALESCE(SUM(CAST(
+      SELECT CAST(COALESCE(SUM(CAST(
                ABS(CAST(ca AS DOUBLE) / CAST(tot.n_a AS DOUBLE)
                    - CAST(cb AS DOUBLE) / CAST(tot.n_b AS DOUBLE))
                * (nv - v) AS DECIMAL(28,12))),
-             CAST(0 AS DECIMAL(28,12))) AS DOUBLE), 6) AS w1
+             CAST(0 AS DECIMAL(28,12))) AS DOUBLE) AS w1
       FROM wrun, tot WHERE nv IS NOT NULL
     ),
     psic AS (

@@ -73,11 +73,6 @@ ALLOWED = {
         3,
         "KEEP: z/ci fed by mantissa-overflowing Su^2/Sw^2/Suw casts",
     ),
-    ("operators/experiment.py", "wasserstein_from_value_counts"): (
-        1,
-        "KEEP: DECIMAL(28,12) segment sum scale is data-dependent vs "
-        "the mantissa bound",
-    ),
     ("operators/experiment.py", "ks_two_sample_kll"): (
         1,
         "NO-OP-adjacent: grid denominators (101) cannot terminate in "
