@@ -191,9 +191,10 @@ def daily_count_anomalies(
     type's own daily mean — the monitoring query behind every ingest
     dashboard (traffic spikes, crawler outages, bot bursts).
 
-    (event_type, day, n_events, z, is_anomaly), z rounded to 6
-    decimals and the flag computed ON the rounded value so the
-    boundary is engine-exact.
+    (event_type, day, n_events, z, is_anomaly), z UNROUNDED (r13, the
+    no-final-round rule): every input is an exact-integer double, so
+    the fixed ±,×,÷,√ expression is the identical IEEE double on both
+    engines — the flag boundary compares on that exact value.
 
     Determinism: daily counts are integers, so Σx and Σx² are EXACT
     integer aggregates (order-free without any decimal machinery);
@@ -227,13 +228,12 @@ def daily_count_anomalies(
     z = F.when(std == 0, F.lit(0.0)).otherwise(
         (F.col("n_events").cast("double") - mean) / std
     )
-    zr = F.round(z, 6)
     return joined.select(
         F.col(type_col),
         "day",
         "n_events",
-        zr.alias("z"),
-        (F.abs(zr) >= F.lit(z_threshold)).alias("is_anomaly"),
+        z.alias("z"),
+        (F.abs(z) >= F.lit(z_threshold)).alias("is_anomaly"),
     )
 
 
@@ -266,7 +266,10 @@ def trending_items(
     derived from exact integer-second ages; each contribution is
     rounded into DECIMAL(18,9) before the (exact, order-free) sum —
     last-ulp pow wobble across engines vanishes at the 9th decimal
-    (q98 policy), and the tie-break is the item itself."""
+    (q98 policy), and the tie-break is the item itself. The score is
+    that exact decimal sum cast to double, UNROUNDED (r13): the
+    scaled sum stays far under 2^53 at suite scale, so the cast is
+    engine-exact."""
     ref = F.lit(reference_ts).cast("timestamp").cast("long")
     age_days = (ref - F.col(ts_col).cast("long")).cast("double") / F.lit(86400.0)
     contrib = F.pow(F.lit(0.5), age_days / F.lit(float(half_life_days))).cast(
@@ -276,7 +279,7 @@ def trending_items(
         events.select(item.alias("item"), contrib.alias("_c"))
         .groupBy("item")
         .agg(
-            F.round(F.sum("_c").cast("double"), 6).alias("score"),
+            F.sum("_c").cast("double").alias("score"),
             F.count(F.lit(1)).alias("n_raw"),
         )
         .orderBy(F.col("score").desc(), F.col("item").asc())

@@ -476,13 +476,13 @@ def triangle_stats(
             "n_edges",
             "n_wedges",
             "n_triangles",
+            # unrounded (r13, no-final-round rule): 3·triangles/wedges
+            # is one IEEE multiply+divide of exact-integer doubles —
+            # identical on both engines, no round needed
             F.when(F.col("n_wedges") == 0, F.lit(0.0))
             .otherwise(
-                F.round(
-                    F.lit(3.0) * F.col("n_triangles").cast("double")
-                    / F.col("n_wedges").cast("double"),
-                    6,
-                )
+                F.lit(3.0) * F.col("n_triangles").cast("double")
+                / F.col("n_wedges").cast("double")
             )
             .alias("global_clustering"),
         )

@@ -302,8 +302,10 @@ def rrf_fuse(
     discipline at higher precision — rank gaps at k=60 differ in the
     5th decimal, so 12 digits preserves every distinction), making the
     fused score independent of accumulation order across systems and
-    partitions; the final score is that exact decimal sum as a double
-    rounded to 6 decimals.
+    partitions; the final score is that exact decimal sum cast to
+    double UNROUNDED (r13 — the scaled sum of ≤ a few thousand
+    sub-unity contributions fits the mantissa, so the cast is
+    engine-exact).
 
     100 TB design: each input is already a top-k list (thousands of
     rows at most — the expensive part happened inside the rankers), so
@@ -324,7 +326,7 @@ def rrf_fuse(
         unioned = unioned.unionByName(t)
     fused = unioned.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_systems"),
-        F.round(F.sum("contrib").cast("double"), 6).alias("rrf_score"),
+        F.sum("contrib").cast("double").alias("rrf_score"),
     )
     out = fused.orderBy(F.col("rrf_score").desc(), F.col(id_col))
     return out.limit(topk) if topk else out

@@ -214,9 +214,10 @@ def dsir_logweights(
         .groupBy(id_col)
         .agg(
             F.sum("cnt").alias("n_tokens"),
-            F.round(F.sum(F.col("cnt") * F.col("lr")).cast("double"), 4).alias(
-                "log_weight"
-            ),
+            # unrounded (r13): Σ cnt·lr is an exact integer×decimal sum
+            # whose scaled magnitude fits the mantissa — the cast is
+            # engine-exact, no final round needed
+            F.sum(F.col("cnt") * F.col("lr")).cast("double").alias("log_weight"),
         )
     )
 

@@ -487,10 +487,11 @@ def pairwise_overlap(
         "n_b",
         "n_inter",
         (F.col("n_a") + F.col("n_b") - F.col("n_inter")).alias("union_size"),
-        F.round(
+        # unrounded (r13): one IEEE divide of exact-integer doubles —
+        # engine-exact, no round needed
+        (
             F.col("n_inter").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
-            6,
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
         ).alias("jaccard"),
     )
 

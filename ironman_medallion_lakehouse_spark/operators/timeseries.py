@@ -94,9 +94,11 @@ def time_weighted_average(
     for sampled LEVELS (price, queue depth, sensor reading), where
     the arithmetic mean over-weights bursts of samples.
 
-    (groups..., n_obs, twap), twap = Σ v·dur / Σ dur rounded to 6
-    decimals; groups whose observations all sit at/after ``end_ts``
-    (total duration 0) emit NULL.
+    (groups..., n_obs, twap), twap = Σ v·dur / Σ dur UNROUNDED (r13,
+    the no-final-round rule — both sums are exact decimals/integers
+    whose scaled magnitude fits the double mantissa, so the one IEEE
+    divide is engine-exact); groups whose observations all sit
+    at/after ``end_ts`` (total duration 0) emit NULL.
 
     Holding intervals are CLAMPED to the window end on both sides:
     dur = max(min(next, end) − min(ts, end), 0), so an observation
@@ -127,9 +129,7 @@ def time_weighted_average(
         F.count(F.lit(1)).alias("n_obs"),
         F.when(F.sum("_w") == 0, F.lit(None))
         .otherwise(
-            F.round(
-                F.sum("_vw").cast("double") / F.sum("_w").cast("double"), 6
-            )
+            F.sum("_vw").cast("double") / F.sum("_w").cast("double")
         )
         .alias("twap"),
     )

@@ -257,8 +257,8 @@ _Q118_Z = 2.0
         END AS z_raw
       FROM daily d JOIN stats s ON d.event_type = s.event_type
     )
-    SELECT event_type, day, n_events, ROUND(z_raw, 6) AS z,
-           (abs(ROUND(z_raw, 6)) >= {_Q118_Z}) AS is_anomaly
+    SELECT event_type, day, n_events, z_raw AS z,
+           (abs(z_raw) >= {_Q118_Z}) AS is_anomaly
     FROM scored
     """,
 )
@@ -267,8 +267,9 @@ def q118_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily_count_anomalies): per event type, z-score each day's count
     against the type's own daily distribution; |z| ≥ 2 flags the
     spike/outage days an ingest monitor alerts on. Integer Σx/Σx²
-    make mean and sample variance exact-input doubles — engine-exact
-    at 6 decimals with the flag computed on the ROUNDED z. Two
+    make mean and sample variance exact-input doubles — z is the
+    identical IEEE double on both engines UNROUNDED (r13), with the
+    flag computed on that exact value. Two
     low-cardinality shuffles; nothing scales with raw event volume
     past the first count."""
     t = load_tables(spark, sf_dir, "events")
@@ -397,8 +398,8 @@ _Q121_MINQTY = 50
     SELECT agg.n_nodes, ne.n_edges, agg.n_wedges,
            CAST(tri.n_triangles AS BIGINT) AS n_triangles,
            CASE WHEN agg.n_wedges = 0 THEN 0.0
-                ELSE ROUND(3.0 * CAST(tri.n_triangles AS DOUBLE)
-                           / CAST(agg.n_wedges AS DOUBLE), 6)
+                ELSE 3.0 * CAST(tri.n_triangles AS DOUBLE)
+                     / CAST(agg.n_wedges AS DOUBLE)
            END AS global_clustering
     FROM agg CROSS JOIN ne CROSS JOIN tri
     """,
@@ -445,7 +446,7 @@ _Q122_REF, _Q122_HL, _Q122_K = "2024-01-31 00:00:00", 7.0, 20
           AS DECIMAL(18,9)) AS contrib
       FROM events
     )
-    SELECT item, ROUND(CAST(SUM(contrib) AS DOUBLE), 6) AS score,
+    SELECT item, CAST(SUM(contrib) AS DOUBLE) AS score,
            COUNT(*) AS n_raw
     FROM c GROUP BY item
     ORDER BY score DESC, item ASC
@@ -645,7 +646,7 @@ def q126_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT from_type, SUM(n) AS t FROM pairs GROUP BY 1)
     SELECT p.from_type, p.to_type, p.n,
-           ROUND(CAST(p.n AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS prob
+           CAST(p.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS prob
     FROM pairs p JOIN tot t ON p.from_type = t.from_type
     """,
 )
@@ -655,7 +656,8 @@ def q124_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     of q112's raw path mining, the input to journey simulation and
     next-action prediction. One lead window (unique-id tiebreak), one
     pair count, one per-from normalization join (25-row broadcast);
-    probabilities are exact integer ratios rounded to 6 decimals."""
+    probabilities are exact integer ratios — one IEEE divide,
+    engine-exact UNROUNDED (r13)."""
     from pyspark.sql import Window
 
     t = load_tables(spark, sf_dir, "events")
@@ -676,9 +678,7 @@ def q124_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from_type",
         "to_type",
         "n",
-        F.round(F.col("n").cast("double") / F.col("t").cast("double"), 6).alias(
-            "prob"
-        ),
+        (F.col("n").cast("double") / F.col("t").cast("double")).alias("prob"),
     )
 
 
@@ -903,7 +903,7 @@ _Q131_END = "2024-01-31 00:00:00"
     )
     SELECT user_id, COUNT(*) AS n_obs,
            CASE WHEN SUM(w) = 0 THEN NULL
-                ELSE ROUND(CAST(SUM(vw) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6)
+                ELSE CAST(SUM(vw) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
            END AS twap
     FROM per GROUP BY user_id
     """,

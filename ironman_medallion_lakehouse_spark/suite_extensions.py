@@ -1505,12 +1505,12 @@ _Q146_PAD = 1000
     ),
     bks AS (
       SELECT n_a,
-             ROUND(MAX(ABS(CAST(ca AS DOUBLE) / n_a
-                           - CAST(cb AS DOUBLE) / n_b)), 6) AS d_stat,
-             ROUND(MAX(ABS(CAST(ca AS DOUBLE) / n_a
-                           - CAST(cb AS DOUBLE) / n_b))
-                   * sqrt(CAST(n_a * n_b AS DOUBLE)
-                          / CAST(n_a + n_b AS DOUBLE)), 6) AS ks_stat
+             MAX(ABS(CAST(ca AS DOUBLE) / n_a
+                     - CAST(cb AS DOUBLE) / n_b)) AS d_stat,
+             MAX(ABS(CAST(ca AS DOUBLE) / n_a
+                     - CAST(cb AS DOUBLE) / n_b))
+               * sqrt(CAST(n_a * n_b AS DOUBLE)
+                      / CAST(n_a + n_b AS DOUBLE)) AS ks_stat
       FROM brun, btot GROUP BY n_a, n_b
     ),
     c AS (
@@ -1601,8 +1601,11 @@ def q146_drift_gate_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_quarantined"),
         F.max("batch_id").cast("bigint").alias("quarantine_batch"),
         F.max("n_docs").cast("bigint").alias("quarantined_docs"),
-        F.round(F.max("d_stat"), 6).alias("d_stat"),
-        F.round(F.max("ks_stat"), 6).alias("ks_stat"),
+        # unrounded (r13): the stored stats are integer-ratio-fed IEEE
+        # doubles (ingest.py stores them unrounded); re-rounding here
+        # was the boundary-reachable class
+        F.max("d_stat").alias("d_stat"),
+        F.max("ks_stat").alias("ks_stat"),
     )
     crow = corpus.agg(
         F.count(F.lit(1)).cast("bigint").alias("corpus_docs"),
@@ -2038,7 +2041,7 @@ def q150_jdbc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_media,
            CAST(SUM(n) AS BIGINT) AS total_samples,
            CAST(SUM(44 + 2 * n) AS BIGINT) AS total_bytes,
-           ROUND(CAST(SUM(n) AS DOUBLE) / 8000.0 / COUNT(*), 6) AS avg_duration_s,
+           CAST(SUM(n) AS DOUBLE) / 8000.0 / COUNT(*) AS avg_duration_s,
            TRUE AS rms_in_band,
            TRUE AS zcr_tracks_tone
     FROM m
@@ -2073,8 +2076,12 @@ def q151_wav_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_media"),
             F.sum("n_samples").cast("bigint").alias("total_samples"),
             F.sum("n_bytes").cast("bigint").alias("total_bytes"),
-            F.round(
-                F.sum("n_samples").cast("double") / 8000.0 / F.count(F.lit(1)), 6
+            # unrounded (r13): Σsamples/8000/count — 8000 = 2^6·5^3
+            # made this the most boundary-landable denominator class
+            # left; the chained IEEE divides of exact-integer doubles
+            # are engine-exact without it
+            (
+                F.sum("n_samples").cast("double") / 8000.0 / F.count(F.lit(1))
             ).alias("avg_duration_s"),
             F.bool_and(
                 F.abs(F.col("rms").cast("double") - 0.35355339) < 0.02

@@ -1144,8 +1144,8 @@ def q59_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_orderpriority, o_totalprice,
            CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-           ROUND(percent_rank() OVER w, 6) AS pct_rank,
-           ROUND(cume_dist() OVER w, 6) AS cum_dist,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cum_dist,
            CAST(dense_rank() OVER w AS BIGINT) AS drank,
            first_value(o_totalprice) OVER w AS cheapest,
            last_value(o_totalprice)
@@ -1170,7 +1170,8 @@ def q113_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag-with-default. All eight functions share ONE window spec →
     Catalyst plans a single Exchange + sort. Ties are impossible (the
     unique order key is in the sort), so every rank-derived value is
-    an exact rational — engine-exact at 6 decimals."""
+    an exact integer ratio — one IEEE divide, engine-exact UNROUNDED
+    (r13)."""
     from pyspark.sql import Window
 
     t = load_tables(spark, sf_dir, "orders")
@@ -1187,8 +1188,8 @@ def q113_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "o_totalprice",
         F.ntile(4).over(w).cast("bigint").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
         F.dense_rank().over(w).cast("bigint").alias("drank"),
         F.first("o_totalprice").over(w).alias("cheapest"),
         F.last("o_totalprice").over(wfull).alias("priciest"),
@@ -1317,9 +1318,9 @@ def q119_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_partkey,
            ROUND(CAST(r AS DOUBLE), 4) AS revenue,
-           ROUND(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE), 6) AS cum_share,
-           CASE WHEN ROUND(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE), 6) <= 0.80 THEN 'A'
-                WHEN ROUND(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE), 6) <= 0.95 THEN 'B'
+           CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) AS cum_share,
+           CASE WHEN CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) <= 0.80 THEN 'A'
+                WHEN CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) <= 0.95 THEN 'B'
                 ELSE 'C' END AS abc_class
     FROM c CROSS JOIN tot
     """,
@@ -1330,8 +1331,9 @@ def q125_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiers. The cumulative sum runs over EXACT decimals (per-row
     revenue cast DECIMAL(18,4) before any sum), so the running total
     — the one place sequential double addition would drift across
-    engines — is order-free by construction; shares and class
-    boundaries compare on the ROUNDED value.
+    engines — is order-free by construction; the share is one IEEE
+    divide of mantissa-fitting decimal casts, engine-exact UNROUNDED
+    (r13), and the class boundaries compare on that exact value.
 
     Scale (VERDICT r6 item 4): the running sum uses
     ``cumulative.partitioned_running_sum`` — range-partition on the
@@ -1363,7 +1365,7 @@ def q125_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum",
         total_col="t",
     )
-    share = F.round(F.col("cum").cast("double") / F.col("t").cast("double"), 6)
+    share = F.col("cum").cast("double") / F.col("t").cast("double")
     return cum.select(
         "l_partkey",
         F.round(F.col("r").cast("double"), 4).alias("revenue"),

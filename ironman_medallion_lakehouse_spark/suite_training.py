@@ -848,7 +848,7 @@ _Q101_CONTRIB = (
       SELECT doc_id, {_Q101_CONTRIB} AS contrib FROM dense
     )
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_systems,
-           ROUND(CAST(SUM(contrib) AS DOUBLE), 6) AS rrf_score
+           CAST(SUM(contrib) AS DOUBLE) AS rrf_score
     FROM u GROUP BY doc_id
     ORDER BY rrf_score DESC, doc_id LIMIT {_Q101_OUT}
     """,
@@ -1040,7 +1040,7 @@ _Q107_IN = ", ".join(f"'{s}'" for s in _Q107_TARGET)
       FROM raw CROSS JOIN tot
     )
     SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
-           ROUND(CAST(SUM(cnt * lr) AS DOUBLE), 4) AS log_weight
+           CAST(SUM(cnt * lr) AS DOUBLE) AS log_weight
     FROM db JOIN ratio USING (bucket)
     GROUP BY doc_id
     """,
@@ -1527,7 +1527,7 @@ _Q134_CONTRIB = (
       SELECT doc_id, {_Q134_CONTRIB} AS contrib FROM dense
     )
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_systems,
-           ROUND(CAST(SUM(contrib) AS DOUBLE), 6) AS rrf_score
+           CAST(SUM(contrib) AS DOUBLE) AS rrf_score
     FROM u GROUP BY doc_id
     ORDER BY rrf_score DESC, doc_id LIMIT {_Q134_OUT}
     """,
@@ -1601,8 +1601,8 @@ def q134_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
            sa.n AS n_a, sb.n AS n_b,
            COALESCE(x.n_inter, 0) AS n_inter,
            sa.n + sb.n - COALESCE(x.n_inter, 0) AS union_size,
-           ROUND(CAST(COALESCE(x.n_inter, 0) AS DOUBLE)
-                 / CAST(sa.n + sb.n - COALESCE(x.n_inter, 0) AS DOUBLE), 6) AS jaccard,
+           CAST(COALESCE(x.n_inter, 0) AS DOUBLE)
+             / CAST(sa.n + sb.n - COALESCE(x.n_inter, 0) AS DOUBLE) AS jaccard,
            TRUE AS theta_within_tol
     FROM sizes sa JOIN sizes sb ON sa.g < sb.g
     LEFT JOIN inter x ON x.src_a = sa.g AND x.src_b = sb.g

@@ -91,34 +91,10 @@ ALLOWED = {
         "KEEP: oracle replays EWMA in pow() closed form vs our fold; "
         "pow is libm",
     ),
-    # ------------------------------------------------------- funnel.py
-    ("operators/funnel.py", "daily_count_anomalies"): (
-        1,
-        "R13-REMOVE: z over integer-count moments that fit the "
-        "mantissa (q118)",
-    ),
-    ("operators/funnel.py", "trending_items"): (
-        1,
-        "R13-REMOVE: small DECIMAL(18,9) decayed sum (q122)",
-    ),
-    # -------------------------------------------------------- graph.py
-    ("operators/graph.py", "triangle_stats"): (
-        1,
-        "R13-REMOVE: 3*triangles/wedges integer ratio (q121)",
-    ),
     # ------------------------------------------------------ ranking.py
     ("operators/ranking.py", "bm25_topk"): (
         1,
         "KEEP: idf is ln() libm",
-    ),
-    ("operators/ranking.py", "rrf_fuse"): (
-        1,
-        "R13-REMOVE: small DECIMAL(18,12) contribution sum (q101/q134)",
-    ),
-    # ----------------------------------------------------- sampling.py
-    ("operators/sampling.py", "dsir_logweights"): (
-        1,
-        "R13-REMOVE: S(cnt*lr) decimal sum fits the mantissa (q107)",
     ),
     # --------------------------------------------------- similarity.py
     ("operators/similarity.py", "embedding_mean_drift"): (
@@ -134,26 +110,20 @@ ALLOWED = {
     ("operators/similarity.py", "sq8_recon_stats"): (
         4,
         "KEEP (2 semantic quantization, scale_r full-entropy input) + "
-        "R13-REMOVE (mean_abs_err: small decimal sum / count, q108)",
+        "R14-REMOVE (mean_abs_err: small decimal sum / count, q108 — "
+        "deferred from r13: the r13 window was exactly full at 50 "
+        "after the 7 operator + 5 suite removals; touching "
+        "similarity.py stales its 11-entry family)",
     ),
     ("operators/similarity.py", "jl_project"): (
         1,
-        "R13-AUDIT: root is sqrt(integer); pin term provenance first "
-        "(q110)",
+        "R14-AUDIT: root is sqrt(integer); pin term provenance first "
+        "(q110; deferred from r13 with the similarity family)",
     ),
     ("operators/similarity.py", "feature_hash_vectors"): (
         1,
-        "R13-AUDIT: pin final-expression provenance (q116)",
-    ),
-    # ----------------------------------------------------- sketches.py
-    ("operators/sketches.py", "pairwise_overlap"): (
-        1,
-        "R13-REMOVE: n_inter/union integer ratio",
-    ),
-    # --------------------------------------------------- timeseries.py
-    ("operators/timeseries.py", "time_weighted_average"): (
-        1,
-        "R13-REMOVE: Svw/Sw decimal sums fit the mantissa (q131)",
+        "R14-AUDIT: pin final-expression provenance (q116; deferred "
+        "from r13 with the similarity family)",
     ),
 }
 
@@ -207,11 +177,17 @@ def test_every_operator_round_is_classified():
     )
 
 
-def test_r13_queue_matches_notes():
-    """The R13-REMOVE/R13-AUDIT tags here ARE the r13 work list — keep
-    them in sync with NOTES_r12 item 5 until r13 clears them."""
-    pending = [k for k, v in ALLOWED.items() if v[1].startswith("R13-")]
-    # 9 sites scheduled (7 REMOVE + 2 AUDIT) as of r12 round end; the
-    # mixed sq8_recon_stats row (mean_abs_err sub-site) is tracked in
-    # its KEEP reason text
-    assert len(pending) == 9, pending
+def test_r14_queue_matches_notes():
+    """The R14-REMOVE/R14-AUDIT tags here ARE the r14 work list — the
+    similarity.py trio deferred from r13 (window arithmetic: the 7
+    operator-side removals + 5 suite-side sites staled exactly 21
+    entries, filling the 50-row window to the last slot; similarity's
+    11-entry family had to wait). Keep in sync with NOTES_r13."""
+    pending = [
+        k for k, v in ALLOWED.items() if "R14-" in v[1]
+    ]
+    # 3 similarity sites (1 REMOVE inside the mixed sq8_recon_stats
+    # row + 2 AUDIT); no R13 tags may remain
+    stale_tags = [k for k, v in ALLOWED.items() if "R13-" in v[1]]
+    assert not stale_tags, stale_tags
+    assert len(pending) == 3, pending

@@ -112,9 +112,12 @@ def test_rrf_hand_computed(spark):
     b = spark.createDataFrame([Row(doc_id=2, rnk=1), Row(doc_id=3, rnk=2)])
     out = {r.doc_id: r for r in R.rrf_fuse([a, b], k=60).collect()}
     assert out[2].n_systems == 2
-    assert abs(out[2].rrf_score - round(1 / 61 + 1 / 62, 6)) < 1e-9
+    # unrounded contract (r13, the q98 class): the score is the exact
+    # DECIMAL(18,12) sum of the 12dp-absorbed contributions cast to
+    # double — not its 6dp rounding
+    assert abs(out[2].rrf_score - (round(1 / 61, 12) + round(1 / 62, 12))) < 1e-12
     assert out[1].n_systems == 1
-    assert abs(out[1].rrf_score - round(1 / 61, 6)) < 1e-9
+    assert abs(out[1].rrf_score - round(1 / 61, 12)) < 1e-12
     # doc in both systems outranks single-system docs at these ranks
     ordered = R.rrf_fuse([a, b], k=60).collect()
     assert ordered[0].doc_id == 2

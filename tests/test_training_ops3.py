@@ -107,7 +107,10 @@ def test_dsir_weight_scales_with_length(spark):
     )
     out = dsir_logweights(docs, F.col("source") == "tgt", n_buckets=64)
     w = {r.doc_id: r.log_weight for r in out.collect()}
-    assert abs(w[1] - 2 * w[0]) <= 0.0002  # 2x the 1e-4 rounding grain
+    # unrounded contract (r13): log_weight is the exact decimal sum
+    # Σ cnt·lr cast to double, so doubling the counts doubles the
+    # decimal sum exactly — equality up to the double cast of 2x
+    assert abs(w[1] - 2 * w[0]) <= 1e-12
 
 
 def test_dsir_partitioning_invariance(spark):
@@ -1079,7 +1082,6 @@ def test_mann_whitney_hand_computed(spark):
     ]
     out = mann_whitney_u(spark.createDataFrame(rows), "v", "g", "a", "b").collect()[0]
     assert (out.n_a, out.n_b) == (3, 4)
-    # unrounded contract (r12): 8/3 exact IEEE, not its 6dp rounding
     # unrounded contract (r12): 16/2/3 exact IEEE, not its 6dp rounding
     assert out.mean_rank_a == 16 / 2 / 3 and out.mean_rank_b == 5.0
     assert out.u_a == 2.0
