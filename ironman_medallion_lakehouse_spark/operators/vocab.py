@@ -65,6 +65,27 @@ def word_counts(
     )
 
 
+def _truncate_counts(counts: DataFrame, top_k_words: int | None) -> DataFrame:
+    """Optional top-K word-count truncation in front of a learner —
+    the measured 100 TB scale dial (SCALING.md r12 decision row,
+    tools/probe_bpe_topk.py): the per-round pair-count shuffle volume
+    is proportional to the WORD-TABLE rows, and K ≥ ⅓ of the vocab
+    costs ≤ 0.5 % corpus-weighted compression at the 8k-merge cut.
+    Semantics pinned by the probe: ``counts.orderBy(n desc, word asc)
+    .limit(K)`` — a TakeOrderedAndProject (top-K heap per partition +
+    one k-row merge), never a full sort. ``None`` (the default) is
+    the identity: the learned artifact is byte-identical to the
+    untruncated learner's, which is what q144's replay oracle attests.
+    """
+    if top_k_words is None:
+        return counts
+    if int(top_k_words) < 1:
+        raise ValueError(f"top_k_words must be >= 1, got {top_k_words!r}")
+    return counts.orderBy(F.col("n").desc(), F.col("word").asc()).limit(
+        int(top_k_words)
+    )
+
+
 def _initial_symbols(word) -> F.Column:
     """Character symbols + the end-of-word marker as its own symbol."""
     return F.concat(F.split(word, ""), F.array(F.lit(END)))
@@ -176,12 +197,16 @@ def learn_bpe(
     num_merges: int,
     min_pair_count: int = 2,
     checkpoint_every: int = 1,
+    top_k_words: int | None = None,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges from a (word, n) count table.
     Returns the ordered merge list — the vocabulary artifact a
     tokenizer ships. Stops early when no pair reaches
     ``min_pair_count``. Deterministic: ties broken (count desc, a asc,
-    b asc)."""
+    b asc). ``top_k_words`` (opt-in) learns from only the K most
+    frequent words — see ``_truncate_counts`` for the measured
+    cost/benefit; default ``None`` keeps the exact artifact."""
+    counts = _truncate_counts(counts, top_k_words)
     words = counts.select(
         _initial_symbols(F.col("word")).alias("syms"), F.col("n")
     ).localCheckpoint(eager=True)
@@ -212,6 +237,7 @@ def learn_bpe_batched(
     refine_conflicts: bool = False,
     select: str = "prefix",
     checkpoint_folds: int = 8,
+    top_k_words: int | None = None,
 ) -> list[tuple[str, str]]:
     """``learn_bpe`` with the documented scale dial IMPLEMENTED
     (VERDICT r7 item 2): batch several merges per driver round while
@@ -368,7 +394,13 @@ def learn_bpe_batched(
     ``select="independent"`` additionally records
     ``skipped_interacting`` (total candidates skipped). Equivalence
     to ``learn_bpe`` (prefix mode) is property-tested against random
-    corpora in tests/test_vocab.py."""
+    corpora in tests/test_vocab.py.
+
+    ``top_k_words`` (opt-in, r13 — the SCALING.md r12 measured
+    decision): learn from only the K most frequent words. The 100 TB
+    lever is pair-count shuffle volume ∝ word-table rows, not local
+    wall; ``None`` (default) keeps the artifact exactly equal to the
+    untruncated learner's."""
     if select not in ("prefix", "independent"):
         raise ValueError(f"select must be 'prefix' or 'independent', got {select!r}")
     if select == "independent" and refine_conflicts:
@@ -382,6 +414,7 @@ def learn_bpe_batched(
             "(the independent branch never reads the link sets); "
             "use select='prefix' for conflict refinement"
         )
+    counts = _truncate_counts(counts, top_k_words)
     spark = counts.sparkSession
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")

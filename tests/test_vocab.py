@@ -529,3 +529,55 @@ def test_independent_rejects_refine_conflicts(spark):
         learn_bpe_batched(
             df, 2, min_pair_count=1, select="independent", refine_conflicts=True
         )
+
+
+def test_top_k_words_truncation_semantics(spark):
+    """top_k_words=K learns from exactly the K most frequent words
+    (ties word-asc) — the artifact equals learning on a manually
+    truncated count table, and None is the identity (SCALING.md r12
+    decision row; semantics pinned by tools/probe_bpe_topk.py)."""
+    from pyspark.sql import functions as F
+
+    from ironman_medallion_lakehouse_spark.operators.vocab import (
+        learn_bpe_batched,
+    )
+
+    counts = word_counts(_corpus(spark))
+    # K=2 keeps newest(6) + low(5); widest(3)/lower(2) drop out
+    manual = counts.orderBy(F.col("n").desc(), F.col("word").asc()).limit(2)
+    want = learn_bpe(manual, num_merges=4, min_pair_count=1)
+    got = learn_bpe(counts, num_merges=4, min_pair_count=1, top_k_words=2)
+    assert got == want
+    # the truncated vocabulary no longer sees widest/lower pairs:
+    # (e,s) now counts 6 (newest only), and the l-o-w chain counts 5
+    assert ("e", "s") in got
+    # None is the identity on both learners
+    full = learn_bpe(counts, num_merges=3)
+    assert learn_bpe(counts, num_merges=3, top_k_words=None) == full
+    assert (
+        learn_bpe_batched(counts, 3, min_pair_count=2, top_k_words=None)
+        == full
+    )
+    # batched learner honors the dial the same way
+    got_b = learn_bpe_batched(
+        counts, 4, min_pair_count=1, top_k_words=2
+    )
+    assert got_b == want
+
+
+def test_top_k_words_tiebreak_and_validation(spark):
+    """Equal-count words truncate word-ASC (deterministic under
+    repartition); K<1 is rejected loudly."""
+    import pytest as _pytest
+
+    rows = [("bb", 3), ("aa", 3), ("cc", 3), ("dd", 1)]
+    df1 = spark.createDataFrame(rows, "word string, n long").repartition(1)
+    df2 = spark.createDataFrame(rows, "word string, n long").repartition(7)
+    m1 = learn_bpe(df1, num_merges=2, min_pair_count=1, top_k_words=2)
+    m2 = learn_bpe(df2, num_merges=2, min_pair_count=1, top_k_words=2)
+    # K=2 of the count-3 tier is {aa, bb} by word-asc regardless of
+    # physical layout; '</w>' sorts before 'a', so the count-3 pair
+    # tiebreak picks (a, </w>) first, then (a, a</w>)
+    assert m1 == m2 == [("a", END), ("a", "a" + END)]
+    with _pytest.raises(ValueError, match="top_k_words"):
+        learn_bpe(df1, num_merges=1, top_k_words=0)
