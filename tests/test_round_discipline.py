@@ -128,29 +128,113 @@ ALLOWED = {
 }
 
 
+def _count_f_rounds(node: ast.AST) -> int:
+    n = 0
+    for child in ast.walk(node):
+        if (
+            isinstance(child, ast.Call)
+            and isinstance(child.func, ast.Attribute)
+            and child.func.attr == "round"
+            and isinstance(child.func.value, ast.Name)
+            and child.func.value.id == "F"
+        ):
+            n += 1
+    return n
+
+
 def _census() -> dict[tuple[str, str], int]:
     seen: dict[tuple[str, str], int] = {}
     for path in sorted((PKG / "operators").glob("*.py")):
         tree = ast.parse(path.read_text())
         rel = f"operators/{path.name}"
-        # top-level functions only: attribute nested defs to their
-        # enclosing top-level function (matches how entries call them)
+        # attribute sites to their enclosing top-level function
+        # (matches how entries call them); everything OUTSIDE a
+        # top-level def — module-level statements, class bodies —
+        # lands under "<module>" so it cannot hide from the census
+        # (ADVICE r12)
+        module_level = 0
         for node in tree.body:
-            if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
-                continue
-            n = 0
-            for child in ast.walk(node):
-                if (
-                    isinstance(child, ast.Call)
-                    and isinstance(child.func, ast.Attribute)
-                    and child.func.attr == "round"
-                    and isinstance(child.func.value, ast.Name)
-                    and child.func.value.id == "F"
-                ):
-                    n += 1
-            if n:
-                seen[(rel, node.name)] = n
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                n = _count_f_rounds(node)
+                if n:
+                    seen[(rel, node.name)] = n
+            else:
+                module_level += _count_f_rounds(node)
+        if module_level:
+            seen[(rel, "<module>")] = module_level
     return seen
+
+
+# ---------------------------------------------------------------------------
+# Suite-file census (ADVICE r12): the operator AST walk cannot see the
+# DuckDB oracle SQL, where a boundary-reachable final ROUND can land
+# just as silently. Counts are REGEX totals per file — both the SQL
+# `ROUND(` occurrences inside oracle strings and the Spark-side
+# `F.round(` calls — against a classified expected count. Changing
+# either count fails this test until the new site is classified under
+# the NOTES_r12 rule (removable => don't round; load-bearing => keep
+# and bump the count with a reason).
+#
+# Classification of the current totals (r13 state, post-surgery):
+#   suite.py           3 SQL / 3 F.round — q05 growth, q07 finished_
+#     rate, q10 share_pct: SHAPE-PARITY with the reference dashboard
+#     ROUND(x*100/n, 1|2) contract (shared boundary risk accepted,
+#     NOTES_r12 item 5).
+#   suite_analytics.py 31 SQL / 5 F.round — q106 pagerank round-8
+#     (iterative damped sums: association-order, KEEP),
+#     q124-area revenue round-4s (4dp-decimal no-ops),
+#     q129 OLS (KEEP: wide-decimal cast noise, measured ~400 ulp),
+#     q142 cosine/norm_ratio (sqrt of borderline-mantissa sums),
+#     CUSUM/EWMA (association-order), q143 battery t/z/CI/p (wide
+#     Sx^2 casts + libm), QTE percentile-label constructor (semantic).
+#   suite_extensions.py 0 / 0 — clean after the r13 q146/q151 removal.
+#   suite_more.py      4 SQL / 3 F.round — q77 price/total share
+#     round (R14-REMOVE: the r12 suite census MISSED it — this r13
+#     census extension found it; mantissa-fitting decimal-cast ratio,
+#     exactly the removable class, but removing it stales q77 and the
+#     r13 window is full at 50), q125 revenue round-4 (no-op), q132
+#     median round-4 (avg of two 2dp values, no-op), q65 centered_k
+#     (pytest-only entry, no oracle to split).
+#   suite_training.py  8 SQL / 1 F.round — BM25 score round-4 x3
+#     (idf is ln libm; mirrors ranking.bm25_topk's KEEP), sq8
+#     scale_r/mean_abs_err + jl proj_j + q116 f_j (mirror the
+#     similarity.py KEEP/R14 sites — remove together in r14), q137
+#     priority round x2 (absorbs last-ulp ln wobble at |p|~1e3).
+#   suite_views.py     7 SQL / 7 F.round — the reference's own
+#     dashboard ROUND contract (parity-bound, as plans/views.py).
+#   plans/views.py     38 SQL — the 15 reference view bodies
+#     (verbatim output contract).
+SUITE_ROUND_ALLOWED = {
+    # file (relative to the package) -> (SQL ROUND( count, F.round( count)
+    "suite.py": (3, 3),
+    "suite_analytics.py": (31, 5),
+    "suite_extensions.py": (0, 0),
+    "suite_more.py": (4, 3),
+    "suite_training.py": (8, 1),
+    "suite_views.py": (7, 7),
+    "plans/views.py": (38, 0),
+}
+
+
+def test_suite_round_census_matches_classification():
+    for rel, (want_sql, want_f) in SUITE_ROUND_ALLOWED.items():
+        text = (PKG / rel).read_text()
+        got_sql = text.count("ROUND(")
+        got_f = text.count("F.round(")
+        assert (got_sql, got_f) == (want_sql, want_f), (
+            f"{rel}: ROUND(/F.round( census drifted — got "
+            f"({got_sql}, {got_f}), classified ({want_sql}, {want_f}); "
+            "classify the new/removed site under the NOTES_r12 rule "
+            "and update SUITE_ROUND_ALLOWED with the reason"
+        )
+
+
+def test_suite_census_covers_every_suite_file():
+    """A NEW suite_*.py module must join the census (else its oracle
+    ROUNDs are invisible again)."""
+    present = {p.name for p in PKG.glob("suite*.py")}
+    tracked = {f for f in SUITE_ROUND_ALLOWED if "/" not in f}
+    assert present == tracked, (present - tracked, tracked - present)
 
 
 def test_every_operator_round_is_classified():
@@ -187,7 +271,10 @@ def test_r14_queue_matches_notes():
         k for k, v in ALLOWED.items() if "R14-" in v[1]
     ]
     # 3 similarity sites (1 REMOVE inside the mixed sq8_recon_stats
-    # row + 2 AUDIT); no R13 tags may remain
+    # row + 2 AUDIT); no R13 tags may remain. A 4th r14 site lives
+    # suite-side only: q77's price/total share round (see the
+    # SUITE_ROUND_ALLOWED classification above — found by this census
+    # extension, deferred for window arithmetic).
     stale_tags = [k for k, v in ALLOWED.items() if "R13-" in v[1]]
     assert not stale_tags, stale_tags
     assert len(pending) == 3, pending
