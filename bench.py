@@ -125,7 +125,20 @@ BATTERY_ARMS = {
 # quiet-box 751 at the IDENTICAL 45/65 jobs+stages fingerprint). A
 # task drift at unchanged jobs+stages is box/AQE noise, not a plan
 # change; jobs/stages moving still re-opens the audit.
-AQE_ITERATIVE = {"q106_pagerank", "q153_curation_pipeline"}
+#
+# r13 (ADVICE r12): dropping tasks from the comparison entirely left a
+# blind spot — a real partitioning regression that manifests only as a
+# task-count change would be adjudicated as AQE noise. Each entry now
+# carries an ADVISORY quiet-box task band (generous: observed readings
+# ± ~30%); a reading outside the band sets ``task_band_warn`` in the
+# detail sidecar (warn-not-fail — AQE wobble stays non-blocking, but
+# the next round's audit sees the flag and re-reads the plan).
+# Observed quiet-box readings: q106 99–118 tasks (r10), q153 717–751
+# (r11/r12) at stable jobs+stages.
+AQE_ITERATIVE = {
+    "q106_pagerank": (70, 155),
+    "q153_curation_pipeline": (500, 980),
+}
 
 
 def _run(df) -> None:
@@ -193,13 +206,27 @@ def main() -> None:
             spark.sparkContext.setJobGroup("", "")
             _drop_persistent_blocks(spark)
         timings[name] = min(runs)
+        counts = _group_counts(spark, group)
         detail[name] = {
             "runs": runs,
-            **_group_counts(spark, group),
+            **counts,
             "fp_compare": (
                 "jobs+stages" if name in AQE_ITERATIVE else "jobs+stages+tasks"
             ),
         }
+        if name in AQE_ITERATIVE:
+            lo, hi = AQE_ITERATIVE[name]
+            detail[name]["task_band"] = [lo, hi]
+            if not (lo <= counts["tasks"] <= hi):
+                # advisory only (ADVICE r12): flag for the round audit,
+                # never fail the bench
+                detail[name]["task_band_warn"] = True
+                print(
+                    f"bench.py: {name} tasks={counts['tasks']} outside "
+                    f"advisory quiet-box band [{lo}, {hi}] — re-read the "
+                    "plan before adjudicating box noise",
+                    file=sys.stderr,
+                )
         if name in BATTERY_ARMS:
             import importlib
 
