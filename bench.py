@@ -140,6 +140,18 @@ AQE_ITERATIVE = {
     "q153_curation_pipeline": (500, 980),
 }
 
+# r13: q107's STAGE count is AQE-variable too — measured bistable on
+# byte-identical code (consecutive standalone runs read 24/272 and
+# 25/273 stages/tasks; the in-suite r12→r13 readings span 23/138 →
+# 24/171), because its token-stream exchange is sometimes reused and
+# sometimes re-materialized under AQE's runtime stats. Jobs are pinned
+# (11) — that is the hard fingerprint; stages+tasks get an advisory
+# band like the iterative entries (same warn-not-fail contract).
+AQE_VARIABLE = {
+    # name -> ((stage_lo, stage_hi), (task_lo, task_hi))
+    "q107_dsir_importance": ((22, 27), (100, 350)),
+}
+
 
 def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -211,7 +223,9 @@ def main() -> None:
             "runs": runs,
             **counts,
             "fp_compare": (
-                "jobs+stages" if name in AQE_ITERATIVE else "jobs+stages+tasks"
+                "jobs+stages"
+                if name in AQE_ITERATIVE
+                else ("jobs" if name in AQE_VARIABLE else "jobs+stages+tasks")
             ),
         }
         if name in AQE_ITERATIVE:
@@ -225,6 +239,19 @@ def main() -> None:
                     f"bench.py: {name} tasks={counts['tasks']} outside "
                     f"advisory quiet-box band [{lo}, {hi}] — re-read the "
                     "plan before adjudicating box noise",
+                    file=sys.stderr,
+                )
+        elif name in AQE_VARIABLE:
+            (slo, shi), (tlo, thi) = AQE_VARIABLE[name]
+            detail[name]["stage_band"] = [slo, shi]
+            detail[name]["task_band"] = [tlo, thi]
+            if not (slo <= counts["stages"] <= shi and tlo <= counts["tasks"] <= thi):
+                detail[name]["task_band_warn"] = True
+                print(
+                    f"bench.py: {name} stages={counts['stages']}/"
+                    f"tasks={counts['tasks']} outside advisory bands "
+                    f"[{slo},{shi}]/[{tlo},{thi}] — re-read the plan "
+                    "before adjudicating box noise",
                     file=sys.stderr,
                 )
         if name in BATTERY_ARMS:
