@@ -397,7 +397,8 @@ def triangle_stats(
     aggregate over the degree frame.
 
     Determinism: every output is an exact integer except clustering
-    = an exact-integer ratio rounded to 6 decimals."""
+    = an exact-integer ratio, UNROUNDED (r13) — one IEEE
+    multiply+divide, identical on both engines."""
     canon = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("u"),
