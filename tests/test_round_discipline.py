@@ -109,21 +109,28 @@ ALLOWED = {
     ),
     ("operators/similarity.py", "sq8_recon_stats"): (
         4,
-        "KEEP (2 semantic quantization, scale_r full-entropy input) + "
-        "R14-REMOVE (mean_abs_err: small decimal sum / count, q108 — "
-        "deferred from r13: the r13 window was exactly full at 50 "
-        "after the 7 operator + 5 suite removals; touching "
-        "similarity.py stales its 11-entry family)",
+        "KEEP all 4 (2 semantic quantization, scale_r full-entropy, "
+        "mean_abs_err RECLASSIFIED KEEP by the r13 measurement: its "
+        "err-term DECIMAL(18,9) absorb consumes dyadic-derived values "
+        "- the tie class that split jl_project at sf0.1 - so the "
+        "final round is the mask; SCALING.md r13 section)",
     ),
     ("operators/similarity.py", "jl_project"): (
         1,
-        "R14-AUDIT: root is sqrt(integer); pin term provenance first "
-        "(q110; deferred from r13 with the similarity family)",
+        "KEEP (r13 AUDIT resolved by MEASUREMENT, not analysis: the "
+        "per-term CAST(x*s AS DECIMAL(18,9)) ties on odd multiples "
+        "of 2^-10 present in the embeddings - 2 of 128k values at "
+        "sf0.1, Spark HALF_UP vs DuckDB HALF_EVEN splits d_j by 1e-9 "
+        "- and the final round-6 masks it; "
+        "tools/probe_similarity_rounds.py)",
     ),
     ("operators/similarity.py", "feature_hash_vectors"): (
         1,
-        "R14-AUDIT: pin final-expression provenance (q116; deferred "
-        "from r13 with the similarity family)",
+        "R14-REMOVE (PRE-GATED r13: integer sums -> sqrt -> divide, "
+        "no decimal absorb anywhere upstream; unrounded bit-exact vs "
+        "DuckDB at sf0.001/0.01/0.1 - tools/probe_similarity_rounds"
+        ".py; lands r14 when staling the similarity family fits the "
+        "window)",
     ),
 }
 
@@ -262,19 +269,17 @@ def test_every_operator_round_is_classified():
 
 
 def test_r14_queue_matches_notes():
-    """The R14-REMOVE/R14-AUDIT tags here ARE the r14 work list — the
-    similarity.py trio deferred from r13 (window arithmetic: the 7
-    operator-side removals + 5 suite-side sites staled exactly 21
-    entries, filling the 50-row window to the last slot; similarity's
-    11-entry family had to wait). Keep in sync with NOTES_r13."""
+    """The R14-REMOVE tags here ARE the r14 work list. The r13 probe
+    (tools/probe_similarity_rounds.py) resolved the deferred trio by
+    measurement: jl_project and sq8 mean_abs_err reclassified KEEP
+    (the decimal-absorb TIE class — SCALING.md r13 section),
+    feature_hash_vectors pre-gated REMOVE. One more r14 site lives
+    suite-side only: q77's price/total share round (pre-gated by the
+    same probe; see SUITE_ROUND_ALLOWED above). Keep in sync with
+    NOTES_r13."""
     pending = [
         k for k, v in ALLOWED.items() if "R14-" in v[1]
     ]
-    # 3 similarity sites (1 REMOVE inside the mixed sq8_recon_stats
-    # row + 2 AUDIT); no R13 tags may remain. A 4th r14 site lives
-    # suite-side only: q77's price/total share round (see the
-    # SUITE_ROUND_ALLOWED classification above — found by this census
-    # extension, deferred for window arithmetic).
     stale_tags = [k for k, v in ALLOWED.items() if "R13-" in v[1]]
     assert not stale_tags, stale_tags
-    assert len(pending) == 3, pending
+    assert len(pending) == 1, pending
