@@ -1179,13 +1179,16 @@ def feature_hash_vectors(
     kNN graph (q114), JL (q110), SQ8/PQ compression, cosine ANN —
     without any embedding model in the loop.
 
-    Output: (id, n_tokens, f_0 … f_{dim-1}) with components rounded
-    to 6 decimals; all-empty docs (norm 0) emit zero vectors.
+    Output: (id, n_tokens, f_0 … f_{dim-1}) as unrounded doubles;
+    all-empty docs (norm 0) emit zero vectors.
 
     Plan: one explode + ONE grouped aggregate with ``dim``
     conditional integer sums (map-side combined — the q110 shape);
     the norm is an exact integer sum-of-squares under a deterministic
-    sqrt, so components are engine-exact."""
+    sqrt, so components are engine-exact WITHOUT a display round
+    (integer sums → one sqrt → one IEEE divide, no decimal absorb
+    anywhere upstream — pre-gated bit-exact vs DuckDB at
+    sf0.001/0.01/0.1 by tools/probe_similarity_rounds.py, r13)."""
     from ironman_medallion_lakehouse_spark.operators.dedup import (
         token_hash_raw,
         words,
@@ -1228,12 +1231,9 @@ def feature_hash_vectors(
         F.col(id_col),
         F.col("n_tokens"),
         *[
-            F.round(
-                F.when(nrm == 0, F.lit(0.0)).otherwise(
-                    F.col(f"_f{j}").cast("double") / nrm
-                ),
-                6,
-            ).alias(f"f_{j}")
+            F.when(nrm == 0, F.lit(0.0))
+            .otherwise(F.col(f"_f{j}").cast("double") / nrm)
+            .alias(f"f_{j}")
             for j in range(dim)
         ],
     )

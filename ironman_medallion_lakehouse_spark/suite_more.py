@@ -985,8 +985,8 @@ def q75_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q77_scalar_subquery",
     oracle="""
     SELECT o_orderkey, o_totalprice,
-           ROUND(o_totalprice / (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
-                                        / COUNT(o_totalprice) FROM orders), 4) AS price_ratio
+           o_totalprice / (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                                  / COUNT(o_totalprice) FROM orders) AS price_ratio
     FROM orders
     WHERE o_totalprice > 1.8 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
                                      / COUNT(o_totalprice) FROM orders)
@@ -1002,8 +1002,8 @@ def q77_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderkey, o_totalprice,
-               ROUND(o_totalprice / (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
-                                            / COUNT(o_totalprice) FROM orders), 4) AS price_ratio
+               o_totalprice / (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                                      / COUNT(o_totalprice) FROM orders) AS price_ratio
         FROM orders
         WHERE o_totalprice > 1.8 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
                                          / COUNT(o_totalprice) FROM orders)

@@ -1421,7 +1421,7 @@ _Q116_SIGN = (
       FROM g
     )
     SELECT doc_id, n_tokens,
-      {", ".join(f"ROUND(CASE WHEN nrm = 0 THEN 0.0 ELSE CAST(f{j} AS DOUBLE) / nrm END, 6) AS f_{j}" for j in range(_Q116_DIM))}
+      {", ".join(f"CASE WHEN nrm = 0 THEN 0.0 ELSE CAST(f{j} AS DOUBLE) / nrm END AS f_{j}" for j in range(_Q116_DIM))}
     FROM n
     """,
 )
@@ -1432,8 +1432,9 @@ def q116_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     featurizer feeding this repo's vector toolbox (kNN graph, JL,
     SQ8/PQ, cosine ANN) straight from raw text. One explode + one
     grouped aggregate of 16 conditional integer sums; exact integer
-    norm under one sqrt makes every component engine-exact at 6
-    decimals."""
+    norm under one sqrt makes every component engine-exact UNROUNDED
+    (integer sums → sqrt → one IEEE divide; pre-gated bit-exact at
+    3 SFs, tools/probe_similarity_rounds.py r13)."""
     t = load_tables(spark, sf_dir, "documents")
     return S.feature_hash_vectors(t["documents"], dim=_Q116_DIM)
 

@@ -124,14 +124,9 @@ ALLOWED = {
         "- and the final round-6 masks it; "
         "tools/probe_similarity_rounds.py)",
     ),
-    ("operators/similarity.py", "feature_hash_vectors"): (
-        1,
-        "R14-REMOVE (PRE-GATED r13: integer sums -> sqrt -> divide, "
-        "no decimal absorb anywhere upstream; unrounded bit-exact vs "
-        "DuckDB at sf0.001/0.01/0.1 - tools/probe_similarity_rounds"
-        ".py; lands r14 when staling the similarity family fits the "
-        "window)",
-    ),
+    # feature_hash_vectors: round REMOVED r14 (pre-gated bit-exact at
+    # 3 SFs by tools/probe_similarity_rounds.py r13 — integer sums ->
+    # sqrt -> one IEEE divide, no decimal absorb anywhere upstream).
 }
 
 
@@ -175,14 +170,17 @@ def _census() -> dict[tuple[str, str], int]:
 # ---------------------------------------------------------------------------
 # Suite-file census (ADVICE r12): the operator AST walk cannot see the
 # DuckDB oracle SQL, where a boundary-reachable final ROUND can land
-# just as silently. Counts are REGEX totals per file — both the SQL
-# `ROUND(` occurrences inside oracle strings and the Spark-side
-# `F.round(` calls — against a classified expected count. Changing
-# either count fails this test until the new site is classified under
-# the NOTES_r12 rule (removable => don't round; load-bearing => keep
-# and bump the count with a reason).
+# just as silently. Counts are REGEX totals per file — the SQL
+# `round(` occurrences inside oracle strings (CASE-INSENSITIVE since
+# r14, ADVICE r13: DuckDB SQL is case-insensitive, so a lowercase
+# `round(` would otherwise evade the census — exactly the blind spot
+# that hid q77 from the r12 sweep) and the Spark-side `F.round(`
+# calls — against a classified expected count. Changing either count
+# fails this test until the new site is classified under the
+# NOTES_r12 rule (removable => don't round; load-bearing => keep and
+# bump the count with a reason).
 #
-# Classification of the current totals (r13 state, post-surgery):
+# Classification of the current totals (r14 state, post q77 removal):
 #   suite.py           3 SQL / 3 F.round — q05 growth, q07 finished_
 #     rate, q10 share_pct: SHAPE-PARITY with the reference dashboard
 #     ROUND(x*100/n, 1|2) contract (shared boundary risk accepted,
@@ -195,41 +193,49 @@ def _census() -> dict[tuple[str, str], int]:
 #     CUSUM/EWMA (association-order), q143 battery t/z/CI/p (wide
 #     Sx^2 casts + libm), QTE percentile-label constructor (semantic).
 #   suite_extensions.py 0 / 0 — clean after the r13 q146/q151 removal.
-#   suite_more.py      4 SQL / 3 F.round — q77 price/total share
-#     round (R14-REMOVE: the r12 suite census MISSED it — this r13
-#     census extension found it; mantissa-fitting decimal-cast ratio,
-#     exactly the removable class, but removing it stales q77 and the
-#     r13 window is full at 50), q125 revenue round-4 (no-op), q132
-#     median round-4 (avg of two 2dp values, no-op), q65 centered_k
-#     (pytest-only entry, no oracle to split).
-#   suite_training.py  8 SQL / 1 F.round — BM25 score round-4 x3
+#   suite_more.py      2 SQL / 3 F.round — q125 revenue round-4
+#     (no-op), q132 median round-4 (avg of two 2dp values, no-op),
+#     q65 centered_k (pytest-only entry, no oracle to split). The q77
+#     price/total share round was REMOVED r14 on both sides
+#     (pre-gated bit-exact at 3 SFs, tools/probe_similarity_rounds
+#     .py r13).
+#   suite_training.py  9 SQL / 1 F.round — BM25 score round-4 x3
 #     (idf is ln libm; mirrors ranking.bm25_topk's KEEP), sq8
-#     scale_r/mean_abs_err + jl proj_j + q116 f_j (mirror the
-#     similarity.py KEEP/R14 sites — remove together in r14), q137
-#     priority round x2 (absorbs last-ulp ln wobble at |p|~1e3).
+#     scale_r/mean_abs_err + jl proj_j (mirror the similarity.py
+#     KEEP sites), q137 priority round x2 (absorbs last-ulp ln
+#     wobble at |p|~1e3), PLUS the 2 lowercase sq8 quantization
+#     `round(x/scale*127)` sites the case-insensitive r14 census now
+#     sees (KEEP: semantic quantization mirroring sq8_encode, not
+#     display rounds). The q116 f_j round was REMOVED r14 with its
+#     operator twin.
 #   suite_views.py     7 SQL / 7 F.round — the reference's own
 #     dashboard ROUND contract (parity-bound, as plans/views.py).
 #   plans/views.py     38 SQL — the 15 reference view bodies
 #     (verbatim output contract).
 SUITE_ROUND_ALLOWED = {
-    # file (relative to the package) -> (SQL ROUND( count, F.round( count)
+    # file (relative to the package) ->
+    #   (SQL round( count — case-insensitive, F.round( count)
     "suite.py": (3, 3),
     "suite_analytics.py": (31, 5),
     "suite_extensions.py": (0, 0),
-    "suite_more.py": (4, 3),
-    "suite_training.py": (8, 1),
+    "suite_more.py": (2, 3),
+    "suite_training.py": (9, 1),
     "suite_views.py": (7, 7),
     "plans/views.py": (38, 0),
 }
 
 
 def test_suite_round_census_matches_classification():
+    import re
+
     for rel, (want_sql, want_f) in SUITE_ROUND_ALLOWED.items():
         text = (PKG / rel).read_text()
-        got_sql = text.count("ROUND(")
         got_f = text.count("F.round(")
+        # case-insensitive (ADVICE r13): `F.round(` also matches the
+        # \bround( pattern (the '.' is a word boundary), so subtract it
+        got_sql = len(re.findall(r"(?i)\bround\(", text)) - got_f
         assert (got_sql, got_f) == (want_sql, want_f), (
-            f"{rel}: ROUND(/F.round( census drifted — got "
+            f"{rel}: round(/F.round( census drifted — got "
             f"({got_sql}, {got_f}), classified ({want_sql}, {want_f}); "
             "classify the new/removed site under the NOTES_r12 rule "
             "and update SUITE_ROUND_ALLOWED with the reason"
@@ -268,18 +274,15 @@ def test_every_operator_round_is_classified():
     )
 
 
-def test_r14_queue_matches_notes():
-    """The R14-REMOVE tags here ARE the r14 work list. The r13 probe
-    (tools/probe_similarity_rounds.py) resolved the deferred trio by
-    measurement: jl_project and sq8 mean_abs_err reclassified KEEP
-    (the decimal-absorb TIE class — SCALING.md r13 section),
-    feature_hash_vectors pre-gated REMOVE. One more r14 site lives
-    suite-side only: q77's price/total share round (pre-gated by the
-    same probe; see SUITE_ROUND_ALLOWED above). Keep in sync with
-    NOTES_r13."""
+def test_no_pending_removal_tags():
+    """r14 landed the last two scheduled removals (feature_hash_vectors
+    operator+oracle, q77 share round both sides — both pre-gated
+    bit-exact at 3 SFs by tools/probe_similarity_rounds.py r13). Every
+    remaining classified site is KEEP or NO-OP by measurement; a new
+    deferred-removal tag (R15-REMOVE etc.) must carry its window
+    arithmetic in the tag text, and this assert goes back to counting
+    it."""
     pending = [
-        k for k, v in ALLOWED.items() if "R14-" in v[1]
+        k for k, v in ALLOWED.items() if "-REMOVE" in v[1] or "-AUDIT" in v[1]
     ]
-    stale_tags = [k for k, v in ALLOWED.items() if "R13-" in v[1]]
-    assert not stale_tags, stale_tags
-    assert len(pending) == 1, pending
+    assert not pending, pending

@@ -585,7 +585,9 @@ def test_feature_hash_unit_norm_and_determinism(spark):
     v2 = [getattr(out[2], f"f_{j}") for j in range(8)]
     v3 = [getattr(out[3], f"f_{j}") for j in range(8)]
     assert v1 == v2 != v3
-    assert abs(sum(x * x for x in v1) - 1.0) < 1e-4
+    # components are unrounded since r14 (integer sums -> sqrt -> one
+    # IEEE divide), so the norm is exact to accumulated ulp, not 1e-4
+    assert abs(sum(x * x for x in v1) - 1.0) < 1e-12
     assert out[1].n_tokens == 5
 
 
