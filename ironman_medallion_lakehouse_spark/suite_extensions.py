@@ -1718,13 +1718,20 @@ def q139_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   3 — non-JSON garbage    garbage N {unclosed     → quarantined whole
 # (text payload is md5(text): JSON-safe by construction, so the planted
 # line needs no escaping and the oracle rebuilds it byte-identically).
-# The file is WRITTEN to shared staging and read back through
-# sources/jsonl.read_jsonl + split_quarantine — the real landing path —
-# and the row oracles: per-class counts, the parsed-value checksum over
-# clean rows, and md5 fingerprints of BOTH sides' full contents (clean
-# rendered rows; quarantined VERBATIM raw lines) against a DuckDB
-# replay of the generative formulas. raw_fp matching proves retention
-# is verbatim; clean_fp proves absent fields land as NULLs, not drops.
+# Since r14 the dump is read back through the STREAMING landing path
+# (sources/jsonl.read_jsonl_stream — the q146/q149/q152 file-stream
+# pattern, VERDICT r12/r13 queue item): the dump lands as TWO text
+# files appended across processAllAvailable() calls (split by doc_id
+# parity, so every class crosses the micro-batch boundary), parsed
+# rows accumulate in a memory sink, and split_quarantine + the same
+# aggregate run over the sink table. The row oracles: per-class
+# counts, the parsed-value checksum over clean rows, and md5
+# fingerprints of BOTH sides' full contents (clean rendered rows;
+# quarantined VERBATIM raw lines) against a DuckDB replay of the
+# generative formulas. raw_fp matching proves retention is verbatim
+# ACROSS micro-batches; clean_fp proves absent fields land as NULLs,
+# not drops. Batch read_jsonl keeps its own coverage in
+# tests/test_jsonl_source.py (the two readers share _parse_lines).
 _Q148_NULL = "<null>"
 
 
@@ -1769,21 +1776,24 @@ _Q148_NULL = "<null>"
     """,
 )
 def q148_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSONL landing quarantine contract end-to-end (sources/jsonl.py):
-    a planted mixed dump — clean / absent-field / type-drifted /
-    garbage lines, one per document — is written to shared staging,
-    read back with read_jsonl's explicit-schema parse, split with
+    """JSONL landing quarantine contract end-to-end, driven through a
+    REAL file stream (sources/jsonl.read_jsonl_stream): a planted
+    mixed dump — clean / absent-field / type-drifted / garbage lines,
+    one per document — lands in shared staging as two text files
+    appended across live micro-batches, is parsed with the streaming
+    twin's explicit-schema contract into a memory sink, split with
     split_quarantine, and the per-class counts + both sides' content
     fingerprints are oracled against a DuckDB replay of the generative
     formulas (see the construction comment above). One corpus-sized
-    text scan + parse, one grouped aggregate — nothing driver-side."""
+    text scan + parse per micro-batch, one grouped aggregate over the
+    sink — nothing driver-side."""
     import os as _os
 
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     from ironman_medallion_lakehouse_spark.session import staging_dir
     from ironman_medallion_lakehouse_spark.sources.jsonl import (
-        read_jsonl,
+        read_jsonl_stream,
         split_quarantine,
     )
 
@@ -1813,7 +1823,12 @@ def q148_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = tempfile.mkdtemp(prefix="jsonlq_", dir=staging_dir(spark, "tablestore"))
     src = _os.path.join(root, "dump")
-    d.select(line.alias("value")).coalesce(1).write.mode("overwrite").text(src)
+    dump = d.select((F.col("doc_id") % 2).alias("_half"), line.alias("value"))
+    # batch 0 lands BEFORE the stream starts (cold-start discovery);
+    # batch 1 is appended while the query is live (new-file discovery)
+    dump.filter(F.col("_half") == 0).select("value").coalesce(1).write.mode(
+        "append"
+    ).text(src)
 
     schema = StructType(
         [
@@ -1822,7 +1837,24 @@ def q148_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("lang", StringType()),
         ]
     )
-    clean, quar = split_quarantine(read_jsonl(spark, src, schema))
+    sink = f"jsonlq_sink_{abs(hash(root)) % 100000}"
+    q = (
+        read_jsonl_stream(spark, src, schema)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # micro-batch 0: even doc_ids
+        dump.filter(F.col("_half") == 1).select("value").coalesce(1).write.mode(
+            "append"
+        ).text(src)
+        q.processAllAvailable()  # micro-batch 1: odd doc_ids
+        landed = spark.table(sink).localCheckpoint()  # materialize pre-stop
+    finally:
+        q.stop()
+    clean, quar = split_quarantine(landed)
     crow = clean.select(
         F.concat_ws(
             "|",
@@ -2324,9 +2356,12 @@ def q153_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = curate(
         spark,
         t["documents"],
-        min_words=30,
-        max_top_bigram=0.15,
-        min_stopword_ratio=0.02,
+        # the shared _Q89_* constants, NOT literals: the oracle's gate
+        # stage interpolates the same names, so a threshold change
+        # cannot drift one side silently (ADVICE r11)
+        min_words=_Q89_MIN_WORDS,
+        max_top_bigram=_Q89_MAX_TBF,
+        min_stopword_ratio=_Q89_MIN_SWR,
         dedup_threshold=_Q83_THRESHOLD,
         dedup_bands=_Q83_BANDS,
         sample_rates=_Q153_RATES,
