@@ -84,10 +84,17 @@ SITES = [
         """,
     ),
     (
-        "q122 trending score DECIMAL(18,9) sum <= max per-item count",
+        # ADVICE r13: bound with the decayed sum DIRECTLY, not the
+        # per-item count — the count bound assumed every contribution
+        # 0.5^(age/hl) <= 1, which a regen with events AFTER the
+        # 2024-01-31 reference_ts (negative ages) would break silently
+        "q122 trending score DECIMAL(18,9) max per-item decayed sum",
         1e9,
-        """SELECT MAX(c) FROM (SELECT COUNT(*) c FROM events
-           GROUP BY json_extract_string(props, '$.k'))""",
+        f"""SELECT MAX(s) FROM (
+              SELECT SUM(power(0.5,
+                (CAST(floor(epoch({_END})) AS BIGINT)
+                 - CAST(floor(epoch(ts)) AS BIGINT)) / 86400.0 / 7.0)) s
+              FROM events GROUP BY json_extract_string(props, '$.k'))""",
     ),
     (
         "q131 twap numerator max per-user SUM(v*dur) DECIMAL(·,4)",
@@ -155,6 +162,36 @@ def test_unrounded_cast_site_fits_mantissa(con, site, scale, sql):
         "here; re-classify the site KEEP (restore the absorbing "
         "round on BOTH sides) per the NOTES_r12 rule"
     )
+
+
+def test_rrf_contribution_never_lands_on_a_decimal_tie():
+    """ADVICE r13 tie-class entry: rrf_fuse's unrounded score sums
+    DECIMAL(18,12)-cast contributions 1/(k+rank). The decimal-absorb
+    tie criterion (SCALING.md r13) — a CAST(double AS DECIMAL(p,s))
+    ties, splitting Spark HALF_UP vs DuckDB HALF_EVEN, iff the value
+    is an odd multiple of 2^-(s+1) — is reachable here only at
+    k+rank = 8192 (1/n is dyadic iff n is a power of two, and the
+    only odd-multiple-of-2^-13 reciprocal is 1/8192 itself). This
+    pins every suite rrf call site's (k + max rank) under that bound
+    so a list-size regen cannot silently cross it."""
+    from ironman_medallion_lakehouse_spark import suite_training as st
+
+    for name, rrf_k, topn in [
+        ("q101", st._Q101_RRF_K, st._Q101_TOPN),
+        ("q134", st._Q134_RRF_K, st._Q134_TOPN),
+    ]:
+        assert rrf_k + topn < 8192, (
+            f"{name}: k+max_rank = {rrf_k + topn} reaches the "
+            "1/8192 = odd·2^-13 DECIMAL(18,12) cast tie — restore a "
+            "final round on both sides or shrink the list"
+        )
+    # the criterion itself, pinned: among all reachable reciprocals,
+    # exactly 1/8192 is an odd multiple of 2^-13
+    def is_tie(n: int) -> bool:
+        m = (1.0 / n) * 2**13
+        return m == int(m) and int(m) % 2 == 1
+
+    assert {n for n in range(2, 10000) if is_tie(n)} == {8192}
 
 
 def test_second_moments_do_cross_where_rounds_were_kept(con):

@@ -98,6 +98,17 @@ def main() -> None:
     need = len(mandatory | urgents)
 
     print(f"round about to run: r{this_round}; window {WINDOW} rows")
+    if rounds and max(rounds.values()) < _latest_round():
+        # gap-1 artifact (VERDICT r13 item 4): CORRECTNESS_r{N} exists
+        # but SUITE_STATE still carries r{N-1} stamps, so every r{N}
+        # green reads as stale and the arithmetic looks wildly OVER.
+        # The ritual (tools/update_suite_state.py) must run first.
+        print(
+            "WARNING: SUITE_STATE is PRE-RITUAL (latest stamp "
+            f"r{max(rounds.values())} < latest CORRECTNESS "
+            f"r{_latest_round()}) — the numbers below overcount; run "
+            "tools/update_suite_state.py first"
+        )
     print(f"already stale: {len(already)}")
     if targets:
         print(f"would newly stale ({len(new_stale)}):")
