@@ -6,17 +6,21 @@ metadata; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages so the payload never round-trips
 through Python row-by-row.
 
-Decode support (r4): UNCOMPRESSED formats are decoded for REAL with
-stdlib + numpy — binary PPM (P6) images (``ppm_decode`` /
-``ppm_resize``: header parse, pixel-stat features, nearest-neighbor
-resize + re-encode) and PCM WAV audio (``wav_decode``: stdlib ``wave``
-+ numpy → duration / RMS / zero-crossing features). Only COMPRESSED
-codecs (JPEG/PNG/MP3/H.264 …) remain behind
-``deterministic_fake_decoder`` / NotImplementedError — those libraries
-are genuinely absent from this container; a PIL/ffmpeg-backed decoder
-is a drop-in ``decoder=`` swap. Everything Spark-side — schema,
-partitioning, batch iteration, UDF signatures — is identical between
-the real and stub paths.
+Decode support: UNCOMPRESSED formats decode for REAL with stdlib +
+numpy — binary PPM (P6) images (``ppm_decode`` / ``ppm_resize``:
+header parse, pixel-stat features, nearest-neighbor resize +
+re-encode, r4) and PCM WAV audio (``wav_decode``: stdlib ``wave`` +
+numpy → duration / RMS / zero-crossing features, r4). Since r14 one
+COMPRESSED codec is also real: PNG (``png_decode`` / ``encode_png``)
+— the container is DEFLATE (stdlib ``zlib``) and the five scanline
+filters are public-spec arithmetic (ISO/IEC 15948 §9 / RFC 2083), so
+no external library is involved. ``image_decode`` dispatches on the
+payload magic (P6 → PPM, \\x89PNG → PNG). Remaining compressed codecs
+(JPEG/MP3/H.264 …) stay behind ``deterministic_fake_decoder`` /
+NotImplementedError — those decoders genuinely need absent libraries;
+a PIL/ffmpeg-backed decoder is a drop-in ``decoder=`` swap. Everything
+Spark-side — schema, partitioning, batch iteration, UDF signatures —
+is identical between the real and stub paths.
 """
 
 from __future__ import annotations
@@ -85,7 +89,8 @@ def pil_image_decoder(payload: bytes) -> dict:
     except ImportError as e:  # pragma: no cover - environment-limited
         raise NotImplementedError(
             "pil_image_decoder needs Pillow on the executors; in-container "
-            "formats (P6 PPM, PCM WAV) decode via ppm_decode/wav_decode"
+            "formats (P6 PPM, 8-bit PNG, PCM WAV) decode via "
+            "image_decode/ppm_decode/png_decode/wav_decode"
         ) from e
     img = Image.open(io.BytesIO(payload)).convert("RGB")  # pragma: no cover
     px = np.asarray(img, dtype=np.float64)  # pragma: no cover
@@ -136,9 +141,9 @@ def _ppm_header(payload: bytes) -> tuple[int, int, int]:
     255\\n``)."""
     if not payload or not payload.startswith(b"P6"):
         raise NotImplementedError(
-            "only binary PPM (P6) images decode in-container; compressed "
-            "codecs (JPEG/PNG/...) need PIL/ffmpeg — pass a codec-backed "
-            "decoder="
+            "not a binary PPM (P6) payload — use image_decode to "
+            "dispatch across the in-container codecs (PPM, PNG), or a "
+            "codec-backed decoder= (PIL/ffmpeg) for other formats"
         )
     # header = 4 whitespace-separated tokens: magic, width, height,
     # maxval; pixel bytes start right after the single whitespace
@@ -158,17 +163,13 @@ def _ppm_header(payload: bytes) -> tuple[int, int, int]:
     return w, h, pos
 
 
-def ppm_decode(payload: bytes) -> dict:
-    """REAL image decode for binary PPM (P6): parse the header, load
-    the pixel matrix, return dimensions + an 8-dim feature
-    [mean R,G,B, std R,G,B, aspect, brightness] — all numpy-vectorized
-    per payload."""
-    import numpy as np
-
-    w, h, pos = _ppm_header(payload)
-    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos).reshape(
-        h, w, 3
-    )
+def _rgb_features(px, w: int, h: int) -> dict:
+    """Shared feature extraction over a decoded (h, w, 3) uint8 pixel
+    matrix: dimensions + the 8-dim feature
+    [mean R,G,B, std R,G,B, aspect, brightness]. Every image codec
+    funnels through this ONE implementation, so two codecs decoding
+    the same pixels produce BIT-IDENTICAL features — the property
+    q54's cross-codec attestation relies on."""
     means = px.mean(axis=(0, 1)) / 255.0
     stds = px.std(axis=(0, 1)) / 255.0
     return {
@@ -180,6 +181,19 @@ def ppm_decode(payload: bytes) -> dict:
             float(w) / float(h), float(means.mean()),
         ],
     }
+
+
+def ppm_decode(payload: bytes) -> dict:
+    """REAL image decode for binary PPM (P6): parse the header, load
+    the pixel matrix, return dimensions + the shared 8-dim feature —
+    all numpy-vectorized per payload."""
+    import numpy as np
+
+    w, h, pos = _ppm_header(payload)
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos).reshape(
+        h, w, 3
+    )
+    return _rgb_features(px, w, h)
 
 
 def ppm_resize(payload: bytes, width: int, height: int) -> bytes:
@@ -194,6 +208,208 @@ def ppm_resize(payload: bytes, width: int, height: int) -> bytes:
     yi = (np.arange(height) * h0 // height).clip(0, h0 - 1)
     xi = (np.arange(width) * w0 // width).clip(0, w0 - 1)
     return encode_ppm(px[yi][:, xi])
+
+
+# --------------------------------------------------------------- PNG
+#
+# A real COMPRESSED image codec, in-container (r14): PNG's container
+# is DEFLATE — stdlib ``zlib`` — and its five scanline filters
+# (None/Sub/Up/Average/Paeth) are public-spec integer arithmetic
+# (ISO/IEC 15948 §9 / RFC 2083). No Pillow involved. JPEG remains
+# env-gated (Huffman+DCT decode genuinely needs an absent library or
+# a much larger hand-rolled decoder).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# colortype -> samples per pixel (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a, b, c):
+    """Paeth predictor over int16 arrays (spec §9.4): nearest of
+    left/up/upper-left to p = a + b - c, ties broken a, b, c."""
+    import numpy as np
+
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(pixels) -> bytes:
+    """numpy (h, w, 3) uint8 → PNG bytes, pure stdlib zlib/struct.
+
+    The scanline filter CYCLES 0..4 by row, so any image with ≥ 5 rows
+    exercises every PNG filter type (None/Sub/Up/Average/Paeth) — the
+    encoder doubles as a decoder-coverage fixture, and the synthesized
+    q54 corpus (h ≥ 8) always crosses all five unfilter paths."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, c = px.shape
+    if c != 3:
+        raise NotImplementedError("encode_png writes 8-bit RGB (colortype 2) only")
+    bpp = 3
+    zeros = np.zeros(bpp, dtype=np.int16)
+    prev = np.zeros(w * bpp, dtype=np.int16)
+    raw = bytearray()
+    for y in range(h):
+        row = px[y].reshape(-1).astype(np.int16)
+        left = np.concatenate([zeros, row[:-bpp]])
+        f = y % 5
+        if f == 0:
+            filt = row
+        elif f == 1:  # Sub
+            filt = row - left
+        elif f == 2:  # Up
+            filt = row - prev
+        elif f == 3:  # Average (floor of the unsigned mean)
+            filt = row - ((left + prev) >> 1)
+        else:  # Paeth
+            ul = np.concatenate([zeros, prev[:-bpp]])
+            filt = row - _paeth(left, prev, ul)
+        raw.append(f)
+        raw.extend((filt & 0xFF).astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, bpp: int):
+    """Reverse the per-scanline filters → (h, w*bpp) uint8.
+
+    None/Sub/Up are fully vectorized (Sub's recurrence
+    ``recon[x] = filt[x] + recon[x-bpp]`` is a cumsum mod 256 per byte
+    lane). Average/Paeth depend on the JUST-reconstructed left pixel,
+    so they loop over x with bpp-vector steps — O(w) tiny numpy ops
+    per such row, amortized fine inside the Arrow batch loop."""
+    import numpy as np
+
+    stride = w * bpp
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG pixel stream length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int16)
+        pos += 1 + stride
+        prev = out[y - 1].astype(np.int16) if y else np.zeros(stride, np.int16)
+        if f == 0:
+            recon = line
+        elif f == 1:  # Sub: cumulative sum per lane, mod 256
+            recon = (
+                line.reshape(w, bpp).astype(np.int64).cumsum(axis=0) % 256
+            ).reshape(-1)
+        elif f == 2:  # Up
+            recon = (line + prev) & 0xFF
+        elif f == 3:  # Average
+            fl, pv = line.reshape(w, bpp), prev.reshape(w, bpp)
+            rec = np.zeros((w, bpp), np.int16)
+            left = np.zeros(bpp, np.int16)
+            for x in range(w):
+                left = (fl[x] + ((left + pv[x]) >> 1)) & 0xFF
+                rec[x] = left
+            recon = rec.reshape(-1)
+        elif f == 4:  # Paeth
+            fl, pv = line.reshape(w, bpp), prev.reshape(w, bpp)
+            rec = np.zeros((w, bpp), np.int16)
+            left = np.zeros(bpp, np.int16)
+            ul = np.zeros(bpp, np.int16)
+            for x in range(w):
+                left = (fl[x] + _paeth(left, pv[x], ul)) & 0xFF
+                rec[x] = left
+                ul = pv[x]
+            recon = rec.reshape(-1)
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = recon.astype(np.uint8)
+    return out
+
+
+def png_decode(payload: bytes) -> dict:
+    """REAL decode for 8-bit non-interlaced PNG (colortypes 0/2/6):
+    walk the chunk stream (CRC-verified), inflate the IDATs with
+    stdlib zlib, reverse the scanline filters, and return the SAME
+    dimensions + 8-dim feature contract as ``ppm_decode`` (grayscale
+    is replicated to RGB; alpha is dropped). Palette, 16-bit, and
+    Adam7-interlaced PNGs raise NotImplementedError."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not payload or not payload.startswith(_PNG_SIG):
+        raise NotImplementedError("not a PNG payload")
+    pos, ihdr, idat = len(_PNG_SIG), None, bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if crc != zlib.crc32(typ + data) & 0xFFFFFFFF:
+            raise ValueError(f"PNG chunk CRC mismatch in {typ!r}")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.extend(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in _PNG_CHANNELS or comp != 0 or filt != 0:
+        raise NotImplementedError(
+            f"only 8-bit gray/RGB/RGBA PNG decodes in-container "
+            f"(depth={depth}, colortype={color})"
+        )
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    bpp = _PNG_CHANNELS[color]
+    flat = _png_unfilter(zlib.decompress(bytes(idat)), w, h, bpp)
+    px = flat.reshape(h, w, bpp)
+    if bpp == 1:
+        px = np.repeat(px, 3, axis=2)
+    elif bpp == 4:
+        px = px[:, :, :3]
+    return _rgb_features(np.ascontiguousarray(px), w, h)
+
+
+def image_decode(payload: bytes) -> dict:
+    """Magic-dispatching image decoder over the real in-container
+    codecs: P6 → ``ppm_decode``, \\x89PNG → ``png_decode``. Anything
+    else (JPEG/WebP/…) raises NotImplementedError — route those rows
+    to a PIL-backed ``decoder=`` on a cluster that has it."""
+    if payload and payload.startswith(b"P6"):
+        return ppm_decode(payload)
+    if payload and payload.startswith(_PNG_SIG):
+        return png_decode(payload)
+    raise NotImplementedError(
+        "in-container image codecs are binary PPM (P6) and 8-bit PNG; "
+        "other formats (JPEG/WebP/...) need a codec-backed decoder= "
+        "(e.g. pil_image_decoder on a Pillow-equipped cluster)"
+    )
 
 
 AUDIO_SCHEMA = StructType(
@@ -268,6 +484,55 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_batches, AUDIO_SCHEMA)
 
 
+def _gradient_pixels(text) -> "object":
+    """The generative pixel formula shared by every synthesized image
+    corpus: dimensions 8..16 and colors derive from md5(text)
+    (R ramps over x, G over y, B constant = digest[2]). q54's DuckDB
+    oracle replays the SAME formula, so keeping it in ONE place is
+    what makes the cross-codec attestation airtight — PPM and PNG
+    arms encode literally identical pixel matrices."""
+    import numpy as np
+
+    d = hashlib.md5(str(text).encode()).digest()
+    w, h = 8 + d[0] % 9, 8 + d[1] % 9
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            (xx * 255 // max(w - 1, 1)).astype(np.uint8),
+            (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+            np.full((h, w), d[2], dtype=np.uint8),
+        ],
+        axis=-1,
+    )
+
+
+def _synthesize_image_payloads(
+    docs: DataFrame, id_col: str, text_col: str, encoder, media_type: str
+) -> DataFrame:
+    """Common mapInPandas driver for the synthesized image corpora:
+    one ``_gradient_pixels`` matrix per doc, pushed through the given
+    real encoder (PPM or PNG)."""
+    from ironman_medallion_lakehouse_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(docs.sparkSession)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [encoder(_gradient_pixels(text)) for text in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].values,
+                    "payload": payloads,
+                    "media_type": [media_type] * len(payloads),
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _batches, MEDIA_SCHEMA
+    )
+
+
 def synthesize_ppm_payloads(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -276,39 +541,23 @@ def synthesize_ppm_payloads(
     derive deterministically from the text's md5 — so the decode stage
     exercises an actual codec path end-to-end in-container, and any
     engine re-deriving the same bytes gets identical features."""
-    from ironman_medallion_lakehouse_spark.session import ensure_package_on_executors
+    return _synthesize_image_payloads(
+        docs, id_col, text_col, encode_ppm, "image/x-portable-pixmap"
+    )
 
-    ensure_package_on_executors(docs.sparkSession)
 
-    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        for pdf in it:
-            payloads = []
-            for text in pdf[text_col]:
-                d = hashlib.md5(str(text).encode()).digest()
-                w, h = 8 + d[0] % 9, 8 + d[1] % 9
-                yy, xx = np.mgrid[0:h, 0:w]
-                px = np.stack(
-                    [
-                        (xx * 255 // max(w - 1, 1)).astype(np.uint8),
-                        (yy * 255 // max(h - 1, 1)).astype(np.uint8),
-                        np.full((h, w), d[2], dtype=np.uint8),
-                    ],
-                    axis=-1,
-                )
-                payloads.append(encode_ppm(px))
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf[id_col].values,
-                    "payload": payloads,
-                    "media_type": ["image/x-portable-pixmap"] * len(payloads),
-                    "n_bytes": [len(p) for p in payloads],
-                }
-            )
-
-    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
-        _batches, MEDIA_SCHEMA
+def synthesize_png_payloads(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The COMPRESSED twin of ``synthesize_ppm_payloads`` (r14): the
+    SAME ``_gradient_pixels`` per doc, encoded as real zlib-compressed
+    PNG with the filter type cycling 0..4 by row (h ≥ 8 → every PNG
+    filter exercised in every image). Decoding both corpora and
+    comparing per-doc features bit-exactly — with the PPM arm already
+    formula-oracled — transitively attests the whole
+    DEFLATE + unfilter pipeline (q54)."""
+    return _synthesize_image_payloads(
+        docs, id_col, text_col, encode_png, "image/png"
     )
 
 

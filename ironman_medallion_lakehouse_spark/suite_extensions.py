@@ -10,7 +10,9 @@ Oracle notes:
 - simhash is hash-oracled since r3 (DuckDB replays the md5 token hash
   and per-bit majority exactly); since r4 EVERY entry is oracled —
   q54 decodes a real binary-PPM corpus whose aggregate the oracle
-  re-derives from the generative md5 + PPM byte-layout formula.
+  re-derives from the generative md5 + PPM byte-layout formula
+  (since r14 plus a real zlib-PNG arm attested bit-exactly against
+  the formula-oracled PPM arm).
 """
 
 from __future__ import annotations
@@ -1646,38 +1648,74 @@ def q146_drift_gate_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
              ('0x' || substr(md5(text), 3, 2))::INT % 9 + 8 AS h
       FROM documents
     )
-    SELECT 'image/x-portable-pixmap' AS media_type,
+    SELECT
       COUNT(*) AS n_media,
       CAST(SUM(3 + LENGTH(CAST(w AS VARCHAR)) + 1
                + LENGTH(CAST(h AS VARCHAR)) + 5 + w * h * 3) AS BIGINT)
-        AS total_bytes,
+        AS ppm_total_bytes,
       CAST(SUM(w) AS DOUBLE) / COUNT(*) AS avg_width,
-      CAST(SUM(h) AS DOUBLE) / COUNT(*) AS avg_height
+      CAST(SUM(h) AS DOUBLE) / COUNT(*) AS avg_height,
+      CAST(SUM(w) AS DOUBLE) / COUNT(*) AS png_avg_width,
+      CAST(SUM(h) AS DOUBLE) / COUNT(*) AS png_avg_height,
+      COUNT(*) AS png_pixel_match
     FROM m
     """,
 )
 def q54_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal pipeline with a REAL in-container codec (r4 — this
-    row was rows-only while the decoder was a stub): each document
-    becomes an actual binary-PPM image (dimensions and colors derived
-    from md5(text) — operators/multimodal.synthesize_ppm_payloads),
-    the Arrow-batched mapInPandas decode stage parses the real PPM
-    headers and pixels (ppm_decode), and the aggregate is checked
-    against a DuckDB oracle that derives the same dimensions from the
-    generative md5 formula and the PPM byte-layout arithmetic
-    (header + w·h·3). Spark's numbers come from DECODING BYTES, the
-    oracle's from the formula — agreement attests the codec round
-    trip, not just the plumbing. Compressed codecs (JPEG/PNG) remain
-    behind a decoder= hook; PCM WAV decode is unit-tested alongside
-    (tests/test_multimodal_real.py)."""
+    """Multimodal pipeline over REAL in-container codecs (r4 PPM; r14
+    adds the COMPRESSED twin, PNG): each document becomes the SAME
+    gradient pixel matrix (dims/colors from md5(text) —
+    operators/multimodal._gradient_pixels) encoded twice — binary PPM
+    and zlib-compressed PNG with all five scanline filters cycling by
+    row. One Arrow-batched mapInPandas decode stage
+    (extract_features + the magic-dispatching image_decode) parses
+    both arms' real bytes.
+
+    Attestation chain: the PPM arm's byte-layout sum and decoded dims
+    are checked against a DuckDB replay of the generative formula
+    (header + w·h·3 arithmetic); the PNG arm's decoded dims are
+    checked against the SAME formula; and ``png_pixel_match`` counts
+    docs whose PNG-decoded 8-dim feature is BIT-IDENTICAL to the
+    PPM-decoded one (both funnel through _rgb_features over the
+    decoded pixels), which the oracle pins at COUNT(*). Spark's
+    numbers come from DECODING BYTES — PNG's through inflate +
+    unfilter — so agreement attests the full compressed-codec round
+    trip, not just the plumbing. JPEG stays behind the decoder= hook;
+    PCM WAV decode is driver-attested at q151."""
     t = load_tables(spark, sf_dir, "documents")
-    media = M.synthesize_ppm_payloads(t["documents"])
-    feats = M.extract_features(media, decoder=M.ppm_decode)
-    return feats.groupBy("media_type").agg(
-        F.count(F.lit(1)).alias("n_media"),
-        F.sum("n_bytes").alias("total_bytes"),
-        (F.sum("width").cast("double") / F.count(F.lit(1))).alias("avg_width"),
-        (F.sum("height").cast("double") / F.count(F.lit(1))).alias("avg_height"),
+    docs = t["documents"]
+    media = M.synthesize_ppm_payloads(docs).unionByName(
+        M.synthesize_png_payloads(docs)
+    )
+    feats = M.extract_features(media, decoder=M.image_decode)
+    ppm = feats.filter(F.col("media_type") == "image/x-portable-pixmap").select(
+        "media_id", "n_bytes", "width", "height", "feature"
+    )
+    png = feats.filter(F.col("media_type") == "image/png").select(
+        F.col("media_id"),
+        F.col("width").alias("png_width"),
+        F.col("height").alias("png_height"),
+        F.col("feature").alias("png_feature"),
+    )
+    return (
+        ppm.join(png, "media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").alias("ppm_total_bytes"),
+            (F.sum("width").cast("double") / F.count(F.lit(1))).alias("avg_width"),
+            (F.sum("height").cast("double") / F.count(F.lit(1))).alias(
+                "avg_height"
+            ),
+            (F.sum("png_width").cast("double") / F.count(F.lit(1))).alias(
+                "png_avg_width"
+            ),
+            (F.sum("png_height").cast("double") / F.count(F.lit(1))).alias(
+                "png_avg_height"
+            ),
+            F.sum((F.col("feature") == F.col("png_feature")).cast("int"))
+            .cast("bigint")
+            .alias("png_pixel_match"),
+        )
     )
 
 

@@ -70,6 +70,151 @@ def test_ppm_resize_dimension_token_ending_in_255():
     assert (opx == px[yi][:, xi]).all()
 
 
+def _manual_png(pixels, filters):
+    """Hand-built PNG, independent of M.encode_png: filters are applied
+    with a pure-Python per-byte transcription of the spec formulas
+    (ISO/IEC 15948 §9), so a decode match cross-checks the numpy
+    unfilter path against an implementation that shares no code with
+    it."""
+    import struct
+    import zlib
+
+    h, w, c = pixels.shape
+    bpp = c
+    raw = bytearray()
+    prev = [0] * (w * bpp)
+    for y in range(h):
+        row = [int(v) for v in pixels[y].reshape(-1)]
+        f = filters[y]
+        raw.append(f)
+        out = []
+        for i in range(len(row)):
+            a = row[i - bpp] if i >= bpp else 0  # reconstructed left
+            b = prev[i]  # reconstructed up
+            cc = prev[i - bpp] if i >= bpp else 0  # upper-left
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+            out.append((row[i] - pred) % 256)
+        raw.extend(out)
+        prev = row
+    color = {1: 0, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        M._PNG_SIG
+        + M._png_chunk(b"IHDR", ihdr)
+        + M._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + M._png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_encode_decode_roundtrip_matches_ppm_bitexact():
+    rng = np.random.default_rng(42)
+    for h, w in [(1, 1), (3, 5), (5, 3), (8, 8), (16, 9), (6, 300)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        meta = M.png_decode(M.encode_png(px))
+        assert (meta["width"], meta["height"]) == (w, h)
+        # same pixels through the uncompressed codec → BIT-identical
+        # features (both funnel through _rgb_features): the q54
+        # cross-codec attestation property
+        assert meta == M.ppm_decode(M.encode_ppm(px))
+
+
+def test_png_decode_against_independent_spec_transcription():
+    # every filter type, verified against the pure-Python per-byte
+    # spec formulas (no numpy, no shared code with the decoder)
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(7, 6, 3), dtype=np.uint8)
+    for filters in ([0] * 7, [1] * 7, [2] * 7, [3] * 7, [4] * 7, [3, 4, 1, 0, 2, 4, 3]):
+        payload = _manual_png(px, filters)
+        assert M.png_decode(payload) == M.ppm_decode(M.encode_ppm(px))
+
+
+def test_png_decode_gray_and_rgba():
+    rng = np.random.default_rng(9)
+    gray = rng.integers(0, 256, size=(5, 4, 1), dtype=np.uint8)
+    meta = M.png_decode(_manual_png(gray, [0, 1, 2, 3, 4]))
+    # gray replicates to RGB: channel means equal, std equal
+    assert meta["feature"][0] == meta["feature"][1] == meta["feature"][2]
+    assert abs(meta["feature"][0] - gray.mean() / 255.0) < 1e-12
+
+    rgba = rng.integers(0, 256, size=(5, 4, 4), dtype=np.uint8)
+    meta = M.png_decode(_manual_png(rgba, [4, 3, 2, 1, 0]))
+    assert meta == M.ppm_decode(M.encode_ppm(rgba[:, :, :3]))
+
+
+def test_png_decode_error_gates():
+    px = M._gradient_pixels("gate test")
+    payload = M.encode_png(px)
+    # CRC corruption is CAUGHT, not silently decoded
+    bad = bytearray(payload)
+    bad[len(bad) // 2] ^= 0x55
+    with pytest.raises(ValueError):
+        M.png_decode(bytes(bad))
+    # truncation
+    with pytest.raises((ValueError, Exception)):
+        M.png_decode(payload[: len(payload) // 2])
+    # non-PNG magic → NotImplementedError (routes to decoder= hook)
+    with pytest.raises(NotImplementedError):
+        M.png_decode(b"\xff\xd8\xff\xe0JFIF")
+    # interlaced IHDR rejected explicitly
+    import struct
+    import zlib as _z
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    interlaced = (
+        M._PNG_SIG
+        + M._png_chunk(b"IHDR", ihdr)
+        + M._png_chunk(b"IDAT", _z.compress(b"\x00" * 14))
+        + M._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="interlace"):
+        M.png_decode(interlaced)
+
+
+def test_image_decode_dispatch():
+    px = M._gradient_pixels("dispatch")
+    a = M.image_decode(M.encode_ppm(px))
+    b = M.image_decode(M.encode_png(px))
+    assert a == b
+    with pytest.raises(NotImplementedError, match="decoder="):
+        M.image_decode(b"\xff\xd8\xff\xe0JFIF")
+
+
+def test_synthesize_png_payloads_spark(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i} body") for i in range(12)]
+    )
+    png = M.synthesize_png_payloads(docs)
+    rows = png.collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert r.media_type == "image/png"
+        assert r.n_bytes == len(r.payload)
+        assert bytes(r.payload).startswith(M._PNG_SIG)
+    # the q54 contract end-to-end: PNG features == PPM features per doc
+    both = M.synthesize_ppm_payloads(docs).unionByName(png)
+    feats = M.extract_features(both, decoder=M.image_decode)
+    n = (
+        feats.groupBy("media_id")
+        .agg(F.size(F.collect_set("feature")).alias("n_distinct"))
+        .agg(F.sum((F.col("n_distinct") == 1).cast("int")).alias("n_equal"))
+        .collect()[0]["n_equal"]
+    )
+    assert n == 12
+
+
 def test_wav_decode_recovers_synthesis_parameters():
     import io
     import wave
