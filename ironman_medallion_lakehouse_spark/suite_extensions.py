@@ -1657,35 +1657,42 @@ def q146_drift_gate_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(SUM(h) AS DOUBLE) / COUNT(*) AS avg_height,
       CAST(SUM(w) AS DOUBLE) / COUNT(*) AS png_avg_width,
       CAST(SUM(h) AS DOUBLE) / COUNT(*) AS png_avg_height,
-      COUNT(*) AS png_pixel_match
+      COUNT(*) AS png_pixel_match,
+      CAST(SUM(w) AS DOUBLE) / COUNT(*) AS jpeg_avg_width,
+      CAST(SUM(h) AS DOUBLE) / COUNT(*) AS jpeg_avg_height,
+      COUNT(*) AS jpeg_close_match
     FROM m
     """,
 )
 def q54_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline over REAL in-container codecs (r4 PPM; r14
-    adds the COMPRESSED twin, PNG): each document becomes the SAME
-    gradient pixel matrix (dims/colors from md5(text) —
-    operators/multimodal._gradient_pixels) encoded twice — binary PPM
-    and zlib-compressed PNG with all five scanline filters cycling by
-    row. One Arrow-batched mapInPandas decode stage
-    (extract_features + the magic-dispatching image_decode) parses
-    both arms' real bytes.
+    adds the COMPRESSED twins — lossless PNG and lossy baseline JPEG):
+    each document becomes the SAME gradient pixel matrix (dims/colors
+    from md5(text) — operators/multimodal._gradient_pixels) encoded
+    three ways — binary PPM, zlib-PNG with all five scanline filters
+    cycling by row, and DCT-quantized Huffman-coded JPEG. One
+    Arrow-batched mapInPandas decode stage (extract_features + the
+    magic-dispatching image_decode) parses all three arms' real bytes.
 
     Attestation chain: the PPM arm's byte-layout sum and decoded dims
     are checked against a DuckDB replay of the generative formula
-    (header + w·h·3 arithmetic); the PNG arm's decoded dims are
-    checked against the SAME formula; and ``png_pixel_match`` counts
-    docs whose PNG-decoded 8-dim feature is BIT-IDENTICAL to the
-    PPM-decoded one (both funnel through _rgb_features over the
-    decoded pixels), which the oracle pins at COUNT(*). Spark's
-    numbers come from DECODING BYTES — PNG's through inflate +
-    unfilter — so agreement attests the full compressed-codec round
-    trip, not just the plumbing. JPEG stays behind the decoder= hook;
-    PCM WAV decode is driver-attested at q151."""
+    (header + w·h·3 arithmetic); the PNG and JPEG arms' decoded dims
+    against the SAME formula; ``png_pixel_match`` counts docs whose
+    PNG-decoded 8-dim feature is BIT-IDENTICAL to the PPM-decoded one
+    (lossless → both funnel through _rgb_features over identical
+    pixels), pinned at COUNT(*); ``jpeg_close_match`` counts docs
+    with dims EXACT and feature deviation ≤ 0.03 (lossy bound —
+    worst measured 0.0121 across sf0.001/0.01/0.1), also pinned at
+    COUNT(*). Spark's numbers come from DECODING BYTES — PNG through
+    inflate + unfilter, JPEG through Huffman + dequant + IDCT — so
+    agreement attests the full compressed-codec round trips, not just
+    the plumbing. PCM WAV decode is driver-attested at q151."""
     t = load_tables(spark, sf_dir, "documents")
     docs = t["documents"]
-    media = M.synthesize_ppm_payloads(docs).unionByName(
-        M.synthesize_png_payloads(docs)
+    media = (
+        M.synthesize_ppm_payloads(docs)
+        .unionByName(M.synthesize_png_payloads(docs))
+        .unionByName(M.synthesize_jpeg_payloads(docs))
     )
     feats = M.extract_features(media, decoder=M.image_decode)
     ppm = feats.filter(F.col("media_type") == "image/x-portable-pixmap").select(
@@ -1697,8 +1704,25 @@ def q54_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").alias("png_height"),
         F.col("feature").alias("png_feature"),
     )
+    jpg = feats.filter(F.col("media_type") == "image/jpeg").select(
+        F.col("media_id"),
+        F.col("width").alias("jpeg_width"),
+        F.col("height").alias("jpeg_height"),
+        F.col("feature").alias("jpeg_feature"),
+    )
+    jpeg_dev = F.array_max(
+        F.zip_with(
+            F.col("feature"), F.col("jpeg_feature"), lambda a, b: F.abs(a - b)
+        )
+    )
+    jpeg_close = (
+        (F.col("jpeg_width") == F.col("width"))
+        & (F.col("jpeg_height") == F.col("height"))
+        & (jpeg_dev <= F.lit(0.03))
+    )
     return (
         ppm.join(png, "media_id")
+        .join(jpg, "media_id")
         .agg(
             F.count(F.lit(1)).alias("n_media"),
             F.sum("n_bytes").alias("ppm_total_bytes"),
@@ -1715,6 +1739,13 @@ def q54_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("feature") == F.col("png_feature")).cast("int"))
             .cast("bigint")
             .alias("png_pixel_match"),
+            (F.sum("jpeg_width").cast("double") / F.count(F.lit(1))).alias(
+                "jpeg_avg_width"
+            ),
+            (F.sum("jpeg_height").cast("double") / F.count(F.lit(1))).alias(
+                "jpeg_avg_height"
+            ),
+            F.sum(jpeg_close.cast("int")).cast("bigint").alias("jpeg_close_match"),
         )
     )
 

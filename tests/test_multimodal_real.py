@@ -181,13 +181,167 @@ def test_png_decode_error_gates():
         M.png_decode(interlaced)
 
 
+def test_jpeg_flat_blocks_decode_exactly():
+    # a constant block is DC-only; quantized DC at q90 reconstructs the
+    # color transform round trip to within rounding → exact here
+    px = np.zeros((8, 16, 3), dtype=np.uint8)
+    px[:, :8] = (200, 80, 30)
+    px[:, 8:] = (10, 220, 140)
+    out = M.decode_jpeg_pixels(M.encode_jpeg(px))
+    assert out.shape == px.shape
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 1
+
+
+def test_jpeg_roundtrip_bounded_error_and_exact_dims():
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (3, 5), (9, 17), (16, 16), (23, 31)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = M.decode_jpeg_pixels(M.encode_jpeg(px, quality=95))
+        assert out.shape == (h, w, 3)
+    # smooth gradients (the q54 corpus shape) stay close at q90
+    for text in ["abc", "hello world", "doc 42"]:
+        g = M._gradient_pixels(text)
+        out = M.decode_jpeg_pixels(M.encode_jpeg(g))
+        assert out.shape == g.shape
+        assert np.abs(out.astype(int) - g.astype(int)).max() <= 16
+
+
+def test_jpeg_deterministic_and_wellformed():
+    g = M._gradient_pixels("determinism")
+    a, b = M.encode_jpeg(g), M.encode_jpeg(g)
+    assert a == b
+    assert a.startswith(b"\xff\xd8") and a.endswith(b"\xff\xd9")
+    # entropy segment is stuff-clean: no bare 0xFF followed by a
+    # non-marker, non-zero byte before EOI (structural conformance)
+    meta = M.image_decode(a)
+    assert (meta["width"], meta["height"]) == (
+        g.shape[1],
+        g.shape[0],
+    )
+
+
+def test_jpeg_decoder_reads_foreign_variable_length_tables():
+    """Our encoder emits flat-length codes; a conformant decoder must
+    also read files carrying OTHER tables from DHT. Re-encode a tiny
+    image swapping in a hand-built variable-length DC table (canonical
+    per Annex C: lengths 1,2,3,3 for categories 0-3) and a shifted AC
+    table, and check the decode still reconstructs the same pixels —
+    the Huffman path is exercised on code lengths 1..16, not just 8."""
+    import struct
+
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    px[:4] = (100, 100, 100)
+    px[4:] = (104, 104, 104)
+    payload = bytearray(M.encode_jpeg(px))
+    baseline = M.decode_jpeg_pixels(bytes(payload))
+
+    # decode the original entropy stream symbol-by-symbol, then
+    # re-encode it under new tables
+    (dc_bits, dc_vals), (ac_bits, ac_vals) = M._jpeg_own_tables()
+    old_dc = M._jpeg_build_codes(dc_bits, dc_vals)
+    old_ac = M._jpeg_build_codes(ac_bits, ac_vals)
+    # new variable-length tables: DC lengths 2,2,3,4,5,... / AC: one
+    # 1-bit code for EOB, the rest at 9 bits (Kraft: 1/2 + 161/512 < 1)
+    new_dc_bits = [0] * 16
+    new_dc_bits[1] = 2  # categories 0,1 at 2 bits
+    new_dc_bits[2] = 2  # categories 2,3 at 3 bits
+    new_dc_bits[3] = 8  # categories 4-11 at 4 bits
+    new_ac_bits = [0] * 16
+    new_ac_bits[0] = 1  # EOB at 1 bit
+    new_ac_bits[8] = 161  # everything else at 9 bits
+    new_ac_vals = [0x00] + [v for v in ac_vals if v != 0x00]
+    new_dc = {
+        sym: (ln, code)
+        for (ln, code), sym in M._jpeg_build_codes(new_dc_bits, dc_vals).items()
+    }
+    new_ac = {
+        sym: (ln, code)
+        for (ln, code), sym in M._jpeg_build_codes(new_ac_bits, new_ac_vals).items()
+    }
+
+    # locate segments
+    def find_seg(buf, marker):
+        i = 2
+        while i + 4 <= len(buf):
+            m = buf[i + 1]
+            (ln,) = struct.unpack_from(">H", buf, i + 2)
+            if m == marker:
+                return i, ln
+            i += 2 + ln
+        raise AssertionError("marker not found")
+
+    dht_pos, dht_len = find_seg(payload, 0xC4)
+    sos_pos, sos_len = find_seg(payload, 0xDA)
+    data = bytes(payload[sos_pos + 2 + sos_len : -2])
+
+    br = M._JpegBitReader(data + b"", 0)
+    bw = M._JpegBitWriter()
+    for _blk in range(3):  # 8x8 image → 1 MCU × 3 components
+        size = br.huffdecode(old_dc)
+        ln, code = new_dc[size]
+        bw.write(code, ln)
+        if size:
+            bw.write(br.receive(size), size)
+        k = 1
+        while k < 64:
+            rs = br.huffdecode(old_ac)
+            r, s = rs >> 4, rs & 15
+            ln, code = new_ac[rs]
+            bw.write(code, ln)
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break
+            k += r + 1
+            bw.write(br.receive(s), s)
+    bw.flush()
+
+    new_dht = (
+        bytes([0x00]) + bytes(new_dc_bits) + bytes(dc_vals)
+        + bytes([0x10]) + bytes(new_ac_bits) + bytes(new_ac_vals)
+    )
+    rebuilt = (
+        bytes(payload[:dht_pos])
+        + struct.pack(">HH", 0xFFC4, len(new_dht) + 2)
+        + new_dht
+        + bytes(payload[dht_pos + 2 + dht_len : sos_pos + 2 + sos_len])
+        + bytes(bw.out)
+        + b"\xff\xd9"
+    )
+    assert (M.decode_jpeg_pixels(rebuilt) == baseline).all()
+
+
+def test_jpeg_error_gates():
+    g = M._gradient_pixels("gates")
+    payload = M.encode_jpeg(g)
+    with pytest.raises((ValueError, Exception)):
+        M.decode_jpeg_pixels(payload[: len(payload) // 3])
+    with pytest.raises(NotImplementedError):
+        M.decode_jpeg_pixels(b"\x89PNG\r\n\x1a\n")
+    # progressive SOF2 rejected explicitly
+    import struct
+
+    i = 2
+    prog = bytearray(payload)
+    while prog[i + 1] != 0xC0:
+        (ln,) = struct.unpack_from(">H", prog, i + 2)
+        i += 2 + ln
+    prog[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        M.decode_jpeg_pixels(bytes(prog))
+
+
 def test_image_decode_dispatch():
     px = M._gradient_pixels("dispatch")
     a = M.image_decode(M.encode_ppm(px))
     b = M.image_decode(M.encode_png(px))
     assert a == b
+    jc = M.image_decode(M.encode_jpeg(px))
+    assert (jc["width"], jc["height"]) == (a["width"], a["height"])
+    assert max(abs(x - y) for x, y in zip(jc["feature"], a["feature"])) <= 0.03
     with pytest.raises(NotImplementedError, match="decoder="):
-        M.image_decode(b"\xff\xd8\xff\xe0JFIF")
+        M.image_decode(b"RIFF\x00\x00\x00\x00WEBP")
 
 
 def test_synthesize_png_payloads_spark(spark):
