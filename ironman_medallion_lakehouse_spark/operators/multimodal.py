@@ -196,6 +196,17 @@ def ppm_decode(payload: bytes) -> dict:
     return _rgb_features(px, w, h)
 
 
+def _nn_resize(px, width: int, height: int):
+    """Nearest-neighbor resize of an (h, w, c) matrix via numpy fancy
+    indexing — the shared kernel behind every codec's resize path."""
+    import numpy as np
+
+    h0, w0 = px.shape[0], px.shape[1]
+    yi = (np.arange(height) * h0 // height).clip(0, h0 - 1)
+    xi = (np.arange(width) * w0 // width).clip(0, w0 - 1)
+    return px[yi][:, xi]
+
+
 def ppm_resize(payload: bytes, width: int, height: int) -> bytes:
     """REAL resize for binary PPM: decode → nearest-neighbor index →
     re-encode. Pure numpy fancy indexing, no codec library."""
@@ -205,9 +216,7 @@ def ppm_resize(payload: bytes, width: int, height: int) -> bytes:
     px = np.frombuffer(
         payload, dtype=np.uint8, count=w0 * h0 * 3, offset=pixel_off
     ).reshape(h0, w0, 3)
-    yi = (np.arange(height) * h0 // height).clip(0, h0 - 1)
-    xi = (np.arange(width) * w0 // width).clip(0, w0 - 1)
-    return encode_ppm(px[yi][:, xi])
+    return encode_ppm(_nn_resize(px, width, height))
 
 
 # --------------------------------------------------------------- PNG
@@ -345,12 +354,11 @@ def _png_unfilter(raw: bytes, w: int, h: int, bpp: int):
     return out
 
 
-def png_decode(payload: bytes) -> dict:
-    """REAL decode for 8-bit non-interlaced PNG (colortypes 0/2/6):
+def _png_pixels(payload: bytes):
+    """Decode an 8-bit non-interlaced PNG (colortypes 0/2/6) to an
+    (h, w, 3) uint8 RGB matrix (grayscale replicated, alpha dropped):
     walk the chunk stream (CRC-verified), inflate the IDATs with
-    stdlib zlib, reverse the scanline filters, and return the SAME
-    dimensions + 8-dim feature contract as ``ppm_decode`` (grayscale
-    is replicated to RGB; alpha is dropped). Palette, 16-bit, and
+    stdlib zlib, reverse the scanline filters. Palette, 16-bit, and
     Adam7-interlaced PNGs raise NotImplementedError."""
     import struct
     import zlib
@@ -393,7 +401,22 @@ def png_decode(payload: bytes) -> dict:
         px = np.repeat(px, 3, axis=2)
     elif bpp == 4:
         px = px[:, :, :3]
-    return _rgb_features(np.ascontiguousarray(px), w, h)
+    return np.ascontiguousarray(px), w, h
+
+
+def png_decode(payload: bytes) -> dict:
+    """REAL decode for 8-bit non-interlaced PNG → the SAME dimensions
+    + 8-dim feature contract as ``ppm_decode`` (see ``_png_pixels``
+    for format support)."""
+    px, w, h = _png_pixels(payload)
+    return _rgb_features(px, w, h)
+
+
+def png_resize(payload: bytes, width: int, height: int) -> bytes:
+    """REAL resize for PNG: inflate + unfilter → nearest-neighbor →
+    re-encode through the real zlib encoder."""
+    px, _, _ = _png_pixels(payload)
+    return encode_png(_nn_resize(px, width, height))
 
 
 # -------------------------------------------------------------- JPEG
@@ -575,12 +598,69 @@ def _jpeg_scaled_qt(base, quality: int):
     return np.clip(t, 1, 255)
 
 
-def encode_jpeg(pixels, quality: int = 90) -> bytes:
-    """numpy (h, w, 3) uint8 RGB → baseline JFIF JPEG bytes (4:4:4,
-    interleaved, our own DHT tables). DCT + quantization are
-    vectorized across all blocks (einsum); only the entropy coding
-    walks coefficients in Python, and gradient-smooth blocks are
-    mostly EOB after the first few symbols."""
+def _jpeg_block_coefs(plane, rows_b, cols_b, qt, zz, T):
+    """Pad a component plane to its block grid, forward-DCT + quantize
+    every block (vectorized einsum), return (n_blocks, 64) int64
+    coefficients in ZIGZAG order, raster block order."""
+    import numpy as np
+
+    h, w = plane.shape
+    pad = np.pad(
+        plane, ((0, rows_b * 8 - h), (0, cols_b * 8 - w)), mode="edge"
+    ) - 128.0
+    blocks = (
+        pad.reshape(rows_b, 8, cols_b, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    F_ = np.einsum("ij,bjk,lk->bil", T, blocks, T)
+    quant = np.round(F_ / qt.reshape(8, 8)).astype(np.int64)
+    quant = np.clip(quant, -1023, 1023)  # baseline AC size <= 10
+    return quant.reshape(-1, 64)[:, zz]
+
+
+def _jpeg_write_block(bw, coefs, pred, dc_code, ac_code):
+    """Entropy-code one zigzag-order block; returns the new DC
+    predictor."""
+    import numpy as np
+
+    diff = int(coefs[0]) - pred
+    size = _jpeg_category(diff)
+    length, code = dc_code[size]
+    bw.write(code, length)
+    if size:
+        bw.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(coefs)[0])) if np.any(coefs) else 0
+    for k in range(1, 64):
+        v = int(coefs[k])
+        if k > last_nz:
+            length, code = ac_code[0x00]  # EOB
+            bw.write(code, length)
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            length, code = ac_code[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        size = _jpeg_category(v)
+        length, code = ac_code[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    return int(coefs[0])
+
+
+def encode_jpeg(pixels, quality: int = 90, subsampling: str = "4:4:4") -> bytes:
+    """numpy (h, w, 3) uint8 RGB → baseline JFIF JPEG bytes
+    (interleaved, our own DHT tables). ``subsampling`` is "4:4:4"
+    (one block per component per MCU) or "4:2:0" (Y at 2x2 per MCU,
+    chroma box-averaged 2:1 both axes — the layout nearly every
+    real-world JPEG uses, and the one that QUARTERS chroma volume).
+    DCT + quantization are vectorized across all blocks (einsum);
+    only the entropy coding walks coefficients in Python, and
+    gradient-smooth blocks are mostly EOB after the first few
+    symbols."""
     import struct
 
     import numpy as np
@@ -589,6 +669,16 @@ def encode_jpeg(pixels, quality: int = 90) -> bytes:
     h, w, c = px.shape
     if c != 3:
         raise NotImplementedError("encode_jpeg writes 8-bit RGB only")
+    if subsampling == "4:4:4":
+        samp = [(1, 1), (1, 1), (1, 1)]
+    elif subsampling == "4:2:0":
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        raise NotImplementedError("subsampling must be '4:4:4' or '4:2:0'")
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
     r, g, b = (px[..., i].astype(np.float64) for i in range(3))
     planes = [
         0.299 * r + 0.587 * g + 0.114 * b,
@@ -601,17 +691,23 @@ def encode_jpeg(pixels, quality: int = 90) -> bytes:
     ]
     zz = _jpeg_zigzag()
     T = _jpeg_dct_matrix()
-    hb, wb = -(-h // 8), -(-w // 8)
 
-    comp_coefs = []
+    comp_coefs, comp_cols = [], []
     for ci, plane in enumerate(planes):
-        pad = np.pad(plane, ((0, hb * 8 - h), (0, wb * 8 - w)), mode="edge") - 128.0
-        blocks = pad.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-        F_ = np.einsum("ij,bjk,lk->bil", T, blocks, T)
-        qt = qts[0 if ci == 0 else 1].reshape(8, 8)
-        quant = np.round(F_ / qt).astype(np.int64)
-        quant = np.clip(quant, -1023, 1023)  # baseline AC size <= 10
-        comp_coefs.append(quant.reshape(-1, 64)[:, zz])  # zigzag domain
+        hi, vi = samp[ci]
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1 or fx > 1:  # box-average downsample, edge-padded even
+            ph = -(-h // fy) * fy
+            pw = -(-w // fx) * fx
+            p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+            plane = p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        rows_b, cols_b = mcuy * vi, mcux * hi
+        comp_coefs.append(
+            _jpeg_block_coefs(
+                plane, rows_b, cols_b, qts[0 if ci == 0 else 1], zz, T
+            )
+        )
+        comp_cols.append(cols_b)
 
     (dc_bits, dc_vals), (ac_bits, ac_vals) = _jpeg_own_tables()
     dc_code = {
@@ -625,36 +721,16 @@ def encode_jpeg(pixels, quality: int = 90) -> bytes:
 
     bw = _JpegBitWriter()
     pred = [0, 0, 0]
-    for blk in range(hb * wb):  # interleaved 4:4:4 MCU = one block per comp
-        for ci in range(3):
-            coefs = comp_coefs[ci][blk]
-            diff = int(coefs[0]) - pred[ci]
-            pred[ci] = int(coefs[0])
-            size = _jpeg_category(diff)
-            length, code = dc_code[size]
-            bw.write(code, length)
-            if size:
-                bw.write(diff if diff > 0 else diff + (1 << size) - 1, size)
-            run = 0
-            last_nz = int(np.max(np.nonzero(coefs)[0])) if np.any(coefs) else 0
-            for k in range(1, 64):
-                v = int(coefs[k])
-                if k > last_nz:
-                    length, code = ac_code[0x00]  # EOB
-                    bw.write(code, length)
-                    break
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    length, code = ac_code[0xF0]  # ZRL
-                    bw.write(code, length)
-                    run -= 16
-                size = _jpeg_category(v)
-                length, code = ac_code[(run << 4) | size]
-                bw.write(code, length)
-                bw.write(v if v > 0 else v + (1 << size) - 1, size)
-                run = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(3):
+                hi, vi = samp[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        blk = (my * vi + by) * comp_cols[ci] + mx * hi + bx
+                        pred[ci] = _jpeg_write_block(
+                            bw, comp_coefs[ci][blk], pred[ci], dc_code, ac_code
+                        )
     bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -670,11 +746,11 @@ def encode_jpeg(pixels, quality: int = 90) -> bytes:
         b"\x00" + bytes(int(qts[0].reshape(-1)[i]) for i in zz)
         + b"\x01" + bytes(int(qts[1].reshape(-1)[i]) for i in zz),
     )
-    out += seg(
-        0xFFC0,
-        struct.pack(">BHHB", 8, h, w, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
-    )
+    sof_comps = []
+    for ci in range(3):
+        hi, vi = samp[ci]
+        sof_comps += [ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1]
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3) + bytes(sof_comps))
     out += seg(
         0xFFC4,
         dht_body(0, 0, dc_bits, dc_vals) + dht_body(1, 0, ac_bits, ac_vals),
@@ -689,9 +765,11 @@ def decode_jpeg_pixels(payload: bytes):
     """Baseline/extended-sequential JPEG → (h, w, 3) uint8 RGB (or
     grayscale replicated). General T.81 segment walk: quantization and
     Huffman tables are read from DQT/DHT (so files using the standard
-    Annex-K tables decode too), codes built per Annex C. Progressive
-    (SOF2+), 12-bit, arithmetic coding, chroma subsampling, and
-    restart intervals raise NotImplementedError."""
+    Annex-K tables decode too), codes built per Annex C; sampling
+    factors are honored generically (4:4:4, 4:2:0, 4:2:2 …, any
+    integer ratio — chroma is nearest-neighbor upsampled).
+    Progressive (SOF2+), 12-bit, arithmetic coding, and restart
+    intervals raise NotImplementedError."""
     import struct
 
     import numpy as np
@@ -758,73 +836,87 @@ def _jpeg_decode_scan(payload, data_pos, sof, scan, qts, huff):
     import numpy as np
 
     h, w, comps = sof
-    if any((samp != 0x11) for _, samp, _ in comps):
-        raise NotImplementedError("chroma-subsampled JPEG unsupported")
     if len(comps) not in (1, 3):
         raise NotImplementedError("only 1- or 3-component JPEG supported")
-    by_id = {cid: (samp, tq) for cid, samp, tq in comps}
+    by_id = {cid: ((samp >> 4, samp & 15), tq) for cid, samp, tq in comps}
+    hmax = max(hv[0] for hv, _ in by_id.values())
+    vmax = max(hv[1] for hv, _ in by_id.values())
+    if any(hmax % hv[0] or vmax % hv[1] for hv, _ in by_id.values()):
+        raise NotImplementedError("non-integer JPEG sampling ratios")
     order = []
     for cid, tsel in scan:
         if cid not in by_id:
             raise ValueError("JPEG scan references unknown component")
-        order.append((cid, by_id[cid][1], tsel >> 4, tsel & 15))
+        (hi, vi), tq = by_id[cid]
+        order.append((cid, hi, vi, tq, tsel >> 4, tsel & 15))
 
     zz = _jpeg_zigzag()
     T = _jpeg_dct_matrix()
-    hb, wb = -(-h // 8), -(-w // 8)
-    n_blocks = hb * wb
-    coef = {cid: np.zeros((n_blocks, 64), np.int64) for cid, _, _, _ in order}
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    # per-component block grid: (mcuy*vi) rows x (mcux*hi) cols
+    coef = {
+        cid: np.zeros((mcuy * vi * mcux * hi, 64), np.int64)
+        for cid, hi, vi, _, _, _ in order
+    }
     br = _JpegBitReader(payload, data_pos)
-    pred = {cid: 0 for cid, _, _, _ in order}
-    for blk in range(n_blocks):
-        for cid, _tq, dc_t, ac_t in order:
-            dc_codes, ac_codes = huff.get((0, dc_t)), huff.get((1, ac_t))
-            if dc_codes is None or ac_codes is None:
-                raise ValueError("JPEG scan uses undefined Huffman table")
-            size = br.huffdecode(dc_codes)
-            diff = 0
-            if size:
-                diff = br.receive(size)
-                if diff < (1 << (size - 1)):
-                    diff -= (1 << size) - 1
-            pred[cid] += diff
-            coef[cid][blk, 0] = pred[cid]
-            k = 1
-            while k < 64:
-                rs = br.huffdecode(ac_codes)
-                r, s = rs >> 4, rs & 15
-                if s == 0:
-                    if r == 15:
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("JPEG AC run past block end")
-                v = br.receive(s)
-                if v < (1 << (s - 1)):
-                    v -= (1 << s) - 1
-                coef[cid][blk, k] = v
-                k += 1
+    pred = {cid: 0 for cid, _, _, _, _, _ in order}
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, hi, vi, _tq, dc_t, ac_t in order:
+                dc_codes, ac_codes = huff.get((0, dc_t)), huff.get((1, ac_t))
+                if dc_codes is None or ac_codes is None:
+                    raise ValueError("JPEG scan uses undefined Huffman table")
+                for by in range(vi):
+                    for bx in range(hi):
+                        blk = (my * vi + by) * (mcux * hi) + mx * hi + bx
+                        size = br.huffdecode(dc_codes)
+                        diff = 0
+                        if size:
+                            diff = br.receive(size)
+                            if diff < (1 << (size - 1)):
+                                diff -= (1 << size) - 1
+                        pred[cid] += diff
+                        coef[cid][blk, 0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = br.huffdecode(ac_codes)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run past block end")
+                            v = br.receive(s)
+                            if v < (1 << (s - 1)):
+                                v -= (1 << s) - 1
+                            coef[cid][blk, k] = v
+                            k += 1
 
     planes = []
-    for cid, tq, _, _ in order:
+    for cid, hi, vi, tq, _, _ in order:
         if tq not in qts:
             raise ValueError("JPEG component uses undefined quant table")
         # coefficients AND the DQT table are both stored in zigzag
         # order — dequantize elementwise in the zigzag domain, then
         # de-zigzag once into raster 8x8 blocks
+        rows_b, cols_b = mcuy * vi, mcux * hi
         deq = (coef[cid] * qts[tq][None, :]).astype(np.float64)
-        spatial = np.zeros((n_blocks, 64))
+        spatial = np.zeros((rows_b * cols_b, 64))
         spatial[:, zz] = deq
         spatial = spatial.reshape(-1, 8, 8)
         out = np.einsum("ji,bjk,kl->bil", T, spatial, T) + 128.0
         plane = (
-            out.reshape(hb, wb, 8, 8)
+            out.reshape(rows_b, cols_b, 8, 8)
             .transpose(0, 2, 1, 3)
-            .reshape(hb * 8, wb * 8)[:h, :w]
+            .reshape(rows_b * 8, cols_b * 8)
         )
-        planes.append(plane)
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1 or fx > 1:  # nearest-neighbor chroma upsample
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
+        planes.append(plane[:h, :w])
 
     if len(planes) == 1:
         y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
@@ -865,6 +957,34 @@ def image_decode(payload: bytes) -> dict:
         "in-container image codecs are binary PPM (P6), 8-bit PNG, and "
         "baseline JPEG; other formats (WebP/GIF/...) need a codec-backed "
         "decoder= (e.g. pil_image_decoder on a Pillow-equipped cluster)"
+    )
+
+
+def jpeg_resize(
+    payload: bytes, width: int, height: int, quality: int = 90
+) -> bytes:
+    """REAL resize for JPEG: full decode (Huffman + dequant + IDCT) →
+    nearest-neighbor → re-encode. Re-encoding is lossy by nature —
+    exactly what a real thumbnailing stage does."""
+    return encode_jpeg(
+        _nn_resize(decode_jpeg_pixels(payload), width, height), quality
+    )
+
+
+def image_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Magic-dispatching resize over the real in-container codecs —
+    each format re-encodes in kind (PPM → PPM, PNG → PNG,
+    JPEG → JPEG), so a resized corpus stays decodable by the same
+    pipeline. Plugs straight into ``resize_media(resizer=...)``."""
+    if payload and payload.startswith(b"P6"):
+        return ppm_resize(payload, width, height)
+    if payload and payload.startswith(_PNG_SIG):
+        return png_resize(payload, width, height)
+    if payload and payload.startswith(b"\xff\xd8"):
+        return jpeg_resize(payload, width, height)
+    raise NotImplementedError(
+        "image_resize supports the in-container codecs (PPM, PNG, JPEG); "
+        "other formats need a codec-backed resizer= (PIL/ffmpeg)"
     )
 
 

@@ -312,6 +312,60 @@ def test_jpeg_decoder_reads_foreign_variable_length_tables():
     assert (M.decode_jpeg_pixels(rebuilt) == baseline).all()
 
 
+def test_jpeg_420_subsampled_roundtrip():
+    # 4:2:0 (what real-world JPEGs use): dims exact at odd sizes,
+    # luma near-exact even at sharp edges, bounded chroma loss on
+    # smooth content
+    yy, xx = np.mgrid[0:23, 0:31]
+    px = np.stack(
+        [xx * 255 // 30, yy * 255 // 22, np.full((23, 31), 77)], axis=-1
+    ).astype(np.uint8)
+    p420 = M.encode_jpeg(px, subsampling="4:2:0")
+    out = M.decode_jpeg_pixels(p420)
+    assert out.shape == (23, 31, 3)
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 24
+    # chroma volume is quartered: 4:2:0 must encode smaller than 4:4:4
+    assert len(p420) < len(M.encode_jpeg(px))
+    # a grayscale image stresses only the full-res luma path: sharp
+    # edges survive subsampling nearly exactly
+    g = np.stack([(xx * 29) % 256] * 3, axis=-1).astype(np.uint8)
+    out = M.decode_jpeg_pixels(M.encode_jpeg(g, subsampling="4:2:0"))
+    assert np.abs(out.astype(int) - g.astype(int)).max() <= 2
+    with pytest.raises(NotImplementedError):
+        M.encode_jpeg(px, subsampling="4:1:1")
+
+
+def test_image_resize_dispatch_all_codecs():
+    px = M._gradient_pixels("resize me")
+    for enc in (M.encode_ppm, M.encode_png, M.encode_jpeg):
+        payload = enc(px)
+        out = M.image_resize(payload, 6, 7)
+        # re-encoded in kind: same magic, decodes to the target dims
+        assert out[:2] == payload[:2]
+        meta = M.image_decode(out)
+        assert (meta["width"], meta["height"]) == (6, 7)
+    # lossless arms: resized PPM and PNG pixels are IDENTICAL
+    a = M.image_decode(M.image_resize(M.encode_ppm(px), 4, 4))
+    b = M.image_decode(M.image_resize(M.encode_png(px), 4, 4))
+    assert a == b
+    with pytest.raises(NotImplementedError):
+        M.image_resize(b"RIFF\x00\x00\x00\x00WEBP", 4, 4)
+
+
+def test_resize_media_with_dispatching_resizer(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="abc"), Row(doc_id=2, text="xyz")]
+    )
+    media = M.synthesize_png_payloads(docs).unionByName(
+        M.synthesize_jpeg_payloads(docs)
+    )
+    out = M.resize_media(media, width=5, height=5, resizer=M.image_resize).collect()
+    assert len(out) == 4
+    for r in out:
+        meta = M.image_decode(bytes(r.payload))
+        assert (meta["width"], meta["height"]) == (5, 5)
+
+
 def test_jpeg_error_gates():
     g = M._gradient_pixels("gates")
     payload = M.encode_jpeg(g)
