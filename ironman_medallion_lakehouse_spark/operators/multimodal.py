@@ -367,7 +367,7 @@ def _png_pixels(payload: bytes):
 
     if not payload or not payload.startswith(_PNG_SIG):
         raise NotImplementedError("not a PNG payload")
-    pos, ihdr, idat = len(_PNG_SIG), None, bytearray()
+    pos, ihdr, idat, plte = len(_PNG_SIG), None, bytearray(), None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         typ = payload[pos + 4 : pos + 8]
@@ -379,6 +379,10 @@ def _png_pixels(payload: bytes):
             raise ValueError(f"PNG chunk CRC mismatch in {typ!r}")
         if typ == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            if length % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
             idat.extend(data)
         elif typ == b"IEND":
@@ -387,17 +391,23 @@ def _png_pixels(payload: bytes):
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or color not in _PNG_CHANNELS or comp != 0 or filt != 0:
+    if depth != 8 or color not in (0, 2, 3, 6) or comp != 0 or filt != 0:
         raise NotImplementedError(
-            f"only 8-bit gray/RGB/RGBA PNG decodes in-container "
+            f"only 8-bit gray/RGB/palette/RGBA PNG decodes in-container "
             f"(depth={depth}, colortype={color})"
         )
     if interlace != 0:
         raise NotImplementedError("Adam7-interlaced PNG not supported")
-    bpp = _PNG_CHANNELS[color]
+    bpp = _PNG_CHANNELS.get(color, 1)  # palette: one index byte/pixel
     flat = _png_unfilter(zlib.decompress(bytes(idat)), w, h, bpp)
     px = flat.reshape(h, w, bpp)
-    if bpp == 1:
+    if color == 3:  # palette lookup
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        if int(px.max()) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        px = plte[px[:, :, 0]]
+    elif bpp == 1:
         px = np.repeat(px, 3, axis=2)
     elif bpp == 4:
         px = px[:, :, :3]

@@ -152,6 +152,40 @@ def test_png_decode_gray_and_rgba():
     assert meta == M.ppm_decode(M.encode_ppm(rgba[:, :, :3]))
 
 
+def test_png_decode_palette():
+    # hand-built colortype-3 PNG: indexed scanlines + PLTE lookup
+    import struct
+    import zlib as _z
+
+    rng = np.random.default_rng(21)
+    palette = rng.integers(0, 256, size=(7, 3), dtype=np.uint8)
+    idx = rng.integers(0, 7, size=(6, 5), dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(6))
+    ihdr = struct.pack(">IIBBBBB", 5, 6, 8, 3, 0, 0, 0)
+    payload = (
+        M._PNG_SIG
+        + M._png_chunk(b"IHDR", ihdr)
+        + M._png_chunk(b"PLTE", palette.tobytes())
+        + M._png_chunk(b"IDAT", _z.compress(raw))
+        + M._png_chunk(b"IEND", b"")
+    )
+    meta = M.png_decode(payload)
+    assert meta == M.ppm_decode(M.encode_ppm(palette[idx]))
+    # out-of-range index is an error, not silent garbage
+    bad_idx = idx.copy()
+    bad_idx[0, 0] = 9
+    bad_raw = b"".join(b"\x00" + bad_idx[y].tobytes() for y in range(6))
+    bad = (
+        M._PNG_SIG
+        + M._png_chunk(b"IHDR", ihdr)
+        + M._png_chunk(b"PLTE", palette.tobytes())
+        + M._png_chunk(b"IDAT", _z.compress(bad_raw))
+        + M._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        M.png_decode(bad)
+
+
 def test_png_decode_error_gates():
     px = M._gradient_pixels("gate test")
     payload = M.encode_png(px)
