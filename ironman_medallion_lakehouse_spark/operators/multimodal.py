@@ -64,10 +64,11 @@ FEATURE_SCHEMA = StructType(
 
 
 def pil_image_decoder(payload: bytes) -> dict:
-    """Compressed-codec (JPEG/PNG/WebP/...) decoder backed by Pillow —
-    the documented drop-in for the ``decoder=`` boundary (VERDICT r4
-    carry item: PIL/ffmpeg are not in this container, so this import-
-    gates and the e2e test runs against the same contract with a stub).
+    """Pillow-backed decoder for the formats the in-container codecs
+    do NOT cover (progressive JPEG, WebP, GIF, 16-bit PNG, …) — the
+    documented drop-in for the ``decoder=`` boundary. Baseline JPEG,
+    8-bit PNG, and P6 PPM decode in-container via ``image_decode``
+    with no Pillow involved (r14).
 
     Usage on a cluster with Pillow installed::
 
