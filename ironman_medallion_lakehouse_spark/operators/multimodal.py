@@ -864,47 +864,72 @@ def _jpeg_decode_scan(payload, data_pos, sof, scan, qts, huff):
     zz = _jpeg_zigzag()
     T = _jpeg_dct_matrix()
     mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
-    # per-component block grid: (mcuy*vi) rows x (mcux*hi) cols
+    # per-component block grid. T.81 A.2: in an INTERLEAVED scan
+    # (Ns > 1) each MCU carries hi*vi blocks per component over a
+    # (mcuy*vi, mcux*hi) grid; a NON-interleaved scan (Ns = 1) always
+    # uses one-block MCUs over the COMPONENT's own grid
+    # ceil(comp_dims/8), regardless of its sampling factors — real
+    # grayscale files sometimes carry 2x2 on their only component.
+    grids = {}
+    for cid, hi, vi, _, _, _ in order:
+        if len(order) > 1:
+            grids[cid] = (mcuy * vi, mcux * hi)
+        else:
+            comp_w, comp_h = -(-w * hi // hmax), -(-h * vi // vmax)
+            grids[cid] = (-(-comp_h // 8), -(-comp_w // 8))
     coef = {
-        cid: np.zeros((mcuy * vi * mcux * hi, 64), np.int64)
-        for cid, hi, vi, _, _, _ in order
+        cid: np.zeros((grids[cid][0] * grids[cid][1], 64), np.int64)
+        for cid, _, _, _, _, _ in order
     }
     br = _JpegBitReader(payload, data_pos)
     pred = {cid: 0 for cid, _, _, _, _, _ in order}
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for cid, hi, vi, _tq, dc_t, ac_t in order:
-                dc_codes, ac_codes = huff.get((0, dc_t)), huff.get((1, ac_t))
-                if dc_codes is None or ac_codes is None:
-                    raise ValueError("JPEG scan uses undefined Huffman table")
-                for by in range(vi):
-                    for bx in range(hi):
-                        blk = (my * vi + by) * (mcux * hi) + mx * hi + bx
-                        size = br.huffdecode(dc_codes)
-                        diff = 0
-                        if size:
-                            diff = br.receive(size)
-                            if diff < (1 << (size - 1)):
-                                diff -= (1 << size) - 1
-                        pred[cid] += diff
-                        coef[cid][blk, 0] = pred[cid]
-                        k = 1
-                        while k < 64:
-                            rs = br.huffdecode(ac_codes)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC run past block end")
-                            v = br.receive(s)
-                            if v < (1 << (s - 1)):
-                                v -= (1 << s) - 1
-                            coef[cid][blk, k] = v
-                            k += 1
+
+    def _read_block(cid, blk, dc_codes, ac_codes):
+        size = br.huffdecode(dc_codes)
+        diff = 0
+        if size:
+            diff = br.receive(size)
+            if diff < (1 << (size - 1)):
+                diff -= (1 << size) - 1
+        pred[cid] += diff
+        coef[cid][blk, 0] = pred[cid]
+        k = 1
+        while k < 64:
+            rs = br.huffdecode(ac_codes)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC run past block end")
+            v = br.receive(s)
+            if v < (1 << (s - 1)):
+                v -= (1 << s) - 1
+            coef[cid][blk, k] = v
+            k += 1
+
+    codes = {}
+    for cid, _hi, _vi, _tq, dc_t, ac_t in order:
+        dc_codes, ac_codes = huff.get((0, dc_t)), huff.get((1, ac_t))
+        if dc_codes is None or ac_codes is None:
+            raise ValueError("JPEG scan uses undefined Huffman table")
+        codes[cid] = (dc_codes, ac_codes)
+
+    if len(order) > 1:  # interleaved MCU order
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for cid, hi, vi, _tq, _dc, _ac in order:
+                    for by in range(vi):
+                        for bx in range(hi):
+                            blk = (my * vi + by) * grids[cid][1] + mx * hi + bx
+                            _read_block(cid, blk, *codes[cid])
+    else:  # non-interleaved: raster over the component's own grid
+        cid = order[0][0]
+        for blk in range(grids[cid][0] * grids[cid][1]):
+            _read_block(cid, blk, *codes[cid])
 
     planes = []
     for cid, hi, vi, tq, _, _ in order:
@@ -913,7 +938,7 @@ def _jpeg_decode_scan(payload, data_pos, sof, scan, qts, huff):
         # coefficients AND the DQT table are both stored in zigzag
         # order — dequantize elementwise in the zigzag domain, then
         # de-zigzag once into raster 8x8 blocks
-        rows_b, cols_b = mcuy * vi, mcux * hi
+        rows_b, cols_b = grids[cid]
         deq = (coef[cid] * qts[tq][None, :]).astype(np.float64)
         spatial = np.zeros((rows_b * cols_b, 64))
         spatial[:, zz] = deq

@@ -400,6 +400,64 @@ def test_resize_media_with_dispatching_resizer(spark):
         assert (meta["width"], meta["height"]) == (5, 5)
 
 
+def _manual_gray_jpeg(gray, samp_byte):
+    """Hand-assembled single-component JPEG (gray (h, w) uint8) with
+    the given SOF sampling byte — exercises the Ns=1 non-interleaved
+    scan path, where T.81 A.2 mandates one-block MCUs over the
+    component's own grid REGARDLESS of sampling factors."""
+    import struct
+
+    h, w = gray.shape
+    zz = M._jpeg_zigzag()
+    T = M._jpeg_dct_matrix()
+    qt = M._jpeg_scaled_qt(M._JPEG_QT_LUMA, 90)
+    rows_b, cols_b = -(-h // 8), -(-w // 8)
+    coefs = M._jpeg_block_coefs(gray.astype(np.float64), rows_b, cols_b, qt, zz, T)
+    (dc_bits, dc_vals), (ac_bits, ac_vals) = M._jpeg_own_tables()
+    dc_code = {
+        s: (ln, c) for (ln, c), s in M._jpeg_build_codes(dc_bits, dc_vals).items()
+    }
+    ac_code = {
+        s: (ln, c) for (ln, c), s in M._jpeg_build_codes(ac_bits, ac_vals).items()
+    }
+    bw = M._JpegBitWriter()
+    pred = 0
+    for blk in range(rows_b * cols_b):
+        pred = M._jpeg_write_block(bw, coefs[blk], pred, dc_code, ac_code)
+    bw.flush()
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    return (
+        b"\xff\xd8"
+        + seg(0xFFDB, b"\x00" + bytes(int(qt.reshape(-1)[i]) for i in zz))
+        + seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, samp_byte, 0]))
+        + seg(
+            0xFFC4,
+            bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+            + bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals),
+        )
+        + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes(bw.out)
+        + b"\xff\xd9"
+    )
+
+
+def test_jpeg_single_component_scan_ignores_sampling_factors():
+    rng = np.random.default_rng(17)
+    gray = rng.integers(0, 256, size=(12, 10), dtype=np.uint8)
+    a = M.decode_jpeg_pixels(_manual_gray_jpeg(gray, 0x11))
+    b = M.decode_jpeg_pixels(_manual_gray_jpeg(gray, 0x22))
+    # identical coefficients, identical scan layout (Ns=1 → one-block
+    # MCUs either way) → identical pixels; a decoder that applied the
+    # interleaved 2x2 MCU grid to the 0x22 file would fail loudly
+    assert (a == b).all()
+    assert a.shape == (12, 10, 3)
+    # and the content is a faithful gray decode
+    assert np.abs(a[:, :, 0].astype(int) - gray.astype(int)).mean() < 6
+
+
 def test_jpeg_error_gates():
     g = M._gradient_pixels("gates")
     payload = M.encode_jpeg(g)
