@@ -1091,11 +1091,20 @@ def jl_project(
     )
     joined = ex.join(F.broadcast(sdf), "pos")
     root = math.sqrt(float(out_dim))
-    g = joined.groupBy(id_col).agg(
+    # One double→decimal cast per exploded row, signs applied as a
+    # conditional decimal NEGATE (r14 optimization): the original form
+    # paid out_dim double-multiplies + out_dim decimal casts per row.
+    # Provably value-identical: s_ij ∈ {−1, +1}, x·(+1) = x and
+    # x·(−1) = −x are exact in IEEE, and Spark's decimal cast rounds
+    # HALF_UP (away from zero — odd-symmetric), so
+    # cast(−x) ≡ −cast(x) and Σ cast(x·s) ≡ Σ (s>0 ? t : −t) with
+    # t = cast(x) — the same exact decimal terms in the same exact sum.
+    term = F.col("col").cast("decimal(18,9)")
+    g = joined.withColumn("_t", term).groupBy(id_col).agg(
         *[
-            F.sum((F.col("col") * F.col(f"s_{j}")).cast("decimal(18,9)")).alias(
-                f"d_{j}"
-            )
+            F.sum(
+                F.when(F.col(f"s_{j}") > 0, F.col("_t")).otherwise(-F.col("_t"))
+            ).alias(f"d_{j}")
             for j in range(out_dim)
         ]
     )

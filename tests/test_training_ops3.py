@@ -291,6 +291,58 @@ def test_jl_projection_partitioning_invariance(spark):
     assert o1 == o2
 
 
+def test_jl_projection_negate_form_matches_multiply_form(spark):
+    """r14 optimization pin: jl_project now casts each exploded value
+    to DECIMAL(18,9) ONCE and applies the Rademacher sign as a decimal
+    negate (when(s>0, t).otherwise(-t)) instead of out_dim per-row
+    double-multiplies + casts. Equivalence rests on cast(−x) ≡ −cast(x)
+    under Spark's HALF_UP decimal rounding (odd-symmetric). This test
+    replays the ORIGINAL multiply-then-cast formulation inline on
+    half-ULP-adversarial values (exact .5·10⁻⁹ ties, both signs) and
+    asserts bit-identical outputs."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ironman_medallion_lakehouse_spark.operators.similarity import (
+        jl_project,
+        jl_signs,
+    )
+
+    # values sitting exactly ON the decimal(18,9) rounding boundary
+    # (odd multiples of 0.5e-9) plus ordinary magnitudes, both signs
+    vals = [1.5e-9, -1.5e-9, 2.5e-9, -2.5e-9, 0.1234567895, -0.9876543215]
+    vecs = [[vals[(i + j) % len(vals)] for j in range(8)] for i in range(12)]
+    emb = _emb(spark, vecs)
+    new = {r.vec_id: tuple(r)[1:] for r in jl_project(emb, out_dim=4, in_dim=8).collect()}
+
+    signs = jl_signs(8, 4)
+    sdf = spark.createDataFrame(
+        [(i, *signs[i]) for i in range(8)], ["pos", "s_0", "s_1", "s_2", "s_3"]
+    )
+    ex = emb.select(
+        F.col("vec_id"),
+        F.posexplode(F.transform(F.col("embedding"), lambda x: x.cast("double"))),
+    )
+    joined = ex.join(F.broadcast(sdf), "pos")
+    root = math.sqrt(4.0)
+    g = joined.groupBy("vec_id").agg(
+        *[
+            F.sum((F.col("col") * F.col(f"s_{j}")).cast("decimal(18,9)")).alias(f"d_{j}")
+            for j in range(4)
+        ]
+    )
+    old_df = g.select(
+        "vec_id",
+        *[
+            F.round(F.col(f"d_{j}").cast("double") / F.lit(root), 6).alias(f"proj_{j}")
+            for j in range(4)
+        ],
+    )
+    old = {r.vec_id: tuple(r)[1:] for r in old_df.collect()}
+    assert new == old
+
+
 def test_jl_projection_infers_width(spark):
     from ironman_medallion_lakehouse_spark.operators.similarity import jl_project
 
