@@ -260,6 +260,20 @@ def lsh_candidate_pairs(
             "ignored, weakening the banding threshold — choose k % bands == 0"
         )
     banded = _banded(signatures, id_col, k, bands)
+    # NOTE (r14, measured): the bucket-grouped generation that wins for
+    # the CROSS form (lsh_cross_candidates) was A/B-tested here and
+    # LOST — q83 6.5 → 7.9 s, q153 8.6 → 12.6 s at sf0.1, in both the
+    # filter-lambda and posexplode+slice pair-generation variants. For
+    # the SELF join, cross-band member-set dedup almost never fires on
+    # near-dup (non-identical-set) clusters (probe at sf0.1: 6,022,839
+    # raw pairs → 6,022,408 after bucket dedup, −0.007 %), so the
+    # collect_list aggregation + array dedup + double Generate only
+    # ADD cost over the single reused band-row exchange the self
+    # equi-join already plans. The cross form wins because a new doc
+    # colliding with the same corpus cluster in m bands produces m
+    # copies of every pair there (measured ×3.9 at sf0.1) — that
+    # multiplicity is the thing the grouped form removes, and the self
+    # join's id_a < id_b predicate already halves it structurally.
     if max_bucket_size is not None:
         keep = (
             banded.groupBy("band_id", "bucket")
@@ -522,15 +536,32 @@ def lsh_cross_candidates(
         raise ValueError(f"signature widths differ: new k={k}, corpus k={kc}")
     a = _banded(sig_new, id_col, k, bands).withColumnsRenamed({id_col: "id_new"})
     b = _banded(sig_corpus, id_col, k, bands).withColumnsRenamed({id_col: "id_corpus"})
+    # r14 restructure (see lsh_candidate_pairs): group the corpus side
+    # to sorted per-bucket member arrays — the max_bucket_size valve
+    # folds into a size() filter on the same aggregation instead of a
+    # separate count + back-join — then join the new side's band rows
+    # against bucket ROWS (one per bucket, not one per member) and
+    # dedupe (id_new, member-set) pairs BEFORE exploding members: a new
+    # doc colliding with the same corpus cluster in m bands produced m
+    # copies of every cross pair in the old row×row join (measured at
+    # sf0.1: 7.15M raw rows for 1.84M distinct pairs); identical member
+    # sets across bands collapse to one array row here, exact-equality
+    # dedup on the sorted array itself. Output is the identical
+    # distinct (id_new, id_corpus) set.
+    bg = b.groupBy("band_id", "bucket").agg(
+        F.sort_array(F.collect_list(F.col("id_corpus"))).alias("_members")
+    )
     if max_bucket_size is not None:
-        keep = (
-            b.groupBy("band_id", "bucket")
-            .agg(F.count(F.lit(1)).alias("_sz"))
-            .filter(F.col("_sz") <= max_bucket_size)
-            .select("band_id", "bucket")
-        )
-        b = b.join(keep, ["band_id", "bucket"])
-    return a.join(b, ["band_id", "bucket"]).select("id_new", "id_corpus").distinct()
+        bg = bg.filter(F.size("_members") <= max_bucket_size)
+    hits = (
+        a.join(bg, ["band_id", "bucket"])
+        .select("id_new", "_members")
+        .dropDuplicates(["id_new", "_members"])
+    )
+    return (
+        hits.select("id_new", F.explode("_members").alias("id_corpus"))
+        .distinct()
+    )
 
 
 def exact_hash_frame(
@@ -618,6 +649,17 @@ def dedup_incoming(
         .select(F.col(id_col))
         .withColumn("_exact", F.lit(True))
     )
+    if corpus_hashes is None:
+        # batch-sized (≤ |incoming| rows of id+flag) and read TWICE —
+        # by the anti-join prune below and the final status join; the
+        # unmaterialized lineage re-ran the corpus md5-distinct per
+        # consumer (r14 plan audit: the exact subtree appeared twice in
+        # the fused plan; q94 12.4 → 9.5 s at sf0.1). With PREPARED
+        # corpus_hashes the subtree is one parquet read + semi-join —
+        # re-evaluating that twice is cheaper than the blocking
+        # checkpoint job (measured: q94b 4.6 → 4.8 s when
+        # unconditional), so the prepared path stays lazy.
+        exact = exact.localCheckpoint(eager=True)
 
     # the near stage only runs on incoming docs NOT already exact-dups:
     # exact wins the CASE priority either way, so pruning them from the
@@ -650,6 +692,13 @@ def dedup_incoming(
     lookup = incoming.select(id_col, text_col).unionByName(
         corpus.select(id_col, text_col)
     )
+    # NOTE (r14, measured): materializing the tokenized union once
+    # (localCheckpoint of (id, hashed ws) fed to both refine sides via
+    # token_sets=) was A/B-tested and LOST — q94 9.5 → 11.9 s, q94b
+    # 4.8 → 7.4 s at sf0.1. Same family as the r5/r6 A/Bs above: the
+    # two join sides' identical broadcast subtrees are exchange-reused
+    # at runtime, so the "duplicate" tokenize is already computed only
+    # once per broadcast, and the checkpoint just adds a blocking job.
     near = (
         jaccard_refine(
             cand.withColumnsRenamed({"id_new": "id_a", "id_corpus": "id_b"}),

@@ -385,3 +385,92 @@ def test_dedup_incoming_bands_dial_on_stored_sigs(spark):
         ).collect()
     }
     assert capped == {1: "kept", 2: "exact_dup", 3: "kept"}
+
+
+def test_cross_candidates_grouped_form_matches_row_join(spark):
+    """r14 optimization pin: lsh_cross_candidates now groups the corpus
+    band rows to sorted per-bucket member arrays, dedupes repeated
+    (id_new, member-set) hits across bands, and explodes — the old
+    row-by-row band join emitted every band collision as a raw pair
+    before the distinct. The distinct candidate set must be IDENTICAL;
+    this replays the old join inline (cap semantics included: the cap
+    bounds corpus-side bucket width)."""
+    from pyspark.sql import functions as F
+
+    from ironman_medallion_lakehouse_spark.operators.dedup import (
+        _banded,
+        _sig_width,
+        lsh_cross_candidates,
+        minhash_signatures,
+    )
+
+    # overlapping token sets so several docs share several band buckets,
+    # plus exact copies so whole clusters collide in ALL bands
+    corp_rows = [(i, " ".join(f"tok{t}" for t in range(i % 4, 30 + i % 4)))
+                 for i in range(100, 112)]
+    corp_rows += [(i + 50, txt) for i, txt in corp_rows[:6]]  # exact copies
+    inc_rows = [(j, " ".join(f"tok{t}" for t in range(j % 3, 30 + j % 3)))
+                for j in range(10)]
+    corpus = spark.createDataFrame(corp_rows, "doc_id long, text string")
+    incoming = spark.createDataFrame(inc_rows, "doc_id long, text string")
+    sig_c = minhash_signatures(corpus)
+    sig_n = minhash_signatures(incoming)
+
+    def old_form(max_bucket_size):
+        k = _sig_width(sig_n)
+        a = _banded(sig_n, "doc_id", k, 16).withColumnsRenamed({"doc_id": "id_new"})
+        b = _banded(sig_c, "doc_id", k, 16).withColumnsRenamed({"doc_id": "id_corpus"})
+        if max_bucket_size is not None:
+            keep = (
+                b.groupBy("band_id", "bucket")
+                .agg(F.count(F.lit(1)).alias("_sz"))
+                .filter(F.col("_sz") <= max_bucket_size)
+                .select("band_id", "bucket")
+            )
+            b = b.join(keep, ["band_id", "bucket"])
+        return a.join(b, ["band_id", "bucket"]).select("id_new", "id_corpus").distinct()
+
+    for cap in (None, 3, 1):
+        got = {(r.id_new, r.id_corpus)
+               for r in lsh_cross_candidates(sig_n, sig_c, bands=16,
+                                             max_bucket_size=cap).collect()}
+        want = {(r.id_new, r.id_corpus) for r in old_form(cap).collect()}
+        assert got == want, f"cap={cap}"
+        if cap is None:
+            assert len(want) > 0
+
+
+def test_q47_battery_handles_wordless_docs(spark, tmp_path):
+    """r14 BPE-arm restructure pin: a doc whose text has no words falls
+    out of the posexplode and must re-enter via the left join with
+    n_bpe_tokens = 0 and bpe_fp = md5('') — the values the old inline
+    expression produced on an empty word array."""
+    import hashlib
+    import os
+    import shutil
+
+    from ironman_medallion_lakehouse_spark import suite
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    df = spark.read.parquet(src).limit(6)
+    patched = df.selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 3 = 0 THEN '   ' ELSE text END AS text",
+        "lang", "source", "n_chars",
+    )
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    patched.coalesce(1).write.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = suite.queries()["q47_text_battery"](spark, sf_dir).collect()
+    assert len(out) == 6
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    saw_wordless = False
+    for r in out:
+        if r.doc_id % 3 == 0:
+            saw_wordless = True
+            assert r.n_bpe_tokens == 0
+            assert r.bpe_fp == empty_md5
+        else:
+            assert r.n_bpe_tokens > 0
+            assert r.bpe_fp != empty_md5
+    assert saw_wordless
