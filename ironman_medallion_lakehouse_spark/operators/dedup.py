@@ -128,6 +128,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     k: int = 128,
     tokens: Column | None = None,
+    with_size: bool = False,
 ) -> DataFrame:
     """k-permutation MinHash over distinct tokens — word tokens by
     default, or any caller-supplied distinct-token array expression via
@@ -149,6 +150,11 @@ def minhash_signatures(
 
     The k=128 default matches ``lsh_candidate_pairs`` (32 bands × r=4),
     so the documented two-call pipeline works with defaults end-to-end.
+
+    ``with_size`` (r14, opt-in — default schema unchanged) additionally
+    emits ``n_tok`` = the distinct-token count, read off the already-
+    materialized token-hash array for free; it feeds
+    ``lsh_candidate_pairs``'s size-compatibility pre-filter.
     """
     from ironman_medallion_lakehouse_spark.functions.text import _let
 
@@ -180,6 +186,19 @@ def minhash_signatures(
 
         return F.transform(F.sequence(F.lit(0), F.lit(k - 1)), one_sig)
 
+    if with_size:
+        with_sigs = docs.filter(F.size(ws) > 0).select(
+            F.col(id_col),
+            _let(
+                F.transform(ws, token_hash),
+                lambda h: F.struct(F.size(h).alias("n"), sigs(h).alias("s")),
+            ).alias("_x"),
+        )
+        return with_sigs.select(
+            F.col(id_col),
+            F.col("_x.n").alias("n_tok"),
+            *[F.col("_x.s")[j].alias(f"sig_{j}") for j in range(k)],
+        )
     with_sigs = docs.filter(F.size(ws) > 0).select(
         F.col(id_col),
         _let(F.transform(ws, token_hash), sigs).alias("_sigs"),
@@ -193,10 +212,19 @@ def _sig_width(signatures: DataFrame) -> int:
     return sum(1 for f in signatures.schema.fields if f.name.startswith("sig_"))
 
 
-def _banded(signatures: DataFrame, id_col: str, k: int, bands: int) -> DataFrame:
+def _banded(
+    signatures: DataFrame,
+    id_col: str,
+    k: int,
+    bands: int,
+    carry: list[str] | None = None,
+) -> DataFrame:
     """Explode a signature frame to (id, band_id, bucket) rows — the
-    shared first half of self-join and cross-corpus LSH pairing."""
+    shared first half of self-join and cross-corpus LSH pairing.
+    ``carry`` rides extra per-doc columns (e.g. ``n_tok``) through the
+    explode."""
     r = k // bands
+    extra = list(carry or [])
     band_cols = [
         F.struct(
             F.lit(b).alias("band_id"),
@@ -207,8 +235,8 @@ def _banded(signatures: DataFrame, id_col: str, k: int, bands: int) -> DataFrame
         for b in range(bands)
     ]
     return signatures.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
-    ).select(id_col, "band.band_id", "band.bucket")
+        F.col(id_col), *extra, F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, *extra, "band.band_id", "band.bucket")
 
 
 def lsh_candidate_pairs(
@@ -217,6 +245,7 @@ def lsh_candidate_pairs(
     k: int | None = None,
     bands: int = 32,
     max_bucket_size: int | None = None,
+    size_threshold: float | None = None,
 ) -> DataFrame:
     """LSH banding: hash each band of r = k/bands signature elements to
     a bucket; documents sharing any band bucket become candidate pairs.
@@ -244,7 +273,18 @@ def lsh_candidate_pairs(
     above the ceiling BEFORE the self-join — one extra skew-free
     aggregation over band rows. Off by default (it trades recall
     inside mega-clusters for bounded join cost; the dropped documents
-    usually still pair through their other b−1 bands)."""
+    usually still pair through their other b−1 bands).
+
+    ``size_threshold`` (r14, opt-in): J = |∩|/|∪| ≤ min(|A|,|B|) /
+    max(|A|,|B|), so when the DOWNSTREAM refine keeps only J ≥ t, a
+    pair whose token-set sizes violate min ≥ t·max can never survive —
+    dropping it AT THE BAND JOIN, before the candidate distinct, is
+    provably output-preserving for the refine-at-t pipeline (the same
+    bound jaccard_refine's guard applies per surviving pair; measured
+    at sf0.1/t=0.9, ~49 % of banded candidates are size-incompatible).
+    Requires signatures built ``with_size=True`` (the ``n_tok``
+    column); callers consuming raw candidates (no refine) must leave
+    it None — it changes the CANDIDATE set, not the refined one."""
     if k is None:
         k = sum(1 for f in signatures.schema.fields if f.name.startswith("sig_"))
     r = k // bands
@@ -259,7 +299,13 @@ def lsh_candidate_pairs(
             f"the trailing {k % bands} signature columns would be silently "
             "ignored, weakening the banding threshold — choose k % bands == 0"
         )
-    banded = _banded(signatures, id_col, k, bands)
+    if size_threshold is not None and "n_tok" not in signatures.columns:
+        raise ValueError(
+            "size_threshold requires signatures computed with "
+            "minhash_signatures(..., with_size=True) — no n_tok column found"
+        )
+    carry = ["n_tok"] if size_threshold is not None else None
+    banded = _banded(signatures, id_col, k, bands, carry=carry)
     # NOTE (r14, measured): the bucket-grouped generation that wins for
     # the CROSS form (lsh_cross_candidates) was A/B-tested here and
     # LOST — q83 6.5 → 7.9 s, q153 8.6 → 12.6 s at sf0.1, in both the
@@ -284,13 +330,21 @@ def lsh_candidate_pairs(
         banded = banded.join(keep, ["band_id", "bucket"])
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    cond = (
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    if size_threshold is not None:
+        # the refine guard's exact bound, applied per RAW join row so
+        # never-survivable pairs skip the candidate distinct entirely
+        na, nb = F.col("a.n_tok"), F.col("b.n_tok")
+        cond = cond & (
+            F.least(na, nb).cast("double")
+            >= F.lit(float(size_threshold)) * F.greatest(na, nb).cast("double")
         )
+    return (
+        a.join(b, cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
@@ -494,11 +548,19 @@ def near_dedup_groups(
         "left_semi",
     )
     # signatures materialize once: they feed both sides of the band
-    # self-join, and an unmaterialized lineage recomputes per use
-    sigs = minhash_signatures(rep_docs, text_col, id_col, k=k).localCheckpoint(
-        eager=True
+    # self-join, and an unmaterialized lineage recomputes per use.
+    # with_size/size_threshold (r14): the refine keeps only J ≥ t and
+    # J ≤ min/max of the token-set sizes, so size-incompatible pairs
+    # are dropped at the band join itself — before the candidate
+    # distinct and the refine's two joins — instead of only having
+    # their intersect skipped inside the refine (provably
+    # output-preserving; see lsh_candidate_pairs).
+    sigs = minhash_signatures(
+        rep_docs, text_col, id_col, k=k, with_size=True
+    ).localCheckpoint(eager=True)
+    cand = lsh_candidate_pairs(
+        sigs, id_col, k=k, bands=bands, size_threshold=threshold
     )
-    cand = lsh_candidate_pairs(sigs, id_col, k=k, bands=bands)
     pairs = jaccard_refine(
         cand, rep_docs, text_col, id_col, threshold=threshold, hashed_tokens=True
     )

@@ -727,20 +727,19 @@ def mann_whitney_u(
     (Bigint bounds: rank2 sums reach O(N²), the tie term O(t³·#ties) —
     ample below ~10⁹ pooled rows; past that, run on a per-batch sample
     like KS.) Plan: one hash aggregate with map-side partial combine,
-    one distinct-value-sized window, scalar output."""
+    one distinct-value-sized window, scalar output. The pre-aggregation
+    is the shared ``per_value_counts`` (r14 — it was an inline
+    duplicate of it); a caller holding that frame materialized uses
+    ``mann_whitney_from_value_counts`` directly."""
+    pv = per_value_counts(df, value_col, group_col, group_a, group_b)
+    return mann_whitney_from_value_counts(pv)
+
+
+def mann_whitney_from_value_counts(per_value: DataFrame) -> DataFrame:
+    """Mann-Whitney finisher over a ``per_value_counts`` frame (see
+    ``mann_whitney_u`` for semantics/plan)."""
     from pyspark.sql import Window
 
-    per_value = (
-        df.filter(F.col(group_col).isin([group_a, group_b]))
-        .filter(F.col(value_col).isNotNull())
-        .select(
-            F.col(value_col).alias("v"),
-            F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("ia"),
-            F.when(F.col(group_col) == group_b, 1).otherwise(0).alias("ib"),
-        )
-        .groupBy("v")
-        .agg(F.sum("ia").alias("na_v"), F.sum("ib").alias("nb_v"))
-    )
     # bounded-serial: input is the per-distinct-value aggregate (the q142
     # KS discipline); at 100 TB run on a per-batch sample
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -2179,14 +2179,11 @@ def _q143_arm_frames(spark: SparkSession, sf_dir: str) -> dict:
     shared orders materialization."""
     from ironman_medallion_lakehouse_spark.operators.experiment import (
         delta_method_ratio_test,
-        mann_whitney_u,
         msprt_normal,
         poisson_bootstrap_mean_diff,
-        quantile_treatment_effects,
         srm_check,
         two_proportion_ztest,
         welch_t_test,
-        winsorized_welch_t,
     )
 
     t = load_tables(spark, sf_dir, "orders")
@@ -2216,7 +2213,24 @@ def _q143_arm_frames(spark: SparkSession, sf_dir: str) -> dict:
     ]
     tt = welch_t_test(o, "o_totalprice", "variant", "a", "b")
     zz = two_proportion_ztest(o, "converted", "variant", "a", "b")
-    mw = mann_whitney_u(o, "o_totalprice", "variant", "a", "b")
+    # ONE materialized per-distinct-value frame feeds all three
+    # rank/quantile arms (r14; the operators' own documented pattern —
+    # per_value_counts: "a caller computing several CDF statistics
+    # materializes this ONCE and feeds each finisher"): mann_whitney,
+    # winsorized_t and qte each re-ran the identical groupBy(value)
+    # shuffle over orders. Finisher expressions are unchanged, so every
+    # arm's values are identical by construction.
+    from ironman_medallion_lakehouse_spark.operators.experiment import (
+        mann_whitney_from_value_counts,
+        per_value_counts,
+        qte_from_value_counts,
+        winsorized_welch_from_value_counts,
+    )
+
+    pv = per_value_counts(o, "o_totalprice", "variant", "a", "b").localCheckpoint(
+        eager=True
+    )
+    mw = mann_whitney_from_value_counts(pv)
     sr = srm_check(o, "variant", {"a": 0.5, "b": 0.5})
     ms = msprt_normal(o, "o_totalprice", "variant", "a", "b", tau2=_Q143_TAU2)
     tt_eff = welch_t_test(o_eff, "o_totalprice", "variant", "a", "b")
@@ -2251,10 +2265,8 @@ def _q143_arm_frames(spark: SparkSession, sf_dir: str) -> dict:
     # POOLED [0, 0.99] type-1 quantiles — the "capped metric" form a
     # heavy-tailed revenue metric ships with; cuts + clipped moments
     # all ride the per-distinct-value frame off the checkpointed base
-    wz = winsorized_welch_t(o, "o_totalprice", "variant", "a", "b")
-    qt = quantile_treatment_effects(
-        o, "o_totalprice", "variant", "a", "b", probs=_Q143_QTE_PROBS
-    ).select(
+    wz = winsorized_welch_from_value_counts(pv)
+    qt = qte_from_value_counts(pv, probs=_Q143_QTE_PROBS).select(
         F.concat(F.lit("qte_p"), F.round(F.col("p") * 100).cast("int").cast("string"))
         .alias("test"),
         "n_a",

@@ -474,3 +474,54 @@ def test_q47_battery_handles_wordless_docs(spark, tmp_path):
             assert r.n_bpe_tokens > 0
             assert r.bpe_fp != empty_md5
     assert saw_wordless
+
+
+def test_size_threshold_prefilter_is_refine_invariant(spark):
+    """r14 optimization pin: lsh_candidate_pairs(size_threshold=t)
+    drops only pairs that jaccard_refine(threshold=t) would reject
+    anyway (J <= min|A|,|B| / max|A|,|B|), so refine output — and
+    therefore near_dedup_groups — is identical with and without the
+    pre-filter. The fixture mixes compatible and size-incompatible
+    near-dup pairs."""
+    from ironman_medallion_lakehouse_spark.operators.dedup import (
+        jaccard_refine,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    rows = []
+    # cluster of similar same-size docs (survives both paths)
+    for i in range(6):
+        toks = [f"tok{t}" for t in range(40)]
+        toks[i] = f"alt{i}"
+        rows.append((i, " ".join(toks)))
+    # a subset doc (20 of the 40 cluster tokens): at r=1 banding it
+    # collides with the cluster (J=0.5 per band, 8 bands — verified
+    # below), but is size-incompatible at t=0.9 (20 vs 40 tokens)
+    rows.append((50, " ".join(f"tok{t}" for t in range(20))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs_plain = minhash_signatures(docs, k=8)
+    sigs_sized = minhash_signatures(docs, k=8, with_size=True)
+    t = 0.9
+    cand_plain = lsh_candidate_pairs(sigs_plain, k=8, bands=8)
+    cand_sized = lsh_candidate_pairs(sigs_sized, k=8, bands=8, size_threshold=t)
+    plain_pairs = {(r.id_a, r.id_b) for r in cand_plain.collect()}
+    sized_pairs = {(r.id_a, r.id_b) for r in cand_sized.collect()}
+    assert sized_pairs <= plain_pairs
+    assert len(sized_pairs) < len(plain_pairs)  # the fixture prunes something
+    ref_plain = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_refine(cand_plain, docs, threshold=t, hashed_tokens=True).collect()
+    }
+    ref_sized = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_refine(cand_sized, docs, threshold=t, hashed_tokens=True).collect()
+    }
+    assert ref_plain == ref_sized
+    assert len(ref_plain) > 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="with_size"):
+        lsh_candidate_pairs(sigs_plain, k=8, bands=8, size_threshold=t)
