@@ -584,6 +584,7 @@ def lsh_cross_candidates(
     id_col: str = "doc_id",
     bands: int = 16,
     max_bucket_size: int | None = None,
+    size_threshold: float | None = None,
 ) -> DataFrame:
     """LSH candidates BETWEEN two corpora: (id_new, id_corpus) pairs
     sharing any band bucket — the incremental-dedup join (new crawl vs
@@ -591,13 +592,31 @@ def lsh_cross_candidates(
     bucket hit rate): the corpus side is touched only where a bucket
     matches, so a small batch against a huge corpus stays a small
     equi-join. ``max_bucket_size`` caps CORPUS-side bucket width (the
-    side that accumulates boilerplate mega-buckets over time)."""
+    side that accumulates boilerplate mega-buckets over time).
+    ``size_threshold`` (r14): the self-join pre-filter's cross twin —
+    requires BOTH signature frames built ``with_size=True``; pairs
+    whose token-set sizes can never reach Jaccard ``size_threshold``
+    are dropped before the candidate distinct (provably
+    output-preserving for a refine-at-t consumer, see
+    lsh_candidate_pairs)."""
     k = _sig_width(sig_new)
     kc = _sig_width(sig_corpus)
     if k != kc:
         raise ValueError(f"signature widths differ: new k={k}, corpus k={kc}")
-    a = _banded(sig_new, id_col, k, bands).withColumnsRenamed({id_col: "id_new"})
-    b = _banded(sig_corpus, id_col, k, bands).withColumnsRenamed({id_col: "id_corpus"})
+    if size_threshold is not None and not (
+        "n_tok" in sig_new.columns and "n_tok" in sig_corpus.columns
+    ):
+        raise ValueError(
+            "size_threshold requires BOTH signature frames computed with "
+            "minhash_signatures(..., with_size=True) — n_tok column missing"
+        )
+    carry = ["n_tok"] if size_threshold is not None else None
+    a = _banded(sig_new, id_col, k, bands, carry=carry).withColumnsRenamed(
+        {id_col: "id_new"}
+    )
+    b = _banded(sig_corpus, id_col, k, bands, carry=carry).withColumnsRenamed(
+        {id_col: "id_corpus"}
+    )
     # r14 restructure (see lsh_candidate_pairs): group the corpus side
     # to sorted per-bucket member arrays — the max_bucket_size valve
     # folds into a size() filter on the same aggregation instead of a
@@ -610,20 +629,45 @@ def lsh_cross_candidates(
     # sets across bands collapse to one array row here, exact-equality
     # dedup on the sorted array itself. Output is the identical
     # distinct (id_new, id_corpus) set.
+    if size_threshold is None:
+        bg = b.groupBy("band_id", "bucket").agg(
+            F.sort_array(F.collect_list(F.col("id_corpus"))).alias("_members")
+        )
+        if max_bucket_size is not None:
+            bg = bg.filter(F.size("_members") <= max_bucket_size)
+        hits = (
+            a.join(bg, ["band_id", "bucket"])
+            .select("id_new", "_members")
+            .dropDuplicates(["id_new", "_members"])
+        )
+        return (
+            hits.select("id_new", F.explode("_members").alias("id_corpus"))
+            .distinct()
+        )
+    # sized variant: members carry (id, n_tok) structs — sort_array
+    # orders by (id, n) and ids are unique per bucket, so the array is
+    # still a canonical member-set key for the cross-band dedup; the
+    # size-compatibility bound then drops never-survivable pairs right
+    # after the explode, before the candidate distinct
     bg = b.groupBy("band_id", "bucket").agg(
-        F.sort_array(F.collect_list(F.col("id_corpus"))).alias("_members")
+        F.sort_array(
+            F.collect_list(F.struct(F.col("id_corpus").alias("i"), F.col("n_tok").alias("n")))
+        ).alias("_members")
     )
     if max_bucket_size is not None:
         bg = bg.filter(F.size("_members") <= max_bucket_size)
     hits = (
         a.join(bg, ["band_id", "bucket"])
-        .select("id_new", "_members")
+        .select("id_new", F.col("n_tok").alias("_n_new"), "_members")
         .dropDuplicates(["id_new", "_members"])
     )
-    return (
-        hits.select("id_new", F.explode("_members").alias("id_corpus"))
-        .distinct()
-    )
+    ex = hits.select(
+        "id_new", "_n_new", F.explode("_members").alias("_m")
+    ).select("id_new", "_n_new", F.col("_m.i").alias("id_corpus"), F.col("_m.n").alias("_n_corp"))
+    size_ok = F.least(F.col("_n_new"), F.col("_n_corp")).cast("double") >= F.lit(
+        float(size_threshold)
+    ) * F.greatest(F.col("_n_new"), F.col("_n_corp")).cast("double")
+    return ex.filter(size_ok).select("id_new", "id_corpus").distinct()
 
 
 def exact_hash_frame(
@@ -735,11 +779,22 @@ def dedup_incoming(
     # two extra text-scanning window passes cost. On corpora with much
     # higher duplicate-set rates, contract the CORPUS side once at
     # signature-precompute time (the corpus_sigs= path), not per batch.
-    sig_new = minhash_signatures(remaining, text_col, id_col, k=k)
+    # with_size/size_threshold (r14): pairs whose token-set sizes can
+    # never reach the refine threshold are dropped at the band join
+    # (provably output-preserving — the refine applies the same bound
+    # per pair). Stored corpus_sigs built WITHOUT n_tok fall back to
+    # the unsized path.
+    sig_new = minhash_signatures(remaining, text_col, id_col, k=k, with_size=True)
     if corpus_sigs is None:
-        corpus_sigs = minhash_signatures(corpus, text_col, id_col, k=k)
+        corpus_sigs = minhash_signatures(corpus, text_col, id_col, k=k, with_size=True)
+    sized = "n_tok" in corpus_sigs.columns
     cand = lsh_cross_candidates(
-        sig_new, corpus_sigs, id_col, bands=bands, max_bucket_size=max_bucket_size
+        sig_new if sized else sig_new.drop("n_tok"),
+        corpus_sigs,
+        id_col,
+        bands=bands,
+        max_bucket_size=max_bucket_size,
+        size_threshold=threshold if sized else None,
     )
     # refine against the union lookup (both sides' token sets), reusing
     # the pair-refine machinery: rename to its (id_a, id_b) contract.
@@ -830,13 +885,25 @@ def update_dedup_groups(
     relabel map). Precondition: new ids are not already in the corpus
     (re-crawled known ids are the MERGE layer's concern, not the
     grouper's)."""
-    sig_new = minhash_signatures(new_docs, text_col, id_col, k=k).localCheckpoint(
-        eager=True
-    )
+    # with_size/size_threshold (r14): same provably-output-preserving
+    # band-join size pre-filter as near_dedup_groups/dedup_incoming —
+    # the refine below keeps only J ≥ threshold
+    sig_new = minhash_signatures(
+        new_docs, text_col, id_col, k=k, with_size=True
+    ).localCheckpoint(eager=True)
     if corpus_sigs is None:
-        corpus_sigs = minhash_signatures(corpus, text_col, id_col, k=k)
-    cross = lsh_cross_candidates(sig_new, corpus_sigs, id_col, bands=bands)
-    self_pairs = lsh_candidate_pairs(sig_new, id_col, k=k, bands=bands)
+        corpus_sigs = minhash_signatures(corpus, text_col, id_col, k=k, with_size=True)
+    sized = "n_tok" in corpus_sigs.columns
+    cross = lsh_cross_candidates(
+        sig_new if sized else sig_new.drop("n_tok"),
+        corpus_sigs,
+        id_col,
+        bands=bands,
+        size_threshold=threshold if sized else None,
+    )
+    self_pairs = lsh_candidate_pairs(
+        sig_new, id_col, k=k, bands=bands, size_threshold=threshold
+    )
     cand = (
         self_pairs.select("id_a", "id_b")
         .unionByName(

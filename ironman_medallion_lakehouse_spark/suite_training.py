@@ -661,7 +661,11 @@ def q94b_incremental_dedup_prepared(spark: SparkSession, sf_dir: str) -> DataFra
                 shutil.rmtree(tmp, ignore_errors=True)
         return spark.read.parquet(p)
 
-    sigs = _cache("", lambda: D.minhash_signatures(corpus))
+    # with_size=True (r14): the stored table carries n_tok so
+    # dedup_incoming's size-compatibility band-join pre-filter engages
+    # on the prepared path too (the cache key hashes the signature
+    # code, so the schema change self-invalidates old caches)
+    sigs = _cache("", lambda: D.minhash_signatures(corpus, with_size=True))
     hashes = _cache("_h", lambda: D.exact_hash_frame(corpus))
     return D.dedup_incoming(
         incoming,
