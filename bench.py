@@ -179,7 +179,13 @@ def _drop_persistent_blocks(spark) -> None:
 
 
 def _group_counts(spark, group: str) -> dict:
-    """Job/stage/task counts for one job group via the status tracker."""
+    """Job/stage/task counts for one job group via the status tracker,
+    plus (r15, VERDICT r14 item 5) the BOX-INSENSITIVE metrics: summed
+    executor task time and shuffle bytes from the app status store.
+    Wall seconds swing ±20-25 % with box state (adjudicated twice, r13
+    and r14); sum-of-task-time divides that out for round-over-round
+    comparison. Sidecar-only — the timed protocol and the stdout JSON
+    line are unchanged."""
     st = spark.sparkContext.statusTracker()
     jobs = st.getJobIdsForGroup(group)
     stage_ids = set()
@@ -192,7 +198,32 @@ def _group_counts(spark, group: str) -> dict:
         si = st.getStageInfo(s)
         if si:
             tasks += si.numTasks
-    return {"jobs": len(jobs), "stages": len(stage_ids), "tasks": tasks}
+    out = {"jobs": len(jobs), "stages": len(stage_ids), "tasks": tasks}
+    try:
+        sc = spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        empty = sc._jvm.java.util.ArrayList()
+        darr = sc._gateway.new_array(sc._gateway.jvm.double, 0)
+        run_ms = sr_b = sw_b = in_b = 0
+        for s in stage_ids:
+            it = store.stageData(s, False, empty, False, darr).iterator()
+            while it.hasNext():
+                sd = it.next()
+                run_ms += sd.executorRunTime()
+                sr_b += sd.shuffleReadBytes()
+                sw_b += sd.shuffleWriteBytes()
+                in_b += sd.inputBytes()
+        out.update(
+            {
+                "task_time_ms": run_ms,
+                "shuffle_read_b": sr_b,
+                "shuffle_write_b": sw_b,
+                "input_b": in_b,
+            }
+        )
+    except Exception:  # noqa: BLE001 — metrics must never fail the bench
+        pass
+    return out
 
 
 def main() -> None:
