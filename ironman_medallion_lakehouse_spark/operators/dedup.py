@@ -617,57 +617,43 @@ def lsh_cross_candidates(
     b = _banded(sig_corpus, id_col, k, bands, carry=carry).withColumnsRenamed(
         {id_col: "id_corpus"}
     )
-    # r14 restructure (see lsh_candidate_pairs): group the corpus side
-    # to sorted per-bucket member arrays — the max_bucket_size valve
-    # folds into a size() filter on the same aggregation instead of a
-    # separate count + back-join — then join the new side's band rows
-    # against bucket ROWS (one per bucket, not one per member) and
-    # dedupe (id_new, member-set) pairs BEFORE exploding members: a new
-    # doc colliding with the same corpus cluster in m bands produced m
-    # copies of every cross pair in the old row×row join (measured at
-    # sf0.1: 7.15M raw rows for 1.84M distinct pairs); identical member
-    # sets across bands collapse to one array row here, exact-equality
-    # dedup on the sorted array itself. Output is the identical
-    # distinct (id_new, id_corpus) set.
-    if size_threshold is None:
-        bg = b.groupBy("band_id", "bucket").agg(
-            F.sort_array(F.collect_list(F.col("id_corpus"))).alias("_members")
-        )
-        if max_bucket_size is not None:
-            bg = bg.filter(F.size("_members") <= max_bucket_size)
-        hits = (
-            a.join(bg, ["band_id", "bucket"])
-            .select("id_new", "_members")
-            .dropDuplicates(["id_new", "_members"])
-        )
-        return (
-            hits.select("id_new", F.explode("_members").alias("id_corpus"))
-            .distinct()
-        )
-    # sized variant: members carry (id, n_tok) structs — sort_array
-    # orders by (id, n) and ids are unique per bucket, so the array is
-    # still a canonical member-set key for the cross-band dedup; the
-    # size-compatibility bound then drops never-survivable pairs right
-    # after the explode, before the candidate distinct
-    bg = b.groupBy("band_id", "bucket").agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col("id_corpus").alias("i"), F.col("n_tok").alias("n")))
-        ).alias("_members")
-    )
+    # r15 ADJUDICATION (VERDICT r14 item 1): the r14 member-array
+    # restructure (corpus side grouped to sorted per-bucket arrays,
+    # (id_new, member-set) dedup before explode) halved the plan's
+    # Exchanges but LOST on the driver box — re-measured this round
+    # under the official bench protocol, alternating forms across six
+    # sessions: q94 grouped 9.48/9.15/5.71 s vs row 5.20/5.22/5.33 s,
+    # q94b grouped 6.14/4.93/5.80 s vs row 3.83/4.15/4.21 s (min-of-3
+    # each). The grouped form's collect_list aggregation + array-keyed
+    # dropDuplicates shuffled the heavy member arrays twice and raised
+    # task counts ~35 %, outweighing the band-row exchange it saved;
+    # it also put an unbounded bucket's whole membership in ONE
+    # aggregation buffer / one array-keyed shuffle row when
+    # max_bucket_size is None (the ADVICE r14 skew cliff). Reverted to
+    # the row×row band join: the ×3.9 pair multiplicity it emits is
+    # collapsed by the same final distinct, per-row not per-array.
+    if size_threshold is not None:
+        a = a.withColumnRenamed("n_tok", "_n_new")
+        b = b.withColumnRenamed("n_tok", "_n_corp")
     if max_bucket_size is not None:
-        bg = bg.filter(F.size("_members") <= max_bucket_size)
-    hits = (
-        a.join(bg, ["band_id", "bucket"])
-        .select("id_new", F.col("n_tok").alias("_n_new"), "_members")
-        .dropDuplicates(["id_new", "_members"])
-    )
-    ex = hits.select(
-        "id_new", "_n_new", F.explode("_members").alias("_m")
-    ).select("id_new", "_n_new", F.col("_m.i").alias("id_corpus"), F.col("_m.n").alias("_n_corp"))
-    size_ok = F.least(F.col("_n_new"), F.col("_n_corp")).cast("double") >= F.lit(
-        float(size_threshold)
-    ) * F.greatest(F.col("_n_new"), F.col("_n_corp")).cast("double")
-    return ex.filter(size_ok).select("id_new", "id_corpus").distinct()
+        keep = (
+            b.groupBy("band_id", "bucket")
+            .agg(F.count(F.lit(1)).alias("_sz"))
+            .filter(F.col("_sz") <= max_bucket_size)
+            .select("band_id", "bucket")
+        )
+        b = b.join(keep, ["band_id", "bucket"])
+    joined = a.join(b, ["band_id", "bucket"])
+    if size_threshold is not None:
+        # the refine guard's exact bound, applied per raw join row so
+        # never-survivable pairs skip the candidate distinct entirely
+        size_ok = F.least(
+            F.col("_n_new"), F.col("_n_corp")
+        ).cast("double") >= F.lit(float(size_threshold)) * F.greatest(
+            F.col("_n_new"), F.col("_n_corp")
+        ).cast("double")
+        joined = joined.filter(size_ok)
+    return joined.select("id_new", "id_corpus").distinct()
 
 
 def exact_hash_frame(

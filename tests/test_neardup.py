@@ -388,13 +388,14 @@ def test_dedup_incoming_bands_dial_on_stored_sigs(spark):
 
 
 def test_cross_candidates_grouped_form_matches_row_join(spark):
-    """r14 optimization pin: lsh_cross_candidates now groups the corpus
-    band rows to sorted per-bucket member arrays, dedupes repeated
-    (id_new, member-set) hits across bands, and explodes — the old
-    row-by-row band join emitted every band collision as a raw pair
-    before the distinct. The distinct candidate set must be IDENTICAL;
-    this replays the old join inline (cap semantics included: the cap
-    bounds corpus-side bucket width)."""
+    """r14 pinned the grouped member-array form against this inline
+    row-join replica; r15 ADJUDICATED the two under the official bench
+    protocol (grouped lost ~1.5-1.8x on the driver box, and its
+    collect_list put unbounded buckets in one aggregation buffer) and
+    reverted lsh_cross_candidates to the row form. The replica stays
+    as an independent spec of the candidate set — cap semantics
+    included (the cap bounds corpus-side bucket width) — so any future
+    restructure is still pinned to the same distinct pairs."""
     from pyspark.sql import functions as F
 
     from ironman_medallion_lakehouse_spark.operators.dedup import (
@@ -525,3 +526,70 @@ def test_size_threshold_prefilter_is_refine_invariant(spark):
 
     with pytest.raises(ValueError, match="with_size"):
         lsh_candidate_pairs(sigs_plain, k=8, bands=8, size_threshold=t)
+
+
+def test_cross_size_threshold_prefilter_is_refine_invariant(spark):
+    """ADVICE r14: the CROSS twin of the self-join invariance pin —
+    lsh_cross_candidates(size_threshold=t) must drop only pairs
+    jaccard_refine(threshold=t) would reject anyway, including a
+    size-incompatible cross pair the filter provably prunes. Refine
+    output over the union lookup is identical with and without it."""
+    from ironman_medallion_lakehouse_spark.operators.dedup import (
+        jaccard_refine,
+        lsh_cross_candidates,
+        minhash_signatures,
+    )
+
+    corp_rows = []
+    # corpus cluster of similar same-size docs
+    for i in range(100, 106):
+        toks = [f"tok{t}" for t in range(40)]
+        toks[i - 100] = f"alt{i}"
+        corp_rows.append((i, " ".join(toks)))
+    # a short corpus doc: a subset (20 of the 40 cluster tokens) the
+    # incoming near-copy collides with at loose banding but can never
+    # reach J >= 0.9 against (20 vs 40 tokens — size-incompatible)
+    corp_rows.append((150, " ".join(f"tok{t}" for t in range(20))))
+    corpus = spark.createDataFrame(corp_rows, "doc_id long, text string")
+    # incoming: one near-copy of the cluster, one near-copy of the short doc
+    inc_rows = [
+        (1, " ".join([f"tok{t}" for t in range(39)] + ["altinc"])),
+        (2, " ".join([f"tok{t}" for t in range(19)] + ["altinc2"])),
+    ]
+    incoming = spark.createDataFrame(inc_rows, "doc_id long, text string")
+
+    t = 0.9
+    sig_c_plain = minhash_signatures(corpus, k=8)
+    sig_n_plain = minhash_signatures(incoming, k=8)
+    sig_c_sized = minhash_signatures(corpus, k=8, with_size=True)
+    sig_n_sized = minhash_signatures(incoming, k=8, with_size=True)
+    cand_plain = lsh_cross_candidates(sig_n_plain, sig_c_plain, bands=8)
+    cand_sized = lsh_cross_candidates(
+        sig_n_sized, sig_c_sized, bands=8, size_threshold=t
+    )
+    plain_pairs = {(r.id_new, r.id_corpus) for r in cand_plain.collect()}
+    sized_pairs = {(r.id_new, r.id_corpus) for r in cand_sized.collect()}
+    assert sized_pairs <= plain_pairs
+    # the fixture must exercise the filter: a size-incompatible cross
+    # pair (long incoming vs short corpus doc or vice versa) is pruned
+    assert len(sized_pairs) < len(plain_pairs)
+    lookup = incoming.unionByName(corpus)
+
+    def refined(cand):
+        return {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in jaccard_refine(
+                cand.withColumnsRenamed({"id_new": "id_a", "id_corpus": "id_b"}),
+                lookup,
+                threshold=t,
+                hashed_tokens=True,
+            ).collect()
+        }
+
+    assert refined(cand_plain) == refined(cand_sized)
+    assert len(refined(cand_plain)) > 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="with_size"):
+        lsh_cross_candidates(sig_n_plain, sig_c_plain, bands=8, size_threshold=t)
