@@ -1140,8 +1140,14 @@ def q47_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join("_toks", " ").alias("_tokstr"),
         )
     )
+    # NO forced broadcast on word_toks (VERDICT r14 item 3): its
+    # cardinality is the corpus's DISTINCT-WORD count — 31 on this
+    # synthetic lexicon but 10^7-10^9 on a real 100 TB corpus, where a
+    # forced hint would OOM the build side. AQE sees the distinct's
+    # runtime size and broadcasts when it actually fits (verified at
+    # bench SF: the join still plans as BroadcastHashJoin).
     bpe_arm = (
-        ex.join(F.broadcast(word_toks), "_w")
+        ex.join(word_toks, "_w")
         .groupBy("doc_id")
         .agg(
             F.sum("_ntok").cast("bigint").alias("_n_bpe"),
@@ -1158,13 +1164,22 @@ def q47_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_bpe_fp"),
         )
     )
+    # ADVICE r14: the coalesce fallback (0, md5('')) is the WORDLESS-doc
+    # value; a NULL-text doc must stay NULL on both columns — the old
+    # inline expression and the DuckDB oracle yield NULL there
+    # (unreachable on this corpus, which has no NULL text, but the
+    # engine must not silently diverge if that changes)
+    text_ok = F.col("_text_ok")
     battery = (
-        d.select(*cols)
+        d.select(*cols, F.col("text").isNotNull().alias("_text_ok"))
         .join(bpe_arm, "doc_id", "left")
         .withColumn(
-            "n_bpe_tokens", F.coalesce(F.col("_n_bpe"), F.lit(0).cast("bigint"))
+            "n_bpe_tokens",
+            F.when(text_ok, F.coalesce(F.col("_n_bpe"), F.lit(0).cast("bigint"))),
         )
-        .withColumn("bpe_fp", F.coalesce(F.col("_bpe_fp"), F.md5(F.lit(""))))
+        .withColumn(
+            "bpe_fp", F.when(text_ok, F.coalesce(F.col("_bpe_fp"), F.md5(F.lit(""))))
+        )
     )
     # column ORDER is part of the oracle contract: restore the r7c
     # positions (n_bpe_tokens/bpe_fp between canonical_url and

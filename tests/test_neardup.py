@@ -445,7 +445,12 @@ def test_q47_battery_handles_wordless_docs(spark, tmp_path):
     """r14 BPE-arm restructure pin: a doc whose text has no words falls
     out of the posexplode and must re-enter via the left join with
     n_bpe_tokens = 0 and bpe_fp = md5('') — the values the old inline
-    expression produced on an empty word array."""
+    expression produced on an empty word array. r15 (ADVICE r14): a
+    NULL-text doc must NOT surface the wordless fallback values: the
+    oracle's column expressions yield NULL on NULL text, and the row
+    itself is dropped by the boiler arm's inner join on BOTH engines
+    (string_split/generate_series over NULL emit no lines), so the
+    battery must drop it too — never emit it with 0/md5('')."""
     import hashlib
     import os
     import shutil
@@ -456,14 +461,19 @@ def test_q47_battery_handles_wordless_docs(spark, tmp_path):
     df = spark.read.parquet(src).limit(6)
     patched = df.selectExpr(
         "doc_id",
-        "CASE WHEN doc_id % 3 = 0 THEN '   ' ELSE text END AS text",
+        "CASE WHEN doc_id % 3 = 0 THEN '   ' "
+        "WHEN doc_id % 3 = 1 THEN CAST(NULL AS STRING) ELSE text END AS text",
         "lang", "source", "n_chars",
     )
     sf_dir = str(tmp_path / "sf")
     os.makedirs(sf_dir)
     patched.coalesce(1).write.parquet(os.path.join(sf_dir, "documents.parquet"))
     out = suite.queries()["q47_text_battery"](spark, sf_dir).collect()
-    assert len(out) == 6
+    # NULL-text docs are dropped by the boiler inner join (both
+    # engines), not emitted with fallback values
+    n_null = sum(1 for i in range(6) if i % 3 == 1)
+    assert len(out) == 6 - n_null
+    assert all(r.doc_id % 3 != 1 for r in out)
     empty_md5 = hashlib.md5(b"").hexdigest()
     saw_wordless = False
     for r in out:
