@@ -63,6 +63,16 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # --- determinism ---
         .config("spark.sql.session.timeZone", "UTC")
+        # --- driver-side expression-construction cost (r15) ---
+        # PySpark 4 wraps EVERY DataFrame/Column API call with a
+        # call-site capture (Python stack walk + a JVM round-trip to
+        # PySparkCurrentOrigin) to enrich error messages. On big
+        # expression trees that is the dominant DRIVER cost: the q143
+        # battery's arm construction made ~15k py4j round-trips, 3.7 s;
+        # with the capture off it is 1.9 s, and the full entry dropped
+        # ~25 %. Purely a debugging aid — plans, semantics and results
+        # are identical at any scale; flip to true when diagnosing.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # --- python interop ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

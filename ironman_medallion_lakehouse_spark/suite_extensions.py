@@ -2506,6 +2506,11 @@ def q153_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_size=_Q153_SIZE,
         chunk_overlap=_Q153_OVERLAP,
         pack_budget=_Q153_BUDGET,
+        # r15: the entry returns only the chunks frame; the six
+        # per-stage count/collect actions are monitoring output this
+        # consumer never reads — skipping them drops six driver-
+        # blocking jobs per run and cannot change the chunks values
+        counts=False,
     )
     return res.chunks.select(
         "doc_id",

@@ -35,12 +35,16 @@ _CHUNK_UID_BASE = 1 << 20
 
 @dataclass
 class CurationResult:
-    n_input: int
-    n_quality_kept: int
-    n_dedup_survivors: int
-    n_sampled: int
-    n_chunks: int
-    n_packs: int
+    # per-stage counts are None when curate(counts=False): a consumer
+    # that only reads ``chunks`` (the q153 entry) skips the six count/
+    # collect driver actions entirely — they are monitoring output,
+    # not inputs to any stage
+    n_input: int | None
+    n_quality_kept: int | None
+    n_dedup_survivors: int | None
+    n_sampled: int | None
+    n_chunks: int | None
+    n_packs: int | None
     chunks: DataFrame  # (doc_id, chunk_index, chunk_uid, n_tokens, pack coords)
 
 
@@ -61,13 +65,20 @@ def curate(
     pack_budget: int = 2048,
     store=None,
     table: str = "gold.training_chunks",
+    counts: bool = True,
 ) -> CurationResult:
     """Run the full curation pipeline over a documents frame
     (doc_id, text, lang, ...). Returns per-stage counts and the packed
     chunk table; writes it to ``store``/``table`` when a TableStore is
     given (full overwrite + ANALYZE, so downstream joins plan from
-    recorded stats)."""
-    n_input = docs.count()
+    recorded stats).
+
+    ``counts=False`` (r15) skips the six per-stage count/collect
+    actions (they become None in the result): the ``chunks`` frame is
+    identical — counts are monitoring output, read by operators-report
+    consumers, never by a downstream stage. A chunks-only consumer
+    saves six driver-blocking jobs per invocation."""
+    n_input = docs.count() if counts else None
 
     # 1. quality gate — one narrow map-only pass (the q89 signals)
     gated = docs.filter(
@@ -77,7 +88,7 @@ def curate(
     )
     # dedup + chunking read this twice; don't recompute the gate
     gated = gated.localCheckpoint(eager=True)
-    n_quality = gated.count()
+    n_quality = gated.count() if counts else None
 
     # 2. near-dup grouping; keep the min-id survivor of each cluster
     groups = near_dedup_groups(
@@ -87,7 +98,7 @@ def curate(
         groups.filter("is_survivor").select("doc_id"), "doc_id", "left_semi"
     )
     survivors = survivors.localCheckpoint(eager=True)
-    n_survivors = survivors.count()
+    n_survivors = survivors.count() if counts else None
 
     # 3. mixture control — two deterministic arms, composable:
     #    (a) explicit per-stratum rates (the GIVEN mixture, q93);
@@ -122,7 +133,7 @@ def curate(
             salt="dsir",
         ).drop("log_weight", "priority")
         sampled = chosen.localCheckpoint(eager=True)
-    n_sampled = sampled.count()
+    n_sampled = sampled.count() if counts else None
 
     # 4. sliding-window chunking (map-only)
     chunks = chunk_documents(
@@ -144,9 +155,12 @@ def curate(
         "chunk_uid",
     )
     out = out.localCheckpoint(eager=True)
-    n_chunks = out.count()
-    n_packs = out.agg(F.max("end_pack")).collect()[0][0]
-    n_packs = int(n_packs) + 1 if n_packs is not None else 0
+    if counts:
+        n_chunks = out.count()
+        n_packs = out.agg(F.max("end_pack")).collect()[0][0]
+        n_packs = int(n_packs) + 1 if n_packs is not None else 0
+    else:
+        n_chunks = n_packs = None
 
     if store is not None:
         store.save_overwrite(out, table)
