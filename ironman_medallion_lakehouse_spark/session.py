@@ -154,6 +154,32 @@ def staging_dir(spark: SparkSession, label: str) -> str:
     return path
 
 
+# One scan task per this many document rows (tunable via env for
+# cluster profiles). MEASURED at sf0.1 (r15, alternating A/B x3): the
+# text stages are genuinely CPU-bound, so widths below the core count
+# cost wall — q83 3.6/3.8/3.6 s at 32 partitions vs 4.9/4.6/4.2 s at
+# 20 — hence 64 rows/task: the bench SF (5,000 docs) still saturates
+# the defaultParallelism cap (identical plans and fingerprints), and
+# only genuinely tiny inputs (the sf0.01/sf0.001 oracle gates: 500/50
+# docs) shed their near-empty scheduled tasks.
+_DOCS_ROWS_PER_TASK = int(os.environ.get("SPARK_GRAFT_DOCS_ROWS_PER_TASK", "64"))
+
+
+def _adaptive_width(parquet_path: str, cap: int) -> int:
+    """Partition width for a row-wise-expensive table: ceil(rows /
+    _DOCS_ROWS_PER_TASK) clamped to [1, cap]. Row count comes from the
+    parquet footer (driver-side metadata read, no job); any failure —
+    non-local path, odd layout — falls back to the cap, i.e. the
+    pre-r15 fixed width."""
+    try:
+        import pyarrow.parquet as pq
+
+        nrows = pq.ParquetFile(parquet_path).metadata.num_rows
+    except Exception:  # noqa: BLE001 — sizing hint only, never fatal
+        return cap
+    return max(1, min(cap, -(-nrows // _DOCS_ROWS_PER_TASK)))
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     """Load driver testdata parquet tables and register them as temp views.
 
@@ -194,7 +220,23 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
             # Repartition so per-row-expensive operators never inherit their
             # parallelism from input file sizes (at 100 TB the files split
             # fine; the operator still shouldn't depend on that).
-            df = df.repartition(spark.sparkContext.defaultParallelism)
+            #
+            # r15 (VERDICT r14 item 7): the width is now a FUNCTION of the
+            # input size — rows read off the parquet footer, one task per
+            # _DOCS_ROWS_PER_TASK rows — capped at defaultParallelism (the
+            # old fixed width). The fixed width produced near-empty tasks
+            # per text stage at tiny SFs (and 2x-width unions when two
+            # documents-derived frames meet), scheduling overhead AQE
+            # cannot coalesce away. Above rows_per_task x parallelism the
+            # width saturates at the cap — bench-SF and cluster-scale
+            # plans are identical to before (see _DOCS_ROWS_PER_TASK for
+            # the measured reason the constant is conservative).
+            df = df.repartition(
+                _adaptive_width(
+                    os.path.join(sf_dir, f"{name}.parquet"),
+                    spark.sparkContext.defaultParallelism,
+                )
+            )
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
