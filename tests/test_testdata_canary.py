@@ -106,9 +106,19 @@ def test_key_columns_and_dtypes(spark):
 def test_documents_scan_parallelism(spark):
     """VERDICT r3 item 3: expression-heavy text operators must not
     inherit single-task parallelism from a small input file —
-    load_tables repartitions documents to the default parallelism."""
+    load_tables repartitions documents. r15 (VERDICT r14 item 7): the
+    width is scale-adaptive — ceil(rows / _DOCS_ROWS_PER_TASK) clamped
+    to [1, defaultParallelism] — so any corpus beyond rows_per_task x
+    parallelism still saturates the old fixed width, while tiny gate
+    inputs stop scheduling near-empty tasks."""
+    import pyarrow.parquet as pq
+
+    from ironman_medallion_lakehouse_spark.session import _DOCS_ROWS_PER_TASK
+
     t = load_tables(spark, SF_DIR, "documents")
-    assert (
-        t["documents"].rdd.getNumPartitions()
-        == spark.sparkContext.defaultParallelism
-    )
+    nrows = pq.ParquetFile(f"{SF_DIR}/documents.parquet").metadata.num_rows
+    cap = spark.sparkContext.defaultParallelism
+    expect = max(1, min(cap, -(-nrows // _DOCS_ROWS_PER_TASK)))
+    assert t["documents"].rdd.getNumPartitions() == expect
+    # the saturation contract: a big-corpus width is the full cap
+    assert max(1, min(cap, -(-(_DOCS_ROWS_PER_TASK * cap * 10) // _DOCS_ROWS_PER_TASK))) == cap
