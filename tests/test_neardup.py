@@ -538,6 +538,68 @@ def test_size_threshold_prefilter_is_refine_invariant(spark):
         lsh_candidate_pairs(sigs_plain, k=8, bands=8, size_threshold=t)
 
 
+def test_minhash_fold_kernel_matches_per_permutation_form(spark):
+    """r15 kernel pin: minhash_signatures now computes all k mins as
+    ONE aggregate fold with a running-least k-vector; this replays the
+    r14 per-permutation transform+array_min form inline and requires
+    bit-identical signatures (incl. single-token docs, where the fold's
+    init sentinel must always lose to the first real value)."""
+    from pyspark.sql import functions as F
+
+    from ironman_medallion_lakehouse_spark.functions.text import _let
+    from ironman_medallion_lakehouse_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_coeffs,
+        minhash_signatures,
+        token_hash,
+        word_set,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "single"),
+        (3, "alpha beta gamma delta"),   # exact dup of 1
+        (4, "  beta   alpha  "),          # whitespace / ordering
+        (5, " ".join(f"tok{i}" for i in range(200))),  # long doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    k = 32
+    got = minhash_signatures(docs, k=k).orderBy("doc_id").collect()
+
+    coeffs = minhash_coeffs(k)
+    a_arr = F.array(*[F.lit(a) for a, _ in coeffs])
+    b_arr = F.array(*[F.lit(b) for _, b in coeffs])
+    ws = word_set("text")
+
+    def old_sigs(hashes):
+        def one_sig(j):
+            return _let(
+                F.struct(
+                    F.element_at(a_arr, j + 1).alias("a"),
+                    F.element_at(b_arr, j + 1).alias("b"),
+                ),
+                lambda ab: F.array_min(
+                    F.transform(hashes, lambda h: (ab["a"] * h + ab["b"]) % MINHASH_P)
+                ),
+            )
+
+        return F.transform(F.sequence(F.lit(0), F.lit(k - 1)), one_sig)
+
+    want = (
+        docs.filter(F.size(ws) > 0)
+        .select(F.col("doc_id"), _let(F.transform(ws, token_hash), old_sigs).alias("_s"))
+        .select(F.col("doc_id"), *[F.col("_s")[j].alias(f"sig_{j}") for j in range(k)])
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) == 5
+    # exact-dup docs must hash identically; the long doc exercises the
+    # fold over many tokens
+    g = {r.doc_id: tuple(r)[1:] for r in got}
+    assert g[1] == g[3]
+
+
 def test_cross_size_threshold_prefilter_is_refine_invariant(spark):
     """ADVICE r14: the CROSS twin of the self-join invariance pin —
     lsh_cross_candidates(size_threshold=t) must drop only pairs
